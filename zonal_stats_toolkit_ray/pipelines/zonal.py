@@ -1,0 +1,530 @@
+"""End-to-end zonal statistics pipelines (points path and raster path).
+
+Points path (the graft's primary corpus flow, SURVEY §3.4):
+    pages → geocode → cell-encode → SpatialJoiner actor pool → per-batch
+    partials → groupby(group_key) merge (shuffle of tiny partials only) →
+    finalize (+ exact percentiles via a raw-value shuffle when requested).
+
+Raster path (the reference's native flow, ``runner.py:264-926``): tiles →
+per-tile pixel-center assignment + per-FID partials → FID merge → quirk-Q4
+bbox-window fallback for zero-pixel FIDs → FID→group rollup → finalize.
+Replicates quirks Q1-Q9 (SURVEY §2.9) for row-identical output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.scalars import (
+    GROUP_KEY_NULL,
+    encode_group_key,
+    group_label,
+    percentile_keys,
+)
+from ..geom.window import GridSpec, envelope_to_window
+from ..sources.zones import ZoneSet
+from ..stages import zonal as Z
+from ..stages.geocode import geocode_batch
+from ..stages.cells import cell_encode_batch
+from ..stages.join import SpatialJoiner
+
+
+def _all_group_keys(zs: ZoneSet) -> list[str]:
+    return [
+        GROUP_KEY_NULL if g is None else "\x00" + str(g) for g in zs.unique_groups
+    ]
+
+
+def join_points(
+    ds,
+    zones,
+    *,
+    cell_res: int = 12,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 32768,
+    shortcut_res: int | None = 7,
+    geocode: bool = True,
+):
+    """pages/points Dataset → joined Dataset with zone_fid + group_value.
+
+    ``zones`` may be a ZoneSet / Arrow table / ray.ObjectRef (broadcast once
+    with ``ray.put`` for multi-stage reuse)."""
+    from ..state.resources import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size()
+    if geocode:
+        ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        cell_encode_batch, batch_format="pyarrow", fn_kwargs={"res": cell_res}
+    )
+    return ds.map_batches(
+        SpatialJoiner,
+        fn_constructor_kwargs={"zones": zones, "shortcut_res": shortcut_res},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def zonal_stats_points(
+    joined_ds,
+    value_col: str,
+    zs: ZoneSet,
+    *,
+    nodata: float | None = None,
+    percentiles: list[float] = (),
+) -> pd.DataFrame:
+    """Joined points Dataset → final grouped stats frame (small), with the
+    reference's stat fields / empty-group defaults / Q8 row order."""
+    partials = joined_ds.map_batches(
+        Z.partial_stats_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"value_col": value_col, "nodata": nodata},
+    )
+    merged = Z.reduce_partials(partials)
+    gp = None
+    if percentiles:
+        values = joined_ds.map_batches(
+            Z.values_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"value_col": value_col, "nodata": nodata},
+        )
+        gp = Z.group_percentiles_ds(values, list(percentiles))
+    return Z.finalize_group_stats(
+        merged,
+        all_group_keys=_all_group_keys(zs),
+        percentiles=list(percentiles),
+        group_percentiles=gp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# raster path
+# ---------------------------------------------------------------------------
+
+
+def _list_col_buffers(col) -> tuple[np.ndarray, np.ndarray]:
+    """list<float32> column → (flat float32 values, int offsets) zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+    offs = np.asarray(col.offsets) - col.offsets[0].as_py()
+    return flat, offs
+
+
+def _fid_keys(fids: np.ndarray) -> np.ndarray:
+    """int64 fids → fixed-width string shuffle keys, vectorized."""
+    return np.char.zfill(fids.astype("U12"), 12).astype(object)
+
+
+class TileFidPartials:
+    """Actor stage: raster tiles → per-(tile, FID) partial aggregates.
+
+    Pixel centers are assigned to zones with the same PIP semantics as the
+    reference's FID burn; partials are keyed by FID (not group) because the
+    Q4 fallback and the rollup's min/max-merge condition operate per FID
+    (``runner.py:848-889``)."""
+
+    def __init__(self, zones, grid: GridSpec):
+        from ..stages.join import _resolve_zones
+
+        self.zs = _resolve_zones(zones)
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.raster import tile_window
+
+        out = []
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        flat, offs = _list_col_buffers(batch["values"])
+        for i in range(len(batch)):
+            col0, row0, ncols, nrows = tile_window(self.grid, int(txs[i]), int(tys[i]))
+            v = flat[offs[i] : offs[i + 1]]
+            gx, gy = self.grid.pixel_centers(col0, row0, ncols, nrows)
+            fids = self.zs.assign_points(gx.ravel(), gy.ravel())
+            m = fids != -1
+            if not m.any():
+                continue
+            keys = _fid_keys(fids[m])
+            t = Z.grouped_partials(keys, v.astype(np.float64)[m], self.grid.nodata)
+            out.append(t)
+        if not out:
+            return Z.PARTIAL_SCHEMA.empty_table()
+        return pa.concat_tables(out)
+
+
+class TileFidValues:
+    """Actor stage: raster tiles → (fid_key, value) rows of valid assigned
+    pixels (float32), feeding the exact grouped-percentile shuffle."""
+
+    def __init__(self, zones, grid: GridSpec):
+        from ..stages.join import _resolve_zones
+
+        self.zs = _resolve_zones(zones)
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.raster import tile_window
+
+        keys_out, vals_out = [], []
+        txs = batch["tile_x"].to_numpy()
+        tys = batch["tile_y"].to_numpy()
+        flat, offs = _list_col_buffers(batch["values"])
+        for i in range(len(batch)):
+            col0, row0, ncols, nrows = tile_window(self.grid, int(txs[i]), int(tys[i]))
+            v = flat[offs[i] : offs[i + 1]]
+            gx, gy = self.grid.pixel_centers(col0, row0, ncols, nrows)
+            fids = self.zs.assign_points(gx.ravel(), gy.ravel())
+            m = (fids != -1) & ~Z.nodata_mask(v, self.grid.nodata)
+            if not m.any():
+                continue
+            keys_out.append(_fid_keys(fids[m]))
+            vals_out.append(v[m])
+        if not keys_out:
+            return pa.table(
+                {"group_key": pa.array([], pa.string()), "value": pa.array([], pa.float32())}
+            )
+        return pa.table(
+            {
+                "group_key": pa.array(np.concatenate(keys_out).tolist(), pa.string()),
+                "value": pa.array(np.concatenate(vals_out), pa.float32()),
+            }
+        )
+
+
+def _fetch_windows(tiles_ds, grid: GridSpec, windows: list[tuple[int, int, int, int]]):
+    """Read only the tiles touched by the given pixel windows (small side)
+    and return a dict (tile_x, tile_y) → dense 2-D float32 tile array."""
+    from ..sources.raster import tile_window
+
+    ts = grid.tile_size
+    needed = set()
+    for xoff, yoff, wx, wy in windows:
+        for ty in range(yoff // ts, (yoff + wy - 1) // ts + 1):
+            for tx in range(xoff // ts, (xoff + wx - 1) // ts + 1):
+                needed.add((tx, ty))
+    if not needed:
+        return {}
+    tx_arr = pa.array([t[0] for t in needed], pa.int32())
+    ty_arr = pa.array([t[1] for t in needed], pa.int32())
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(pc.is_in(b["tile_x"], tx_arr), pc.is_in(b["tile_y"], ty_arr))
+        return b.filter(m)
+
+    rows = tiles_ds.map_batches(pick, batch_format="pyarrow").take_all()
+    out = {}
+    for r in rows:
+        tx, ty = int(r["tile_x"]), int(r["tile_y"])
+        _, _, ncols, nrows = tile_window(grid, tx, ty)
+        out[(tx, ty)] = np.asarray(r["values"], dtype=np.float32).reshape(nrows, ncols)
+    return out
+
+
+def _read_window(
+    tile_map, grid: GridSpec, xoff: int, yoff: int, wx: int, wy: int
+) -> np.ndarray:
+    ts = grid.tile_size
+    out = np.empty((wy, wx), dtype=np.float32)
+    for ty in range(yoff // ts, (yoff + wy - 1) // ts + 1):
+        for tx in range(xoff // ts, (xoff + wx - 1) // ts + 1):
+            tile = tile_map[(tx, ty)]
+            r0 = max(yoff, ty * ts)
+            r1 = min(yoff + wy, ty * ts + tile.shape[0])
+            c0 = max(xoff, tx * ts)
+            c1 = min(xoff + wx, tx * ts + tile.shape[1])
+            out[r0 - yoff : r1 - yoff, c0 - xoff : c1 - xoff] = tile[
+                r0 - ty * ts : r1 - ty * ts, c0 - tx * ts : c1 - tx * ts
+            ]
+    return out
+
+
+def zonal_stats_raster(
+    tiles_ds,
+    grid: GridSpec,
+    zs: ZoneSet,
+    *,
+    percentiles: list[float] = (),
+    zones_ref=None,
+    concurrency: int | tuple[int, int] | None = None,
+) -> dict:
+    """Full reference-semantics zonal statistics over a tiled raster.
+
+    Returns {group_value: {min,max,count,nodata_count,valid_count,sum,
+    stdev,p*}} exactly like ``fast_zonal_statistics`` (``runner.py:926``).
+    """
+    from ..state.resources import default_pool_size
+
+    if concurrency is None:
+        concurrency = default_pool_size()
+    plist = sorted(set(float(p) for p in percentiles))
+    pkeys = percentile_keys(plist)
+
+    # --- empty-intersection fast path (runner.py:409-450) ---
+    v_minx = float(np.min(zs.minx))
+    v_maxx = float(np.max(zs.maxx))
+    v_miny = float(np.min(zs.miny))
+    v_maxy = float(np.max(zs.maxy))
+    r_minx, r_miny, r_maxx, r_maxy = grid.bbox
+    if v_maxx < r_minx or v_minx > r_maxx or v_maxy < r_miny or v_miny > r_maxy:
+        empty = {
+            "min": None,
+            "max": None,
+            "count": 0,
+            "nodata_count": 0,
+            "valid_count": 0,
+            "sum": 0.0,
+            "stdev": None,
+            **{k: None for k in pkeys},
+        }
+        return {g: dict(empty) for g in zs.unique_groups}
+
+    zones_arg = zones_ref if zones_ref is not None else zs.table
+
+    # --- per-tile FID partials → distributed merge ---
+    partials = tiles_ds.map_batches(
+        TileFidPartials,
+        fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    merged = Z.reduce_partials(partials)
+
+    fid_stats: dict[int, dict] = {}
+    for _, r in merged.iterrows():
+        fid_stats[int(r["group_key"])] = {
+            "min": None if pd.isna(r["min"]) else float(r["min"]),
+            "max": None if pd.isna(r["max"]) else float(r["max"]),
+            "count": int(r["count"]),
+            "nodata_count": int(r["nodata_count"]),
+            "sum": float(r["sum"]),
+            "sumsq": float(r["sumsq"]),
+        }
+
+    # --- percentile value bags (assigned pixels) ---
+    fid_value_chunks: dict[int, list[np.ndarray]] | None = None
+    if plist:
+        values_ds = tiles_ds.map_batches(
+            TileFidValues,
+            fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+
+        def collect(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "group_key": [g["group_key"].iloc[0]],
+                    "vals": [g["value"].to_numpy(dtype=np.float32)],
+                }
+            )
+
+        res = values_ds.groupby("group_key").map_groups(collect, batch_format="pandas")
+        fid_value_chunks = {
+            int(r["group_key"]): [np.asarray(r["vals"], dtype=np.float32)]
+            for r in res.to_pandas().to_dict("records")
+        }
+
+    # --- quirk-Q4 bbox-window fallback for zero-pixel FIDs
+    #     (runner.py:697-811: whole envelope window, unmasked by geometry,
+    #     per-part OVERWRITE so the last part wins) ---
+    unset = [f for f in zs.all_fids if f not in fid_stats]
+    if unset:
+        part_rows = {
+            f: [j for j in range(zs.n_parts) if zs.fid[j] == f] for f in unset
+        }
+        windows = []
+        for f in unset:
+            for j in part_rows[f]:
+                env = (
+                    float(zs.minx[j]),
+                    float(zs.maxx[j]),
+                    float(zs.miny[j]),
+                    float(zs.maxy[j]),
+                )
+                w = envelope_to_window(env, grid)
+                if w is not None:
+                    windows.append(w)
+        tile_map = _fetch_windows(tiles_ds, grid, windows)
+        for f in unset:
+            for j in part_rows[f]:  # part order; later parts overwrite
+                env = (
+                    float(zs.minx[j]),
+                    float(zs.maxx[j]),
+                    float(zs.miny[j]),
+                    float(zs.maxy[j]),
+                )
+                w = envelope_to_window(env, grid)
+                if w is None:
+                    continue
+                block = _read_window(tile_map, grid, *w)
+                nd = Z.nodata_mask(block, grid.nodata)
+                valid = block[~nd]
+                st = {
+                    "count": block.size,
+                    "nodata_count": int(np.count_nonzero(nd)),
+                }
+                if valid.size == 0:
+                    st.update({"min": 0.0, "max": 0.0, "sum": 0.0, "sumsq": 0.0})
+                else:
+                    st.update(
+                        {
+                            "min": float(valid.min()),
+                            "max": float(valid.max()),
+                            "sum": float(valid.sum(dtype=np.float64)),
+                            "sumsq": float(
+                                np.sum(
+                                    valid.astype(np.float64) ** 2, dtype=np.float64
+                                )
+                            ),
+                        }
+                    )
+                fid_stats[f] = st  # overwrite (=), not accumulate — quirk Q4
+                if fid_value_chunks is not None and valid.size:
+                    # stats overwrite per part, but value chunks APPEND per
+                    # part (runner.py:805-811)
+                    fid_value_chunks.setdefault(f, []).append(
+                        valid.astype(np.float32, copy=False)
+                    )
+
+    # FIDs still unset get the zeroed default (runner.py:813-815, 491-500)
+    default_fid = {
+        "min": None,
+        "max": None,
+        "count": 0,
+        "nodata_count": 0,
+        "sum": 0.0,
+        "sumsq": 0.0,
+    }
+    for f in zs.all_fids:
+        fid_stats.setdefault(f, dict(default_fid))
+
+    # --- FID → group rollup (runner.py:848-889) ---
+    grouped: dict = {}
+    group_chunks: dict = {}
+    for f in zs.all_fids:
+        gv = zs.fid_to_group[f]
+        s = fid_stats[f]
+        g = grouped.setdefault(
+            gv,
+            {
+                "min": None,
+                "max": None,
+                "count": 0,
+                "nodata_count": 0,
+                "valid_count": 0,
+                "sum": 0.0,
+                "sumsq": 0.0,
+                "stdev": None,
+                **{k: None for k in pkeys},
+            },
+        )
+        g["count"] += s["count"]
+        g["nodata_count"] += s["nodata_count"]
+        g["sum"] += s["sum"]
+        g["sumsq"] += s.get("sumsq", 0.0)
+        fid_valid = s["count"] - s["nodata_count"]
+        if fid_valid > 0:
+            if g["min"] is None:
+                g["min"], g["max"] = s["min"], s["max"]
+            else:
+                g["min"] = min(g["min"], s["min"])
+                g["max"] = max(g["max"], s["max"])
+        if fid_value_chunks is not None:
+            ch = fid_value_chunks.get(f)
+            if ch:
+                group_chunks.setdefault(gv, []).extend(ch)
+
+    if plist:
+        for gv, chunks in group_chunks.items():
+            vals = np.concatenate(chunks)
+            for k, v in zip(pkeys, np.percentile(vals, plist).tolist()):
+                grouped[gv][k] = v
+
+    # --- finalize (runner.py:906-917) ---
+    for gv, g in grouped.items():
+        valid_count = g["count"] - g["nodata_count"]
+        g["valid_count"] = valid_count
+        if valid_count > 0:
+            mean = g["sum"] / valid_count
+            var = g["sumsq"] / valid_count - mean * mean
+            if var < 0:
+                var = 0.0
+            g["stdev"] = float(np.sqrt(var))
+        else:
+            g["stdev"] = None
+        del g["sumsq"]
+    return grouped
+
+
+# ---------------------------------------------------------------------------
+# pivot + CSV sink (runner.py:966-1025, quirks Q8/Q9)
+# ---------------------------------------------------------------------------
+
+
+def pivot_stats(
+    raster_stats_by_stem: dict[str, dict],
+    raster_stems: list[str],
+    row_col_order: str,
+    agg_field: str,
+) -> tuple[list[str], list[dict]]:
+    """Wide pivot with the reference's exact column/row ordering."""
+    all_groups: set = set()
+    stat_fields = None
+    for stem in raster_stems:
+        stats = raster_stats_by_stem[stem]
+        all_groups.update(stats.keys())
+        if stat_fields is None and stats:
+            stat_fields = list(next(iter(stats.values())).keys())
+    if stat_fields is None:
+        stat_fields = ["min", "max", "count", "nodata_count", "sum"]
+
+    parts = [p.strip() for p in row_col_order.split(",") if p.strip()]
+    ordered_groups = sorted(all_groups, key=lambda v: (v is None, str(v)))
+    rows: list[dict] = []
+    if parts == ["agg_field", "base_raster"]:
+        first_col = agg_field
+        columns = [f"{f}_{stem}" for stem in raster_stems for f in stat_fields]
+        for gv in ordered_groups:
+            row = {first_col: group_label(gv)}
+            for stem in raster_stems:
+                s = raster_stats_by_stem[stem][gv]
+                for f in stat_fields:
+                    row[f"{f}_{stem}"] = s[f]
+            rows.append(row)
+    elif parts == ["base_raster", "agg_field"]:
+        first_col = "base_raster"
+        columns = [
+            f"{f}_{group_label(gv)}" for gv in ordered_groups for f in stat_fields
+        ]
+        for stem in raster_stems:
+            row = {first_col: stem}
+            stats = raster_stats_by_stem[stem]
+            for gv in ordered_groups:
+                lbl = group_label(gv)
+                for f in stat_fields:
+                    row[f"{f}_{lbl}"] = stats[gv][f]
+            rows.append(row)
+    else:
+        raise ValueError(
+            "row_col_order must be 'agg_field,base_raster' or 'base_raster,agg_field'"
+        )
+    return [first_col] + columns, rows
+
+
+def write_pivot_csv(path, header: list[str], rows: list[dict]) -> None:
+    import csv
+    from pathlib import Path
+
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    with p.open("w", newline="", encoding="utf-8") as f:
+        w = csv.DictWriter(f, fieldnames=header)
+        w.writeheader()
+        w.writerows(rows)

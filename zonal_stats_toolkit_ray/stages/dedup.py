@@ -1,0 +1,466 @@
+"""Deduplication operators for the web-page corpus (north-rule first-class
+components): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+Shapes (all Ray-Data-first):
+* exact        — vectorized content hash per batch → hash-partitioned
+                 groupby → keep the first (min key) row per hash.  The only
+                 all-to-all moves (hash, id) pairs, not the documents.
+* MinHash-LSH  — shingle → minhash signature per batch (NumPy, all docs of
+                 a batch at once) → explode to (band, band_hash, doc) rows →
+                 groupby bands → candidate pairs → exact-Jaccard verify →
+                 min-label connected components.
+* SimHash      — 64-bit signature → 16-bit band buckets → Hamming-verified
+                 pairs.
+* n-gram       — word n-gram shingles through the same LSH machinery.
+* embedding    — random-hyperplane LSH buckets → in-bucket cosine ≥ τ.
+
+Candidate-pair verification and the final union-find run on the driver
+over the (small) candidate set only — documented assumption: candidates ≪
+corpus, which LSH banding guarantees for reasonable thresholds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .geocode import hash64_utf8
+
+_MERS = np.uint64((1 << 61) - 1)
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    return batch.append_column("content_hash", pa.array(hash64_utf8(batch[text_col]), pa.uint64()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """→ Dataset(doc_id, n_dupes): one row per distinct text, keeping the
+    minimum id (deterministic winner).  Shuffle key = 64-bit content hash,
+    so only (hash, id) rows move."""
+    hashed = ds.map_batches(
+        content_hash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).select_columns(["content_hash", id_col])
+
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: [int(g[id_col].min())], "n_dupes": [len(g)]}
+        )
+
+    return hashed.groupby("content_hash").map_groups(
+        first_per_hash, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _minhash_params(num_perm: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, int(_MERS), size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, int(_MERS), size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def char_shingles(texts: pa.Array | pa.ChunkedArray, k: int = 5):
+    """Per-doc sets of k-byte shingle hashes, vectorized over the whole
+    column buffer (same rolling technique as fingerprint_batch).
+    Returns (hashes uint64 array, doc_ids int64 array)."""
+    from .text import _byte_segments
+
+    data, starts, ends = _byte_segments(texts)
+    n = len(starts)
+    if data.size < k:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    b = np.uint64(1000003)
+    with np.errstate(over="ignore"):
+        pw = np.multiply.accumulate(
+            np.concatenate([[np.uint64(1)], np.full(k - 1, b)]), dtype=np.uint64
+        )
+        h = np.zeros(data.size - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h += data[j : data.size - k + 1 + j].astype(np.uint64) * pw[k - 1 - j]
+    # windows that stay inside one document
+    win_start = np.arange(data.size - k + 1, dtype=np.int64)
+    doc_of_win = np.searchsorted(starts, win_start, side="right") - 1
+    ok = win_start + k <= ends[doc_of_win]
+    return h[ok], doc_of_win[ok]
+
+
+def minhash_signatures(
+    hashes: np.ndarray, doc_ids: np.ndarray, n_docs: int, num_perm: int, seed: int = 42
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 signature matrix, vectorized with
+    np.minimum.at over all (shingle, perm) pairs; docs with no shingles get
+    all-max signatures."""
+    a, b = _minhash_params(num_perm, seed)
+    sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for p in range(num_perm):
+            hp = (hashes * a[p] + b[p]) % _MERS
+            np.minimum.at(sig[:, p], doc_ids, hp)
+    return sig
+
+
+def minhash_band_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> pa.Table:
+    """map_batches stage: docs → (band, band_hash, doc_id) rows for the LSH
+    bucket shuffle."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    h, d = char_shingles(batch[text_col], k=shingle_k)
+    sig = minhash_signatures(h, d, len(batch), num_perm, seed)
+    rows_per_band = num_perm // bands
+    out_band, out_hash, out_id = [], [], []
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            block = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            bh = np.zeros(len(batch), dtype=np.uint64)
+            for c in range(block.shape[1]):
+                bh = bh * np.uint64(1099511628211) + block[:, c]
+            out_band.append(np.full(len(batch), bi, dtype=np.int32))
+            out_hash.append(bh)
+            out_id.append(ids)
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate(out_band), pa.int32()),
+            "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+            id_col: pa.array(np.concatenate(out_id)),
+        }
+    )
+
+
+def lsh_candidate_pairs(band_ds, id_col: str = "doc_id") -> pd.DataFrame:
+    """groupby (band, band_hash) → unique candidate id pairs (small frame)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    res = band_ds.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    df = res.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
+    return df.drop_duplicates().astype(np.int64)
+
+
+def jaccard_verify(
+    texts_by_id: dict[int, str],
+    pairs: pd.DataFrame,
+    *,
+    threshold: float,
+    shingle_k: int = 5,
+) -> pd.DataFrame:
+    """Exact Jaccard over char-shingle sets for each candidate pair (driver
+    side; candidate set is small by construction)."""
+    cache: dict[int, set] = {}
+
+    def sh(i: int) -> set:
+        s = cache.get(i)
+        if s is None:
+            t = texts_by_id[i].encode()
+            s = {t[j : j + shingle_k] for j in range(max(0, len(t) - shingle_k + 1))}
+            cache[i] = s
+        return s
+
+    keep_a, keep_b, j = [], [], []
+    for a, b in zip(pairs["a"], pairs["b"]):
+        sa, sb = sh(int(a)), sh(int(b))
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 1.0
+        if jac >= threshold:
+            keep_a.append(int(a))
+            keep_b.append(int(b))
+            j.append(jac)
+    return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": j})
+
+
+def connected_components(ids: np.ndarray, pairs: pd.DataFrame) -> pd.DataFrame:
+    """Union-find over verified duplicate pairs → (id, cluster_id) where
+    cluster_id = min id of the component."""
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return pd.DataFrame(
+        {
+            "doc_id": [int(i) for i in ids],
+            "cluster_id": [find(int(i)) for i in ids],
+        }
+    )
+
+
+def minhash_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Full near-dup pipeline → (doc_id, cluster_id, is_duplicate) frame.
+
+    is_duplicate marks rows that are NOT their cluster's min id."""
+    band_ds = ds.map_batches(
+        minhash_band_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(
+            id_col=id_col,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            seed=seed,
+        ),
+    )
+    cand = lsh_candidate_pairs(band_ds, id_col=id_col)
+    small = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(small[id_col].astype(int), small[text_col]))
+    verified = jaccard_verify(texts, cand, threshold=threshold, shingle_k=shingle_k)
+    comp = connected_components(small[id_col].to_numpy(), verified)
+    comp["is_duplicate"] = comp["doc_id"] != comp["cluster_id"]
+    return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup
+# ---------------------------------------------------------------------------
+
+def simhash_dedup(
+    ds, *, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> pd.DataFrame:
+    """SimHash near-dup: 4×16-bit band buckets → Hamming-distance verify →
+    components.  Any pair within Hamming ``max_hamming`` ≤ 3 on 64 bits
+    shares at least one of the 4 bands (pigeonhole), so recall is exact for
+    the banded candidate generation."""
+    from .text import simhash_batch
+
+    sims = ds.map_batches(
+        simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).select_columns([id_col, "simhash"])
+
+    def band_rows(b: pa.Table) -> pa.Table:
+        s = b["simhash"].to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        bands, hashes, out_ids, sim_out = [], [], [], []
+        for bi in range(4):
+            bands.append(np.full(s.size, bi, dtype=np.int32))
+            hashes.append((s >> np.uint64(16 * bi)) & np.uint64(0xFFFF))
+            out_ids.append(ids)
+            sim_out.append(s)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands), pa.int32()),
+                "band_hash": pa.array(np.concatenate(hashes), pa.uint64()),
+                id_col: pa.array(np.concatenate(out_ids)),
+                "simhash": pa.array(np.concatenate(sim_out), pa.uint64()),
+            }
+        )
+
+    band_ds = sims.map_batches(band_rows, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x])
+        m = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ia][m], "b": ids[ib][m], "hamming": ham[m]})
+
+    cand = band_ds.groupby(["band", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    ).to_pandas()
+    cand = cand.drop_duplicates(["a", "b"]) if len(cand) else cand
+    all_ids = sims.select_columns([id_col]).to_pandas()[id_col].to_numpy()
+    comp = connected_components(all_ids, cand)
+    comp["is_duplicate"] = comp["doc_id"] != comp["cluster_id"]
+    return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram Jaccard dedup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_dedup(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Near-dup on word n-gram sets: word-shingle MinHash bands for
+    candidates, exact word-n-gram Jaccard verify."""
+
+    def word_band_batch(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch[text_col])
+        toks = pc.split_pattern_regex(t, r"\s+")
+        tl = toks.to_pylist()
+        hashes_l, docs_l = [], []
+        for i, words in enumerate(tl):
+            words = [w for w in words if w]
+            if len(words) < n:
+                grams = [" ".join(words)] if words else []
+            else:
+                grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
+            if grams:
+                ga = pa.array(grams, pa.string())
+                hashes_l.append(hash64_utf8(ga))
+                docs_l.append(np.full(len(grams), i, dtype=np.int64))
+        h = np.concatenate(hashes_l) if hashes_l else np.empty(0, np.uint64)
+        d = np.concatenate(docs_l) if docs_l else np.empty(0, np.int64)
+        sig = minhash_signatures(h, d, len(batch), num_perm, seed)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rows_per_band = num_perm // bands
+        ob, oh, oi = [], [], []
+        with np.errstate(over="ignore"):
+            for bi in range(bands):
+                block = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+                bh = np.zeros(len(batch), dtype=np.uint64)
+                for c in range(block.shape[1]):
+                    bh = bh * np.uint64(1099511628211) + block[:, c]
+                ob.append(np.full(len(batch), bi, dtype=np.int32))
+                oh.append(bh)
+                oi.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(ob), pa.int32()),
+                "band_hash": pa.array(np.concatenate(oh), pa.uint64()),
+                id_col: pa.array(np.concatenate(oi)),
+            }
+        )
+
+    band_ds = ds.map_batches(word_band_batch, batch_format="pyarrow")
+    cand = lsh_candidate_pairs(band_ds, id_col=id_col)
+    small = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(small[id_col].astype(int), small[text_col]))
+
+    def grams(t: str) -> set:
+        ws = [w for w in t.lower().split() if w]
+        if len(ws) < n:
+            return {" ".join(ws)} if ws else set()
+        return {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+
+    keep = {"a": [], "b": [], "jaccard": []}
+    cache: dict[int, set] = {}
+    for a, b in zip(cand["a"], cand["b"]):
+        sa = cache.setdefault(int(a), grams(texts[int(a)]))
+        sb = cache.setdefault(int(b), grams(texts[int(b)]))
+        union = len(sa | sb)
+        jac = (len(sa & sb) / union) if union else 1.0
+        if jac >= threshold:
+            keep["a"].append(int(a))
+            keep["b"].append(int(b))
+            keep["jaccard"].append(jac)
+    verified = pd.DataFrame(keep)
+    comp = connected_components(small[id_col].to_numpy(), verified)
+    comp["is_duplicate"] = comp["doc_id"] != comp["cluster_id"]
+    return comp.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """Random-hyperplane LSH buckets → in-bucket pairwise cosine ≥ τ →
+    components.  Multi-probe: each vector lands in its exact bucket plus the
+    n_planes single-bit-flip neighbors, so near-identical vectors that
+    straddle one hyperplane still collide."""
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        mat = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        signs = (mat @ planes.T) > 0
+        base = np.zeros(len(b), dtype=np.int64)
+        for p in range(n_planes):
+            base |= signs[:, p].astype(np.int64) << p
+        buckets = [base]
+        for p in range(n_planes):
+            buckets.append(base ^ (1 << p))
+        nb = len(buckets)
+        return pa.table(
+            {
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                id_col: pa.array(np.tile(ids, nb)),
+            }
+        )
+
+    band_ds = ds.map_batches(bucket_rows, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g[id_col].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    cand = (
+        band_ds.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    )
+    cand = cand.drop_duplicates() if len(cand) else cand
+    small = ds.select_columns([id_col, vec_col]).to_pandas()
+    vecs = {
+        int(i): np.asarray(v, dtype=np.float64)
+        for i, v in zip(small[id_col], small[vec_col])
+    }
+    keep = {"a": [], "b": [], "cosine": []}
+    for a, b in zip(cand.get("a", []), cand.get("b", [])):
+        va, vb = vecs[int(a)], vecs[int(b)]
+        na, nb_ = np.linalg.norm(va), np.linalg.norm(vb)
+        cos = float(va @ vb / (na * nb_)) if na > 0 and nb_ > 0 else 0.0
+        if cos >= threshold:
+            keep["a"].append(int(a))
+            keep["b"].append(int(b))
+            keep["cosine"].append(cos)
+    comp = connected_components(small[id_col].to_numpy(), pd.DataFrame(keep))
+    comp = comp.rename(columns={"doc_id": id_col})
+    comp["is_duplicate"] = comp[id_col] != comp["cluster_id"]
+    return comp.sort_values(id_col).reset_index(drop=True)

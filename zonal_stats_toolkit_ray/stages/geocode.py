@@ -1,0 +1,80 @@
+"""Deterministic geocoding: url → (lon, lat), fully vectorized over Arrow.
+
+The graft's analogue of "pages have a location": a pure polynomial hash of
+the url bytes mapped into world coordinates, so the spatial join is
+reproducible across runs, partitionings and cluster sizes (SURVEY.md §1.4
+``points`` table).  The hash runs directly on the Arrow string array's
+offsets+data buffers with NumPy — no Python loop over rows — which keeps
+this stage zero-copy from the object store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_P = np.uint64(31)
+_MAX_POW = 1 << 16  # longest supported string for the power table
+with np.errstate(over="ignore"):
+    # powers of 31 mod 2^64 (intentional uint64 wraparound)
+    _POW31 = np.multiply.accumulate(
+        np.concatenate([[np.uint64(1)], np.full(_MAX_POW - 1, _P)]), dtype=np.uint64
+    )
+
+
+def hash64_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Java-style polynomial hash h = Σ b_i·31^(L-1-i) (mod 2^64) per string,
+    computed vectorized from the Arrow buffers."""
+    if isinstance(arr, pa.ChunkedArray):
+        if arr.num_chunks == 1:
+            arr = arr.chunk(0)
+        else:
+            arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    lens = ends - starts
+    total_lo, total_hi = int(starts.min(initial=0)), int(ends.max(initial=0))
+    seg = data[total_lo:total_hi].astype(np.uint64)
+    # exponent of each byte = (its string's end-1) - (its global position)
+    byte_pos = np.arange(total_lo, total_hi, dtype=np.int64)
+    exp = np.repeat(ends - 1, lens) - byte_pos
+    terms = seg * _POW31[exp]
+    csum = np.cumsum(terms, dtype=np.uint64)  # wraps mod 2^64
+    zero = np.uint64(0)
+    cs = np.concatenate([[zero], csum])
+    h = cs[ends - total_lo] - cs[starts - total_lo]
+    return h.astype(np.uint64)
+
+
+def hash64_py(s: str) -> int:
+    """Pure-Python reference of :func:`hash64_utf8` (tests only)."""
+    h = 0
+    for b in s.encode("utf-8"):
+        h = (h * 31 + b) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def lonlat_from_hash(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    lon = (h & np.uint64(0xFFFFFFFF)).astype(np.float64) / float(1 << 32) * 360.0 - 180.0
+    lat = (h >> np.uint64(32)).astype(np.float64) / float(1 << 32) * 180.0 - 90.0
+    return lon, lat
+
+
+def geocode_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """map_batches stage: adds lon/lat/geo_src columns (SURVEY §1.4 points)."""
+    h = hash64_utf8(batch[url_col])
+    lon, lat = lonlat_from_hash(h)
+    batch = batch.append_column("lon", pa.array(lon, pa.float64()))
+    batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+    return batch.append_column(
+        "geo_src", pa.array(np.full(len(batch), "url_hash"), pa.string())
+    )

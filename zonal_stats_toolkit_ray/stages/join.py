@@ -1,0 +1,119 @@
+"""Spatial join stage: point/cell → zone assignment in a stateful actor pool.
+
+Replaces the reference's ``gdal.RasterizeLayer`` FID burn + block pairing
+(``/root/reference/runner.py:599-606, 634-641``) with an R-tree-accelerated
+point-in-polygon test: the (small) zones table is broadcast once via
+``ray.put``; each actor deserializes it and builds a
+:class:`~zonal_stats_toolkit_ray.sources.zones.ZoneSet` (STR R-tree +
+rings) in ``__init__`` — once per actor, not per batch.  Batches flow
+through ``__call__`` as zero-copy Arrow tables.
+
+Semantics match the reference's pixel-center containment with
+highest-FID-wins tie-break on overlap (quirks Q5, SURVEY.md §2.9).
+An interior-cell shortcut (coarse cell fully inside one zone ⇒ dictionary
+hit, boundary cells ⇒ PIP) amortizes across batches via an actor-lifetime
+cache.
+
+``ZoneKNN`` exposes kNN lookups against the same R-tree (north_star).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..geom import cellid
+from ..sources.zones import ZoneSet
+
+
+def _resolve_zones(zones) -> ZoneSet:
+    """Accept a ZoneSet, an Arrow table, IPC bytes, or a Ray ObjectRef of any
+    of those (the ObjectRef form is the broadcast-once path)."""
+    try:
+        import ray
+
+        if isinstance(zones, ray.ObjectRef):
+            zones = ray.get(zones)
+    except ImportError:
+        pass
+    if isinstance(zones, ZoneSet):
+        return zones
+    if isinstance(zones, pa.Table):
+        return ZoneSet(zones)
+    if isinstance(zones, (bytes, bytearray)):
+        return ZoneSet.from_ipc(bytes(zones))
+    raise TypeError(f"cannot build ZoneSet from {type(zones)}")
+
+
+class SpatialJoiner:
+    """map_batches actor: adds ``zone_fid`` (int64, -1 = unassigned) and
+    ``group_value`` (nullable string) columns.
+
+    Pass to ``ds.map_batches(SpatialJoiner, fn_constructor_kwargs=dict(
+    zones=ref), concurrency=N, batch_format="pyarrow")``.
+    """
+
+    def __init__(
+        self,
+        zones,
+        *,
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        cell_col: str | None = "cell_id",
+        shortcut_res: int | None = 7,
+        drop_unassigned: bool = False,
+    ):
+        self.zs = _resolve_zones(zones)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.cell_col = cell_col
+        self.shortcut_res = shortcut_res
+        self.drop_unassigned = drop_unassigned
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        if self.shortcut_res is not None and self.cell_col is not None and (
+            self.cell_col in batch.column_names
+        ):
+            cells = batch[self.cell_col].to_numpy(zero_copy_only=False)
+            coarse = cellid.cell_to_parent(cells.astype(np.uint64), self.shortcut_res)
+            fids = self.zs.assign_points_cached(lon, lat, coarse)
+        else:
+            fids = self.zs.assign_points(lon, lat)
+        batch = batch.append_column("zone_fid", pa.array(fids, pa.int64()))
+        batch = batch.append_column("group_value", self.zs.groups_for_fids(fids))
+        if self.drop_unassigned:
+            batch = batch.filter(pa.compute.not_equal(batch["zone_fid"], -1))
+        return batch
+
+
+class ZoneKNN:
+    """map_batches actor: k nearest zones per point against the same STR
+    R-tree (bbox min-distance, exact best-first).  Adds ``knn_fids``
+    (list<int64>) and ``knn_dists`` (list<float64>)."""
+
+    def __init__(self, zones, *, k: int = 3, lon_col: str = "lon", lat_col: str = "lat"):
+        self.zs = _resolve_zones(zones)
+        self.k = int(k)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        part_idx, dists = self.zs.tree.knn_points(lon, lat, self.k)
+        # map part indices (already item ids = row fids via tree order) — the
+        # tree stores item ids == part row positions; convert to zone fids
+        fids = np.where(part_idx >= 0, self.zs.fid[np.clip(part_idx, 0, None)], -1)
+        n, k = fids.shape
+        off = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+        batch = batch.append_column(
+            "knn_fids",
+            pa.ListArray.from_arrays(off, pa.array(fids.ravel(), pa.int64())),
+        )
+        batch = batch.append_column(
+            "knn_dists",
+            pa.ListArray.from_arrays(off, pa.array(dists.ravel(), pa.float64())),
+        )
+        return batch

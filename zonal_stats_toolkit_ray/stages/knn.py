@@ -1,0 +1,218 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`knn_brute` — exact cosine top-k: the (small) query matrix is
+  broadcast once with ``ray.put``; each batch does ONE NumPy matmul against
+  it and emits only its local top-k rows per query, so the driver merges
+  #blocks × k rows, never the corpus.
+* :class:`IVFIndex` / :func:`knn_ivf` — the scale path: coarse quantizer
+  (seeded k-means on a sample) partitions vectors into ``nlist`` buckets;
+  queries probe the ``nprobe`` nearest centroids only.  Recall vs brute is
+  tested, not assumed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _stack_vectors(col) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float64 matrix without a Python
+    row loop (flat values buffer reshape; embeddings are fixed-length)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    if n == 0:
+        return flat.reshape(0, 0)
+    d = flat.size // n
+    return flat.reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteTopK:
+    """map_batches stage: per-batch exact cosine top-k against the broadcast
+    query matrix.  Emits (query_id, vec_id, score) local-top-k rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        try:
+            import ray
+
+            if isinstance(queries_ref, ray.ObjectRef):
+                queries_ref = ray.get(queries_ref)
+        except ImportError:
+            pass
+        self.qids = np.asarray(queries_ref["query_id"], dtype=np.int64)
+        self.q = _normalize(np.asarray(queries_ref["matrix"], dtype=np.float64))
+        self.k = int(k)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack_vectors(batch[self.vec_col]))
+        scores = m @ self.q.T  # (n, nq)
+        k = min(self.k, m.shape[0])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            s = scores[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if k < s.size else np.arange(s.size)
+            out_q.append(np.full(top.size, self.qids[qi], dtype=np.int64))
+            out_id.append(ids[top])
+            out_s.append(s[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def knn_brute(
+    ds,
+    queries: dict,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast: bool = True,
+) -> pd.DataFrame:
+    """Exact top-k: per-batch local top-k → tiny driver merge.
+
+    ``queries`` = {"query_id": [...], "matrix": (nq, d) array-like}.
+    Ties break by ascending id (deterministic).  Returns
+    (query_id, rank, vec_id, score) sorted."""
+    ref = queries
+    if broadcast:
+        try:
+            import ray
+
+            ref = ray.put(queries)
+        except ImportError:
+            pass
+    local = ds.map_batches(
+        BruteTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    ).to_pandas()
+    out = []
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", id_col, "score"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search — the 100-TB-scale path
+# ---------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, nlist: int, seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Small seeded k-means (Lloyd) on a driver-side sample — the classic
+    IVF coarse quantizer training step."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(sample.shape[0], size=min(nlist, sample.shape[0]), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                cent[c] = sample[m].mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IVFAssign:
+    """map_batches stage: adds ``ivf_list`` (nearest-centroid id) — the
+    partition key that co-locates similar vectors."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        try:
+            import ray
+
+            if isinstance(centroids_ref, ray.ObjectRef):
+                centroids_ref = ray.get(centroids_ref)
+        except ImportError:
+            pass
+        self.cent = np.asarray(centroids_ref, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack_vectors(batch[self.vec_col]))
+        assign = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_list", pa.array(assign, pa.int32()))
+
+
+def knn_ivf(
+    ds,
+    queries: dict,
+    k: int = 10,
+    *,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> pd.DataFrame:
+    """IVF-style ANN: train coarse centroids on a sample, assign lists,
+    scan only the ``nprobe`` closest lists per query."""
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = np.stack(sample_rows[vec_col].to_numpy())
+    cent = train_centroids(sample, nlist, seed)
+    try:
+        import ray
+
+        cent_ref = ray.put(cent)
+    except ImportError:
+        cent_ref = cent
+    assigned = ds.map_batches(
+        IVFAssign,
+        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+    qids = np.asarray(queries["query_id"], dtype=np.int64)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_lists = sorted(set(probe.ravel().tolist()))
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.is_in(b["ivf_list"], pa.array(probe_lists, pa.int32())))
+
+    survivors = assigned.map_batches(pick, batch_format="pyarrow").select_columns(
+        [id_col, vec_col, "ivf_list"]
+    ).to_pandas()
+    out = []
+    for qi in range(qm.shape[0]):
+        lists = set(probe[qi].tolist())
+        sub = survivors[survivors["ivf_list"].isin(lists)]
+        if len(sub) == 0:
+            continue
+        m = _normalize(np.stack(sub[vec_col].to_numpy()))
+        s = m @ qm[qi]
+        g = pd.DataFrame({id_col: sub[id_col].to_numpy(), "score": s})
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g["query_id"] = qids[qi]
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", id_col, "score"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)

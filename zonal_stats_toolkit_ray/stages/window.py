@@ -1,0 +1,110 @@
+"""Windowed aggregates over the timestamped ``events`` stream table.
+
+Ray Data has no event-time windowing; the engine implements the standard
+batch shapes (ray_guide streaming section): tumbling / hopping windows as a
+vectorized timestamp-truncate ``map_batches`` + partial-aggregate →
+groupby-merge (same two-level reduce as the zonal path), and session
+windows as per-key ``map_groups`` over ts-sorted groups.  Oracle SQL:
+``date_trunc`` / window functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_batch(
+    batch: pa.Table,
+    *,
+    ts_col: str = "ts",
+    every: str = "hour",
+) -> pa.Table:
+    """Adds ``window_start`` = ts truncated to the window (calendar unit)."""
+    w = pc.floor_temporal(batch[ts_col], unit=every)
+    return batch.append_column("window_start", w)
+
+
+def windowed_aggregate(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    every: str = "hour",
+) -> pd.DataFrame:
+    """Tumbling-window grouped aggregate: (key, window) → n_events,
+    sum_value, min_value, max_value.  Partial per batch, tiny merge shuffle."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = tumbling_window_batch(b, ts_col=ts_col, every=every)
+        df = pd.DataFrame(
+            {
+                "key": b[key_col].to_pandas(),
+                "w": b["window_start"].to_pandas(),
+                "v": b[value_col].to_pandas(),
+            }
+        )
+        g = df.groupby(["key", "w"], sort=False).agg(
+            n_events=("v", "size"),
+            sum_value=("v", "sum"),
+            min_value=("v", "min"),
+            max_value=("v", "max"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ds.map_batches(partials, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g["key"].iloc[0]],
+                "window_start": [g["w"].iloc[0]],
+                "n_events": [int(g["n_events"].sum())],
+                "sum_value": [float(g["sum_value"].sum())],
+                "min_value": [float(g["min_value"].min())],
+                "max_value": [float(g["max_value"].max())],
+            }
+        )
+
+    out = p.groupby(["key", "w"]).map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
+
+
+def session_windows(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_seconds: float = 1800.0,
+) -> pd.DataFrame:
+    """Session windowing per key: a new session starts when the gap to the
+    previous event exceeds ``gap_seconds``.  Ordering assumption: events of
+    one key fit in one group and are sorted by ts inside ``map_groups``."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].astype("int64").to_numpy() / 1e6  # seconds
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap_seconds
+        sid = np.cumsum(new)
+        out = (
+            pd.DataFrame({"sid": sid, "ts": ts})
+            .groupby("sid")
+            .agg(n_events=("ts", "size"), start=("ts", "min"), end=("ts", "max"))
+            .reset_index(drop=True)
+        )
+        out[key_col] = g[key_col].iloc[0]
+        out["duration_s"] = out["end"] - out["start"]
+        return out[[key_col, "n_events", "start", "end", "duration_s"]]
+
+    return (
+        ds.groupby(key_col)
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+        .sort_values([key_col, "start"])
+        .reset_index(drop=True)
+    )

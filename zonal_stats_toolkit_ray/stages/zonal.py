@@ -1,0 +1,263 @@
+"""Zonal statistics reduce: partial per-batch aggregates → salted shuffle of
+tiny partials → final merge → finalize, replicating the reference's
+aggregate semantics (``/root/reference/runner.py:653-685, 848-917``):
+
+* ``count``      = pixels/points assigned to the zone (incl. nodata)
+* ``nodata_count`` via ``np.isclose`` (quirk Q2, not ``==``)
+* ``sum`` / ``sumsq`` over valid values (float64 accumulation)
+* ``min`` / ``max`` over valid values (None when none)
+* finalize: ``valid_count = count − nodata_count``; population stdev with
+  negative-variance clamp (quirk Q3); exact percentiles via
+  ``np.percentile`` over all valid values (linear interpolation, A4)
+
+Scaling shape: the per-batch partial pass emits ONE ROW PER (group, batch)
+— the all-to-all shuffle only ever moves these tiny partials, never the
+corpus.  With few groups over 10^12 rows the shuffle input is
+O(#groups × #blocks), which is why no key salting is needed for the basic
+stats; the exact-percentile path shuffles raw (group, value) rows and is
+gated behind ``percentiles=[...]`` with the memory cost documented (the
+reference holds every pixel in driver RAM instead, ``runner.py:502-508``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.scalars import (
+    GROUP_KEY_NULL,
+    decode_group_key,
+    encode_group_key,
+    percentile_keys,
+)
+
+STAT_FIELDS = ["min", "max", "count", "nodata_count", "valid_count", "sum", "stdev"]
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("group_key", pa.string()),
+        ("count", pa.int64()),
+        ("nodata_count", pa.int64()),
+        ("sum", pa.float64()),
+        ("sumsq", pa.float64()),
+        ("min", pa.float64()),  # NaN = no valid values seen
+        ("max", pa.float64()),
+    ]
+)
+
+
+def nodata_mask(values: np.ndarray, nodata: float | None) -> np.ndarray:
+    """The reference's tolerance-based nodata rule (quirk Q2,
+    ``runner.py:644-651``): ``np.isclose``, and ``nodata is None`` ⇒ nothing
+    is nodata."""
+    if nodata is None:
+        return np.zeros(values.shape, dtype=bool)
+    return np.isclose(values, nodata)
+
+
+def grouped_partials(
+    keys: np.ndarray, values: np.ndarray, nodata: float | None
+) -> pa.Table:
+    """Vectorized within-batch partial aggregate: one output row per distinct
+    key.  ``keys`` is an array of encoded group-key strings (see
+    ``encode_group_key``); ``values`` float64."""
+    uniq, codes = np.unique(keys, return_inverse=True)
+    k = len(uniq)
+    nd = nodata_mask(values, nodata)
+    count = np.bincount(codes, minlength=k).astype(np.int64)
+    nodata_count = np.bincount(codes, weights=nd, minlength=k).astype(np.int64)
+    valid = ~nd
+    vcodes = codes[valid]
+    vvals = values[valid].astype(np.float64)
+    s = np.bincount(vcodes, weights=vvals, minlength=k)
+    ssq = np.bincount(vcodes, weights=vvals * vvals, minlength=k)
+    mn = np.full(k, np.inf)
+    mx = np.full(k, -np.inf)
+    np.minimum.at(mn, vcodes, vvals)
+    np.maximum.at(mx, vcodes, vvals)
+    mn[np.isinf(mn)] = np.nan
+    mx[np.isinf(mx)] = np.nan
+    return pa.table(
+        {
+            "group_key": pa.array(uniq.tolist(), pa.string()),
+            "count": pa.array(count),
+            "nodata_count": pa.array(nodata_count),
+            "sum": pa.array(s),
+            "sumsq": pa.array(ssq),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+        },
+        schema=PARTIAL_SCHEMA,
+    )
+
+
+def partial_stats_batch(
+    batch: pa.Table,
+    value_col: str,
+    *,
+    group_col: str = "group_value",
+    fid_col: str = "zone_fid",
+    nodata: float | None = None,
+) -> pa.Table:
+    """map_batches stage over JOINED rows → tiny partials table.
+
+    Unassigned rows (``zone_fid == -1``) are excluded — they are the
+    FID-raster-nodata pixels of the reference (``runner.py:636-639``).
+    Null ``group_value`` on an *assigned* row is a real group (the
+    reference supports None agg-field values, ``runner.py:981-997``).
+    """
+    if fid_col in batch.column_names:
+        batch = batch.filter(pa.compute.not_equal(batch[fid_col], -1))
+    if len(batch) == 0:
+        return PARTIAL_SCHEMA.empty_table()
+    keys = encode_group_key(batch[group_col])
+    values = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return grouped_partials(keys, values, nodata)
+
+
+def merge_partials_df(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-group merge of partials — associative, order-independent for the
+    integer fields; float sums accumulate in float64."""
+    return pd.DataFrame(
+        {
+            "group_key": [g["group_key"].iloc[0]],
+            "count": [int(g["count"].sum())],
+            "nodata_count": [int(g["nodata_count"].sum())],
+            "sum": [float(g["sum"].sum())],
+            "sumsq": [float(g["sumsq"].sum())],
+            "min": [g["min"].min()],  # pandas skips NaN → None-merge semantics
+            "max": [g["max"].max()],
+        }
+    )
+
+
+def finalize_group_stats(
+    merged: pd.DataFrame,
+    *,
+    all_group_keys: list[str] | None = None,
+    percentiles: list[float] = (),
+    group_percentiles: dict[str, list[float]] | None = None,
+) -> pd.DataFrame:
+    """Merged partials → final stats frame with the reference's finalize
+    semantics (``runner.py:906-917``) and empty-group defaults
+    (``runner.py:831-861``).  Output columns: group_value + STAT_FIELDS +
+    percentile keys; rows sorted ``(is None, str)`` (quirk Q8)."""
+    plist = sorted(set(float(p) for p in percentiles))
+    pkeys = percentile_keys(plist)
+    by_key: dict[str, dict] = {}
+    for _, r in merged.iterrows():
+        by_key[r["group_key"]] = dict(r)
+    keys = set(by_key)
+    if all_group_keys is not None:
+        keys |= set(all_group_keys)
+
+    rows = []
+    for key in sorted(keys, key=lambda k: (k == GROUP_KEY_NULL, k)):
+        r = by_key.get(key)
+        if r is None:
+            rec = {
+                "min": None,
+                "max": None,
+                "count": 0,
+                "nodata_count": 0,
+                "valid_count": 0,
+                "sum": 0.0,
+                "stdev": None,
+                **{pk: None for pk in pkeys},
+            }
+        else:
+            count = int(r["count"])
+            ndc = int(r["nodata_count"])
+            valid = count - ndc
+            if valid > 0:
+                mean = r["sum"] / valid
+                var = r["sumsq"] / valid - mean * mean
+                if var < 0:
+                    var = 0.0
+                stdev = float(np.sqrt(var))
+            else:
+                stdev = None
+            rec = {
+                "min": None if pd.isna(r["min"]) else float(r["min"]),
+                "max": None if pd.isna(r["max"]) else float(r["max"]),
+                "count": count,
+                "nodata_count": ndc,
+                "valid_count": valid,
+                "sum": float(r["sum"]),
+                "stdev": stdev,
+                **{pk: None for pk in pkeys},
+            }
+            if group_percentiles and key in group_percentiles:
+                for pk, pv in zip(pkeys, group_percentiles[key]):
+                    rec[pk] = pv
+        rows.append({"group_value": decode_group_key(key), **rec})
+    df = pd.DataFrame(rows, columns=["group_value"] + STAT_FIELDS + pkeys)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# distributed drivers
+# ---------------------------------------------------------------------------
+
+def reduce_partials(partials_ds) -> pd.DataFrame:
+    """Distributed final merge of the (tiny) partials dataset: groupby over
+    O(#groups × #blocks) rows, then the small merged frame comes to the
+    driver."""
+    merged = partials_ds.groupby("group_key").map_groups(
+        merge_partials_df, batch_format="pandas"
+    )
+    return merged.to_pandas()
+
+
+def group_percentiles_ds(values_ds, plist: list[float]) -> dict[str, list[float]]:
+    """Exact grouped percentiles: shuffle raw (group_key, value) rows, one
+    ``np.percentile`` per group (linear interpolation — matches
+    ``runner.py:891-904`` bit-for-bit on float32-downcast chunks).
+
+    Memory note (documented tradeoff, SURVEY §7.3): each group's values
+    must fit in one worker — the scale path is to cap percentile groups or
+    switch to a mergeable sketch; the reference instead holds ALL groups'
+    values in a single process (``runner.py:502-508``), so this is strictly
+    more scalable.
+    """
+    plist = sorted(set(float(p) for p in plist))
+
+    def pcts(g: pd.DataFrame) -> pd.DataFrame:
+        # reference downcasts chunks to float32 before concatenating
+        vals = g["value"].to_numpy(dtype=np.float32)
+        out = np.percentile(vals, plist) if vals.size else [None] * len(plist)
+        return pd.DataFrame(
+            {"group_key": [g["group_key"].iloc[0]], "pcts": [list(out)]}
+        )
+
+    res = values_ds.groupby("group_key").map_groups(pcts, batch_format="pandas")
+    return {r["group_key"]: r["pcts"] for r in res.to_pandas().to_dict("records")}
+
+
+def values_batch(
+    batch: pa.Table,
+    value_col: str,
+    *,
+    group_col: str = "group_value",
+    fid_col: str = "zone_fid",
+    nodata: float | None = None,
+) -> pa.Table:
+    """map_batches stage: joined rows → (group_key, value) rows of VALID
+    values only, float32-downcast like the reference's value bags
+    (``runner.py:664-667``)."""
+    if fid_col in batch.column_names:
+        batch = batch.filter(pa.compute.not_equal(batch[fid_col], -1))
+    if len(batch) == 0:
+        return pa.table(
+            {"group_key": pa.array([], pa.string()), "value": pa.array([], pa.float32())}
+        )
+    keys = encode_group_key(batch[group_col])
+    values = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    valid = ~nodata_mask(values, nodata)
+    return pa.table(
+        {
+            "group_key": pa.array(keys[valid].tolist(), pa.string()),
+            "value": pa.array(values[valid].astype(np.float32), pa.float32()),
+        }
+    )
