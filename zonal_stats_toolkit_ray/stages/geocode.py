@@ -42,7 +42,9 @@ def hash64_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     starts = offsets[:-1]
     ends = offsets[1:]
     lens = ends - starts
-    total_lo, total_hi = int(starts.min(initial=0)), int(ends.max(initial=0))
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.uint64)
+    total_lo, total_hi = int(starts[0]), int(ends[-1])
     seg = data[total_lo:total_hi].astype(np.uint64)
     # exponent of each byte = (its string's end-1) - (its global position)
     byte_pos = np.arange(total_lo, total_hi, dtype=np.int64)
