@@ -39,16 +39,17 @@ _M3 = np.uint64(0x94D049BB133111EB)
 
 def _hash_u01(cols: np.ndarray, rows: np.ndarray, salt: int) -> np.ndarray:
     """Deterministic uniform [0,1) from integer pixel coords (splitmix-style)."""
-    h = (
-        cols.astype(np.uint64) * _M1
-        ^ rows.astype(np.uint64) * _M2
-        ^ np.uint64(salt) * _M3
-    )
-    h ^= h >> np.uint64(30)
-    h *= _M2
-    h ^= h >> np.uint64(27)
-    h *= _M3
-    h ^= h >> np.uint64(31)
+    with np.errstate(over="ignore"):
+        h = (
+            cols.astype(np.uint64) * _M1
+            ^ rows.astype(np.uint64) * _M2
+            ^ (np.uint64(salt & 0xFFFFFFFFFFFFFFFF) * _M3)
+        )
+        h ^= h >> np.uint64(30)
+        h *= _M2
+        h ^= h >> np.uint64(27)
+        h *= _M3
+        h ^= h >> np.uint64(31)
     return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
 
