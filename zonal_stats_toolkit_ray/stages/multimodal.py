@@ -120,7 +120,10 @@ class FrameSample:
 
 def media_pipeline(ds, *, dim: int = 16, n_frames: int = 4, concurrency=2):
     """images → features; videos → frame offsets.  Small batch size because
-    binary rows are wide (object-store-friendly)."""
+    binary rows are wide (object-store-friendly).  The two chained actor
+    pools run at num_cpus=0.5 each so pools never reserve every CPU of a
+    small session (a fully-reserved session starves the read/consume
+    operators and deadlocks the streaming plan)."""
     return (
         ds.map_batches(
             ImageDecode,
@@ -128,11 +131,13 @@ def media_pipeline(ds, *, dim: int = 16, n_frames: int = 4, concurrency=2):
             batch_format="pyarrow",
             batch_size=256,
             concurrency=concurrency,
+            num_cpus=0.5,
         ).map_batches(
             FrameSample,
             fn_constructor_kwargs={"n_frames": n_frames},
             batch_format="pyarrow",
             batch_size=256,
             concurrency=concurrency,
+            num_cpus=0.5,
         )
     )
