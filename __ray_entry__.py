@@ -194,7 +194,9 @@ def q_topk_orders(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
-    out = ds.sort([("o_totalprice", "descending"), ("o_orderkey", "ascending")]).limit(10)
+    out = ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
     return out.to_pandas()
 
 
@@ -625,10 +627,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sid ORDER BY user_id, start
         """,
         "knn_brute": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ),
             scored AS (
                 SELECT e.vec_id,
-                       round(list_cosine_similarity(e.embedding, q.qe), 5) AS score
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 5) AS score
                 FROM embeddings e CROSS JOIN q
             ),
             ranked AS (

@@ -1,0 +1,321 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on a fresh local Ray session with
+num_cpus=$RAY_GRAFT_CPUS (default 32) and print ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: run the flagship pages-zonal pipeline twice in FRESH
+subprocesses (num_cpus=8 then 32) on identical input and report both
+throughputs + scaling efficiency = thr32 / (4 * thr8) — the sandbox
+evidence for the north_rule's N→4N cluster-size criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "40"))
+
+
+def _replicate_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Deterministically expand the documents table k× in-stream: copies get
+    distinct doc_ids/sources (so urls/geocodes differ) but identical text."""
+    import pyarrow.compute as pc
+
+    tables = []
+    n_total = 10_000_000  # id stride per replica
+    for r in range(k):
+        t = batch
+        t = t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(t["doc_id"], r * n_total),
+        )
+        if r > 0:
+            t = t.set_column(
+                t.schema.get_field_index("source"),
+                "source",
+                pc.binary_join_element_wise(t["source"], f"r{r}", "-"),
+            )
+        tables.append(t)
+    return pa.concat_tables(tables)
+
+
+def bench_zonal_pages(sf_dir: str, replicate: int = REPLICATE) -> dict:
+    """Flagship: pages → geocode → cells → R-tree PIP join (actor pool) →
+    zonal reduce with percentiles.  Returns secs + rows."""
+    import ray
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.pipelines.zonal import join_points, zonal_stats_points
+    from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+    from zonal_stats_toolkit_ray.stages.text import quality_score_batch
+
+    zones = synth_zones(seed=42, n_zones=48, n_groups=12)
+    zs = ZoneSet(zones)
+    zones_ref = ray.put(zones)
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    ds = ds.map_batches(
+        _replicate_batch, batch_format="pyarrow", fn_kwargs={"k": replicate}
+    ).repartition(64)
+    pages = ds.map_batches(docs_batch_to_pages, batch_format="pyarrow")
+    pages = pages.map_batches(quality_score_batch, batch_format="pyarrow")
+    joined = join_points(pages, zones_ref)
+    df = zonal_stats_points(joined, "quality_score", zs, percentiles=[5.0, 95.0])
+    wall = time.perf_counter() - t0
+    rows = int(df["count"].sum())
+    total_rows = joined.count() if False else None  # avoid re-execution
+    return {"sec": wall, "rows_out": rows, "groups": len(df)}
+
+
+def bench_zonal_raster(sf_dir: str) -> dict:
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.geom.window import GridSpec
+    from zonal_stats_toolkit_ray.pipelines.zonal import zonal_stats_raster
+    from zonal_stats_toolkit_ray.sources.raster import synth_tiles_table
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+
+    grid = GridSpec(
+        x0=-180.0, y0=90.0, dx=0.1875, dy=-0.1875, width=1920, height=960,
+        nodata=-9999.0, tile_size=256,
+    )
+    zs = ZoneSet(synth_zones(seed=42, n_zones=48, n_groups=12))
+    tiles_tbl = synth_tiles_table(grid, seed=42)  # built once, untimed
+    tiles = rd.from_arrow(tiles_tbl)
+    t0 = time.perf_counter()
+    stats = zonal_stats_raster(tiles, grid, zs, percentiles=[5.0, 95.0])
+    wall = time.perf_counter() - t0
+    return {"sec": wall, "pixels": grid.width * grid.height, "groups": len(stats)}
+
+
+def bench_groupby_lineitem(sf_dir: str) -> dict:
+    t0 = time.perf_counter()
+    from __ray_entry__ import q_groupby_lineitem
+
+    out = q_groupby_lineitem(sf_dir)
+    return {"sec": time.perf_counter() - t0, "groups": len(out)}
+
+
+def bench_dedup_exact(sf_dir: str, replicate: int = REPLICATE) -> dict:
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.dedup import exact_dedup
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        _replicate_batch_docs, batch_format="pyarrow", fn_kwargs={"k": replicate}
+    ).repartition(32)
+    out = exact_dedup(ds)
+    n = out.count()
+    return {"sec": time.perf_counter() - t0, "unique": n}
+
+
+def _replicate_batch_docs(batch: pa.Table, k: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    tables = []
+    for r in range(k):
+        t = batch.set_column(
+            batch.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(batch["doc_id"], r * 10_000_000),
+        )
+        tables.append(t)
+    return pa.concat_tables(tables)
+
+
+def bench_dedup_minhash(sf_dir: str) -> dict:
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.dedup import minhash_dedup
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = minhash_dedup(ds, threshold=0.7)
+    return {"sec": time.perf_counter() - t0, "docs": len(out)}
+
+
+def bench_knn(sf_dir: str) -> dict:
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.knn import knn_brute
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = ds.limit(8).to_pandas()
+    qm = np.stack(head["embedding"].to_numpy())
+    t0 = time.perf_counter()
+    out = knn_brute(ds, {"query_id": list(range(8)), "matrix": qm}, k=10)
+    return {"sec": time.perf_counter() - t0, "results": len(out)}
+
+
+def bench_token_stats(sf_dir: str, replicate: int = REPLICATE) -> dict:
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.text import quality_score_batch, token_stats_batch
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        _replicate_batch_docs, batch_format="pyarrow", fn_kwargs={"k": replicate}
+    ).repartition(32)
+    out = (
+        ds.map_batches(token_stats_batch, batch_format="pyarrow")
+        .map_batches(quality_score_batch, batch_format="pyarrow")
+    )
+    n = out.count()
+    return {"sec": time.perf_counter() - t0, "rows": n}
+
+
+def bench_window(sf_dir: str) -> dict:
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.window import windowed_aggregate
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = windowed_aggregate(ds, every="hour")
+    return {"sec": time.perf_counter() - t0, "windows": len(out)}
+
+
+BENCHES = {
+    "zonal_pages": bench_zonal_pages,
+    "zonal_raster": bench_zonal_raster,
+    "groupby_lineitem": bench_groupby_lineitem,
+    "dedup_exact": bench_dedup_exact,
+    "dedup_minhash": bench_dedup_minhash,
+    "knn_brute": bench_knn,
+    "token_stats": bench_token_stats,
+    "window_events": bench_window,
+}
+
+
+def _init_ray(ncpu: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _warm_cache(sf_dir: str):
+    for name in ("documents", "lineitem", "events", "embeddings", "orders"):
+        p = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
+
+def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _init_ray(ncpu)
+    _warm_cache(sf_dir)
+    names = only or list(BENCHES)
+    q: dict[str, float] = {}
+    extra: dict[str, dict] = {}
+    for name in names:
+        res = BENCHES[name](sf_dir)
+        q[name] = round(res.pop("sec"), 3)
+        extra[name] = res
+    total = round(sum(q.values()), 3)
+    out = {
+        "metric": "e2e_pipeline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": q,
+        "detail": extra,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "replicate": REPLICATE,
+    }
+    ray.shutdown()
+    return out
+
+
+def _scaling():
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_ONLY="zonal_pages",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(here, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    rows = n_docs * REPLICATE
+    r8 = run(8)
+    r32 = run(32)
+    t8 = r8["queries"]["zonal_pages"]
+    t32 = r32["queries"]["zonal_pages"]
+    thr8 = rows / t8
+    thr32 = rows / t32
+    eff = thr32 / (4.0 * thr8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": t8,
+                "sec_32": t32,
+                "rows": rows,
+                "rows_per_sec_8": round(thr8, 1),
+                "rows_per_sec_32": round(thr32, 1),
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+def main():
+    if "--scaling" in sys.argv:
+        _scaling()
+        return
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    only_env = os.environ.get("GRAFT_BENCH_ONLY", "")
+    only = [s for s in only_env.split(",") if s] or None
+    print(json.dumps(run_all(sf_dir, ncpu, only)))
+
+
+if __name__ == "__main__":
+    main()
