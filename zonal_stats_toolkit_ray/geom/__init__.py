@@ -1,1 +1,1 @@
-from . import cellid, pip, strtree, window  # noqa: F401
+from . import cellid, pip, simplify, strtree, window  # noqa: F401

@@ -253,16 +253,30 @@ def zonal_stats_raster(
     percentiles: list[float] = (),
     zones_ref=None,
     concurrency: int | tuple[int, int] | None = None,
+    simplify_tolerance: float | None = None,
+    polygons_might_overlap: bool = False,
 ) -> dict:
     """Full reference-semantics zonal statistics over a tiled raster.
 
     Returns {group_value: {min,max,count,nodata_count,valid_count,sum,
     stdev,p*}} exactly like ``fast_zonal_statistics`` (``runner.py:926``).
+
+    ``simplify_tolerance``: reference quirk Q6 — DP-simplify rings before
+    joining (the reference always uses 0.5 × pixel width; default off here
+    because fixtures are simplification-stable).  ``polygons_might_overlap``
+    is accepted for API parity with ``fast_zonal_statistics``; the engine's
+    join resolves overlap per point with the same highest-FID-wins rule in
+    both modes, so no disjoint-set partitioning is ever needed (SURVEY O3).
     """
     from ..state.resources import default_pool_size
 
     if concurrency is None:
         concurrency = default_pool_size()
+    if simplify_tolerance is not None:
+        from ..geom.simplify import simplify_zones_table
+
+        zs = ZoneSet(simplify_zones_table(zs.table, simplify_tolerance))
+        zones_ref = None  # broadcast handle refers to unsimplified zones
     plist = sorted(set(float(p) for p in percentiles))
     pkeys = percentile_keys(plist)
 
