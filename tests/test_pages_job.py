@@ -1,0 +1,58 @@
+"""Resumable pages-zonal job over real data: kill after K partitions →
+resume recomputes only the remainder; final stats identical (FIXTURES.md
+invariant 6, north_rule resume)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from zonal_stats_toolkit_ray.pipelines import pages_job
+from zonal_stats_toolkit_ray.sources.zones import synth_zones
+from zonal_stats_toolkit_ray.state.checkpoint import CheckpointManifest
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_pages_job_resume(ray_session, tmp_path):
+    zones = synth_zones(seed=42, n_zones=16)
+
+    # full run in one go → reference result
+    full = pages_job.run_pages_job(DOCS, zones, tmp_path / "full", n_partitions=3)
+    assert full["report"]["completed"] == ["mod000", "mod001", "mod002"]
+
+    # interrupted run: fail inside partition 2
+    orig = pages_job._run_partition
+    calls = {"n": 0}
+
+    def failing(spec, out_dir):
+        if spec["mod"] == 2 and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("killed mid-run")
+        return orig(spec, out_dir)
+
+    pages_job._run_partition = failing
+    try:
+        with pytest.raises(RuntimeError):
+            pages_job.run_pages_job(DOCS, zones, tmp_path / "resume", n_partitions=3)
+        # resume: only the failed partition is recomputed
+        res = pages_job.run_pages_job(DOCS, zones, tmp_path / "resume", n_partitions=3)
+    finally:
+        pages_job._run_partition = orig
+    assert res["report"]["skipped"] == ["mod000", "mod001"]
+    assert res["report"]["completed"] == ["mod002"]
+
+    a = full["stats"].fillna(-1).reset_index(drop=True)
+    b = res["stats"].fillna(-1).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # manifest carries lineage + metrics
+    man = CheckpointManifest(tmp_path / "resume").load()
+    assert set(man) == {"mod000", "mod001", "mod002"}
+    for rec in man.values():
+        assert rec["rows"] > 0 and rec["wall_s"] > 0 and rec["fingerprint"]
+
+    # partition rows sum to the corpus size
+    total = sum(rec["rows"] for rec in man.values())
+    import pyarrow.parquet as pq
+
+    assert total == pq.read_metadata(DOCS).num_rows

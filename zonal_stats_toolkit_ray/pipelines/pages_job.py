@@ -1,0 +1,110 @@
+"""Checkpointed, resumable pages-zonal job — the 100-TB blueprint.
+
+Output layout (ray_guide "Sources & sinks" + north_rule resume):
+
+    out_dir/
+      part=<pid>/joined/*.parquet   # joined pages (url, …, zone_fid, group_value)
+      part=<pid>/partials/*.parquet # per-batch zonal partials for this shard
+      manifest.jsonl                # lineage: fingerprint, rows, wall_s, metrics
+
+Each partition is one shard of the input (here: a ``doc_id % N`` slice of
+one file; at scale: one input file / row-group range per partition).  A
+killed run resumes by skipping manifest-complete partitions (anti-join of
+the partition list vs the manifest — see state/checkpoint.py) and the
+final reduce reads only the small partials, so completed shards are never
+re-joined.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import docs_batch_to_pages
+from ..sources.zones import ZoneSet
+from ..stages import zonal as Z
+from ..state.checkpoint import run_partitioned
+from .zonal import _all_group_keys, join_points
+
+
+def _run_partition(spec: dict, out_dir: str) -> dict:
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        spec["docs_path"], columns=["doc_id", "text", "lang", "source"]
+    )
+    pid, n = spec["mod"], spec["n_partitions"]
+
+    def shard(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % n == pid))
+
+    ds = ds.map_batches(shard, batch_format="pyarrow")
+    pages = ds.map_batches(docs_batch_to_pages, batch_format="pyarrow")
+    pages = pages.map_batches(
+        lambda t: t.append_column(
+            "value", pc.cast(pc.utf8_length(t["text"]), pa.float64())
+        ),
+        batch_format="pyarrow",
+    )
+    zones_table = pa.ipc.open_stream(Path(spec["zones_ipc"]).read_bytes()).read_all()
+    joined = join_points(pages, zones_table, concurrency=spec.get("concurrency", 2))
+    joined = joined.materialize()
+    joined.write_parquet(f"{out_dir}/joined")
+    partials = joined.map_batches(
+        Z.partial_stats_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"value_col": "value"},
+    )
+    partials.write_parquet(f"{out_dir}/partials")
+    return {"rows": joined.count()}
+
+
+def run_pages_job(
+    docs_path: str,
+    zones_table: pa.Table,
+    out_dir: str,
+    *,
+    n_partitions: int = 4,
+    concurrency: int = 2,
+) -> dict:
+    """Partitioned, resumable run.  Returns the final grouped-stats frame
+    plus the checkpoint report."""
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    zones_ipc = out / "zones.arrow"
+    if not zones_ipc.exists():
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, zones_table.schema) as w:
+            w.write_table(zones_table)
+        zones_ipc.write_bytes(sink.getvalue().to_pybytes())
+
+    parts = [
+        (
+            f"mod{i:03d}",
+            {
+                "docs_path": docs_path,
+                "mod": i,
+                "n_partitions": n_partitions,
+                "zones_ipc": str(zones_ipc),
+                "concurrency": concurrency,
+            },
+        )
+        for i in range(n_partitions)
+    ]
+    report = run_partitioned(parts, _run_partition, out)
+
+    # final reduce over the (tiny) per-partition partials only
+    import ray.data as rd
+
+    partial_paths = sorted(str(p) for p in out.glob("part=*/partials/*.parquet"))
+    partials = rd.read_parquet(partial_paths)
+    merged = Z.reduce_partials(partials)
+    zs = ZoneSet(zones_table)
+    stats = Z.finalize_group_stats(merged, all_group_keys=_all_group_keys(zs))
+    return {"stats": stats, "report": report}
