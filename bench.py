@@ -61,25 +61,35 @@ def bench_zonal_pages(sf_dir: str, replicate: int = REPLICATE) -> dict:
     from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
     from zonal_stats_toolkit_ray.stages.text import quality_score_batch
 
+    import pyarrow.compute as pc
+
     zones = synth_zones(seed=42, n_zones=48, n_groups=12)
     zs = ZoneSet(zones)
     zones_ref = ray.put(zones)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
 
     t0 = time.perf_counter()
     ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=max(16, ncpu * 2),  # parallelism without a shuffle
     )
     ds = ds.map_batches(
         _replicate_batch, batch_format="pyarrow", fn_kwargs={"k": replicate}
-    ).repartition(64)
+    )
     pages = ds.map_batches(docs_batch_to_pages, batch_format="pyarrow")
     pages = pages.map_batches(quality_score_batch, batch_format="pyarrow")
-    joined = join_points(pages, zones_ref)
+    # project to the join-relevant columns before the actor pool: the wide
+    # html/text payloads never enter the join or the shuffle (at scale,
+    # re-join by url afterwards if the pages are needed downstream)
+    slim = pages.map_batches(
+        lambda t: t.select(["url", "quality_score"]), batch_format="pyarrow"
+    )
+    joined = join_points(slim, zones_ref, batch_size=16384)
     df = zonal_stats_points(joined, "quality_score", zs, percentiles=[5.0, 95.0])
     wall = time.perf_counter() - t0
     rows = int(df["count"].sum())
-    total_rows = joined.count() if False else None  # avoid re-execution
-    return {"sec": wall, "rows_out": rows, "groups": len(df)}
+    return {"sec": wall, "rows_in": rows, "groups": len(df)}
 
 
 def bench_zonal_raster(sf_dir: str) -> dict:

@@ -76,23 +76,44 @@ def zonal_stats_points(
     *,
     nodata: float | None = None,
     percentiles: list[float] = (),
+    cache_rows: bool = True,
 ) -> pd.DataFrame:
     """Joined points Dataset → final grouped stats frame (small), with the
-    reference's stat fields / empty-group defaults / Q8 row order."""
-    partials = joined_ds.map_batches(
-        Z.partial_stats_batch,
-        batch_format="pyarrow",
-        fn_kwargs={"value_col": value_col, "nodata": nodata},
-    )
-    merged = Z.reduce_partials(partials)
-    gp = None
-    if percentiles:
-        values = joined_ds.map_batches(
-            Z.values_batch,
+    reference's stat fields / empty-group defaults / Q8 row order.
+
+    When percentiles are requested there are two consumers (partials +
+    raw-value shuffle); a lazy Dataset would re-execute the whole upstream
+    join for each.  ``cache_rows=True`` (default) first reduces the joined
+    rows to a slim (group_key, value, nodata) projection and materializes
+    THAT — a few bytes per row, never the wide page columns — so the join
+    runs exactly once."""
+    if percentiles and cache_rows:
+        slim = joined_ds.map_batches(
+            Z.rows_batch,
+            batch_format="pyarrow",
+            fn_kwargs={"value_col": value_col, "nodata": nodata},
+        ).materialize()
+        partials = slim.map_batches(
+            Z.partials_from_rows, batch_format="pyarrow"
+        )
+        values = slim.map_batches(Z.values_from_rows, batch_format="pyarrow")
+    else:
+        partials = joined_ds.map_batches(
+            Z.partial_stats_batch,
             batch_format="pyarrow",
             fn_kwargs={"value_col": value_col, "nodata": nodata},
         )
-        gp = Z.group_percentiles_ds(values, list(percentiles))
+        values = (
+            joined_ds.map_batches(
+                Z.values_batch,
+                batch_format="pyarrow",
+                fn_kwargs={"value_col": value_col, "nodata": nodata},
+            )
+            if percentiles
+            else None
+        )
+    merged = Z.reduce_partials(partials)
+    gp = Z.group_percentiles_ds(values, list(percentiles)) if percentiles else None
     return Z.finalize_group_stats(
         merged,
         all_group_keys=_all_group_keys(zs),
@@ -157,9 +178,13 @@ class TileFidPartials:
         return pa.concat_tables(out)
 
 
-class TileFidValues:
-    """Actor stage: raster tiles → (fid_key, value) rows of valid assigned
-    pixels (float32), feeding the exact grouped-percentile shuffle."""
+class TileFidPixels:
+    """Actor stage: raster tiles → slim (fid_key, value, nodata) pixel rows.
+
+    Used when percentiles are requested: the expensive pixel-center PIP
+    assignment runs ONCE, the slim rows are materialized (bytes per pixel,
+    not tiles), and both the partial aggregate and the percentile shuffle
+    derive from them."""
 
     def __init__(self, zones, grid: GridSpec):
         from ..stages.join import _resolve_zones
@@ -170,7 +195,7 @@ class TileFidValues:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..sources.raster import tile_window
 
-        keys_out, vals_out = [], []
+        keys_out, vals_out, nd_out = [], [], []
         txs = batch["tile_x"].to_numpy()
         tys = batch["tile_y"].to_numpy()
         flat, offs = _list_col_buffers(batch["values"])
@@ -179,20 +204,21 @@ class TileFidValues:
             v = flat[offs[i] : offs[i + 1]]
             gx, gy = self.grid.pixel_centers(col0, row0, ncols, nrows)
             fids = self.zs.assign_points(gx.ravel(), gy.ravel())
-            m = (fids != -1) & ~Z.nodata_mask(v, self.grid.nodata)
+            m = fids != -1
             if not m.any():
                 continue
             keys_out.append(_fid_keys(fids[m]))
-            vals_out.append(v[m])
+            vals_out.append(v[m].astype(np.float64))
+            nd_out.append(Z.nodata_mask(v[m], self.grid.nodata))
         if not keys_out:
-            return pa.table(
-                {"group_key": pa.array([], pa.string()), "value": pa.array([], pa.float32())}
-            )
+            return Z.ROWS_SCHEMA.empty_table()
         return pa.table(
             {
                 "group_key": pa.array(np.concatenate(keys_out).tolist(), pa.string()),
-                "value": pa.array(np.concatenate(vals_out), pa.float32()),
-            }
+                "value": pa.array(np.concatenate(vals_out), pa.float64()),
+                "nodata": pa.array(np.concatenate(nd_out)),
+            },
+            schema=Z.ROWS_SCHEMA,
         )
 
 
@@ -301,13 +327,26 @@ def zonal_stats_raster(
 
     zones_arg = zones_ref if zones_ref is not None else zs.table
 
-    # --- per-tile FID partials → distributed merge ---
-    partials = tiles_ds.map_batches(
-        TileFidPartials,
-        fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    # --- per-tile FID partials → distributed merge.  With percentiles the
+    # PIP assignment runs once into slim materialized pixel rows and both
+    # consumers derive from them; without, partials aggregate inside the
+    # actor (single pass, nothing materialized). ---
+    pixels = None
+    if plist:
+        pixels = tiles_ds.map_batches(
+            TileFidPixels,
+            fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        ).materialize()
+        partials = pixels.map_batches(Z.partials_from_rows, batch_format="pyarrow")
+    else:
+        partials = tiles_ds.map_batches(
+            TileFidPartials,
+            fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
     merged = Z.reduce_partials(partials)
 
     fid_stats: dict[int, dict] = {}
@@ -321,15 +360,11 @@ def zonal_stats_raster(
             "sumsq": float(r["sumsq"]),
         }
 
-    # --- percentile value bags (assigned pixels) ---
+    # --- percentile value bags (assigned valid pixels, from the cached
+    # slim rows — no second PIP pass) ---
     fid_value_chunks: dict[int, list[np.ndarray]] | None = None
     if plist:
-        values_ds = tiles_ds.map_batches(
-            TileFidValues,
-            fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
+        values_ds = pixels.map_batches(Z.values_from_rows, batch_format="pyarrow")
 
         def collect(g: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(

@@ -62,34 +62,7 @@ def grouped_partials(
     """Vectorized within-batch partial aggregate: one output row per distinct
     key.  ``keys`` is an array of encoded group-key strings (see
     ``encode_group_key``); ``values`` float64."""
-    uniq, codes = np.unique(keys, return_inverse=True)
-    k = len(uniq)
-    nd = nodata_mask(values, nodata)
-    count = np.bincount(codes, minlength=k).astype(np.int64)
-    nodata_count = np.bincount(codes, weights=nd, minlength=k).astype(np.int64)
-    valid = ~nd
-    vcodes = codes[valid]
-    vvals = values[valid].astype(np.float64)
-    s = np.bincount(vcodes, weights=vvals, minlength=k)
-    ssq = np.bincount(vcodes, weights=vvals * vvals, minlength=k)
-    mn = np.full(k, np.inf)
-    mx = np.full(k, -np.inf)
-    np.minimum.at(mn, vcodes, vvals)
-    np.maximum.at(mx, vcodes, vvals)
-    mn[np.isinf(mn)] = np.nan
-    mx[np.isinf(mx)] = np.nan
-    return pa.table(
-        {
-            "group_key": pa.array(uniq.tolist(), pa.string()),
-            "count": pa.array(count),
-            "nodata_count": pa.array(nodata_count),
-            "sum": pa.array(s),
-            "sumsq": pa.array(ssq),
-            "min": pa.array(mn),
-            "max": pa.array(mx),
-        },
-        schema=PARTIAL_SCHEMA,
-    )
+    return _grouped_partials_masked(keys, values, nodata_mask(values, nodata))
 
 
 def partial_stats_batch(
@@ -233,6 +206,96 @@ def group_percentiles_ds(values_ds, plist: list[float]) -> dict[str, list[float]
 
     res = values_ds.groupby("group_key").map_groups(pcts, batch_format="pandas")
     return {r["group_key"]: r["pcts"] for r in res.to_pandas().to_dict("records")}
+
+
+ROWS_SCHEMA = pa.schema(
+    [
+        ("group_key", pa.string()),
+        ("value", pa.float64()),
+        ("nodata", pa.bool_()),
+    ]
+)
+
+
+def rows_batch(
+    batch: pa.Table,
+    value_col: str,
+    *,
+    group_col: str = "group_value",
+    fid_col: str = "zone_fid",
+    nodata: float | None = None,
+) -> pa.Table:
+    """Joined rows → slim (group_key, value, nodata) rows: the single-pass
+    projection that feeds BOTH the partial aggregate and the percentile
+    shuffle (join runs once; wide page columns dropped here)."""
+    if fid_col in batch.column_names:
+        batch = batch.filter(pa.compute.not_equal(batch[fid_col], -1))
+    if len(batch) == 0:
+        return ROWS_SCHEMA.empty_table()
+    keys = encode_group_key(batch[group_col])
+    values = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "group_key": pa.array(keys.tolist(), pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "nodata": pa.array(nodata_mask(values, nodata)),
+        },
+        schema=ROWS_SCHEMA,
+    )
+
+
+def partials_from_rows(batch: pa.Table) -> pa.Table:
+    """Slim rows → partials (same output as partial_stats_batch)."""
+    if len(batch) == 0:
+        return PARTIAL_SCHEMA.empty_table()
+    keys = np.asarray(batch["group_key"].to_pylist(), dtype=object)
+    values = batch["value"].to_numpy(zero_copy_only=False)
+    nd = batch["nodata"].to_numpy(zero_copy_only=False)
+    return _grouped_partials_masked(keys, values, nd)
+
+
+def values_from_rows(batch: pa.Table) -> pa.Table:
+    """Slim rows → (group_key, value float32) valid-value rows."""
+    m = pa.compute.invert(batch["nodata"])
+    b = batch.filter(m)
+    return pa.table(
+        {
+            "group_key": b["group_key"],
+            "value": pa.compute.cast(b["value"], pa.float32()),
+        }
+    )
+
+
+def _grouped_partials_masked(
+    keys: np.ndarray, values: np.ndarray, nd: np.ndarray
+) -> pa.Table:
+    uniq, codes = np.unique(keys, return_inverse=True)
+    k = len(uniq)
+    count = np.bincount(codes, minlength=k).astype(np.int64)
+    nodata_count = np.bincount(codes, weights=nd, minlength=k).astype(np.int64)
+    valid = ~nd
+    vcodes = codes[valid]
+    vvals = values[valid].astype(np.float64)
+    s = np.bincount(vcodes, weights=vvals, minlength=k)
+    ssq = np.bincount(vcodes, weights=vvals * vvals, minlength=k)
+    mn = np.full(k, np.inf)
+    mx = np.full(k, -np.inf)
+    np.minimum.at(mn, vcodes, vvals)
+    np.maximum.at(mx, vcodes, vvals)
+    mn[np.isinf(mn)] = np.nan
+    mx[np.isinf(mx)] = np.nan
+    return pa.table(
+        {
+            "group_key": pa.array(uniq.tolist(), pa.string()),
+            "count": pa.array(count),
+            "nodata_count": pa.array(nodata_count),
+            "sum": pa.array(s),
+            "sumsq": pa.array(ssq),
+            "min": pa.array(mn),
+            "max": pa.array(mx),
+        },
+        schema=PARTIAL_SCHEMA,
+    )
 
 
 def values_batch(
