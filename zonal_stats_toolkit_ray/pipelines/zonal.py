@@ -32,8 +32,11 @@ from ..stages.join import SpatialJoiner
 
 
 def _all_group_keys(zs: ZoneSet) -> list[str]:
+    from ..functions.scalars import _KEY_PREFIX
+
     return [
-        GROUP_KEY_NULL if g is None else "\x00" + str(g) for g in zs.unique_groups
+        GROUP_KEY_NULL if g is None else _KEY_PREFIX + str(g)
+        for g in zs.unique_groups
     ]
 
 
@@ -43,29 +46,52 @@ def join_points(
     *,
     cell_res: int = 12,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 32768,
+    batch_size: int | None = None,
     shortcut_res: int | None = 7,
     geocode: bool = True,
+    use_actors: bool = False,
 ):
     """pages/points Dataset → joined Dataset with zone_fid + group_value.
 
     ``zones`` may be a ZoneSet / Arrow table / ray.ObjectRef (broadcast once
-    with ``ray.put`` for multi-stage reuse)."""
-    from ..state.resources import default_pool_size
+    with ``ray.put`` for multi-stage reuse).
 
-    if concurrency is None:
-        concurrency = default_pool_size()
+    ``use_actors=False`` (default) runs the join as stateless tasks on
+    Ray's persistent shared workers with a per-process ZoneSet cache —
+    same once-per-process index build as an actor pool, none of the
+    process-spawn cost (significant in this sandbox: fresh Python
+    processes page-fault their imports at ~75 MB/s).  Set True for huge
+    zone indexes that need dedicated actor sizing.
+
+    ``batch_size=None`` (default) keeps block-sized batches: an explicit
+    batch size larger than the *input* rows-per-block would coalesce many
+    blocks into one task, collapsing the stage to a single worker
+    (observed: a 64-block input ran as ONE 11-second task with
+    batch_size=32768)."""
+    from ..stages.join import spatial_join_batch
+
     if geocode:
         ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
     ds = ds.map_batches(
         cell_encode_batch, batch_format="pyarrow", fn_kwargs={"res": cell_res}
     )
+    if use_actors:
+        from ..state.resources import default_pool_size
+
+        if concurrency is None:
+            concurrency = default_pool_size()
+        return ds.map_batches(
+            SpatialJoiner,
+            fn_constructor_kwargs={"zones": zones, "shortcut_res": shortcut_res},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
-        SpatialJoiner,
-        fn_constructor_kwargs={"zones": zones, "shortcut_res": shortcut_res},
+        spatial_join_batch,
+        fn_kwargs={"zones": zones, "shortcut_res": shortcut_res},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
 
 
@@ -141,41 +167,35 @@ def _fid_keys(fids: np.ndarray) -> np.ndarray:
     return np.char.zfill(fids.astype("U12"), 12).astype(object)
 
 
-class TileFidPartials:
-    """Actor stage: raster tiles → per-(tile, FID) partial aggregates.
+def tile_fid_partials_batch(batch: pa.Table, zones, grid: GridSpec) -> pa.Table:
+    """Stateless-task stage: raster tiles → per-(tile, FID) partial
+    aggregates.  Pixel centers are assigned to zones with the same PIP
+    semantics as the reference's FID burn; partials are keyed by FID (not
+    group) because the Q4 fallback and the rollup's min/max-merge condition
+    operate per FID (``runner.py:848-889``).  The zones ObjectRef resolves
+    through the per-worker-process cache (see stages/join.py)."""
+    from ..sources.raster import tile_window
+    from ..stages.join import _cached_zoneset
 
-    Pixel centers are assigned to zones with the same PIP semantics as the
-    reference's FID burn; partials are keyed by FID (not group) because the
-    Q4 fallback and the rollup's min/max-merge condition operate per FID
-    (``runner.py:848-889``)."""
-
-    def __init__(self, zones, grid: GridSpec):
-        from ..stages.join import _resolve_zones
-
-        self.zs = _resolve_zones(zones)
-        self.grid = grid
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.raster import tile_window
-
-        out = []
-        txs = batch["tile_x"].to_numpy()
-        tys = batch["tile_y"].to_numpy()
-        flat, offs = _list_col_buffers(batch["values"])
-        for i in range(len(batch)):
-            col0, row0, ncols, nrows = tile_window(self.grid, int(txs[i]), int(tys[i]))
-            v = flat[offs[i] : offs[i + 1]]
-            gx, gy = self.grid.pixel_centers(col0, row0, ncols, nrows)
-            fids = self.zs.assign_points(gx.ravel(), gy.ravel())
-            m = fids != -1
-            if not m.any():
-                continue
-            keys = _fid_keys(fids[m])
-            t = Z.grouped_partials(keys, v.astype(np.float64)[m], self.grid.nodata)
-            out.append(t)
-        if not out:
-            return Z.PARTIAL_SCHEMA.empty_table()
-        return pa.concat_tables(out)
+    zs = _cached_zoneset(zones)
+    out = []
+    txs = batch["tile_x"].to_numpy()
+    tys = batch["tile_y"].to_numpy()
+    flat, offs = _list_col_buffers(batch["values"])
+    for i in range(len(batch)):
+        col0, row0, ncols, nrows = tile_window(grid, int(txs[i]), int(tys[i]))
+        v = flat[offs[i] : offs[i + 1]]
+        gx, gy = grid.pixel_centers(col0, row0, ncols, nrows)
+        fids = zs.assign_points(gx.ravel(), gy.ravel())
+        m = fids != -1
+        if not m.any():
+            continue
+        keys = _fid_keys(fids[m])
+        t = Z.grouped_partials(keys, v.astype(np.float64)[m], grid.nodata)
+        out.append(t)
+    if not out:
+        return Z.PARTIAL_SCHEMA.empty_table()
+    return pa.concat_tables(out)
 
 
 class TileFidPixels:
@@ -188,38 +208,48 @@ class TileFidPixels:
 
     def __init__(self, zones, grid: GridSpec):
         from ..stages.join import _resolve_zones
+        from ..state.resources import prefault
 
+        prefault()
         self.zs = _resolve_zones(zones)
         self.grid = grid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.raster import tile_window
+        return tile_fid_pixels_batch(batch, self.zs, self.grid)
 
-        keys_out, vals_out, nd_out = [], [], []
-        txs = batch["tile_x"].to_numpy()
-        tys = batch["tile_y"].to_numpy()
-        flat, offs = _list_col_buffers(batch["values"])
-        for i in range(len(batch)):
-            col0, row0, ncols, nrows = tile_window(self.grid, int(txs[i]), int(tys[i]))
-            v = flat[offs[i] : offs[i + 1]]
-            gx, gy = self.grid.pixel_centers(col0, row0, ncols, nrows)
-            fids = self.zs.assign_points(gx.ravel(), gy.ravel())
-            m = fids != -1
-            if not m.any():
-                continue
-            keys_out.append(_fid_keys(fids[m]))
-            vals_out.append(v[m].astype(np.float64))
-            nd_out.append(Z.nodata_mask(v[m], self.grid.nodata))
-        if not keys_out:
-            return Z.ROWS_SCHEMA.empty_table()
-        return pa.table(
-            {
-                "group_key": pa.array(np.concatenate(keys_out).tolist(), pa.string()),
-                "value": pa.array(np.concatenate(vals_out), pa.float64()),
-                "nodata": pa.array(np.concatenate(nd_out)),
-            },
-            schema=Z.ROWS_SCHEMA,
-        )
+
+def tile_fid_pixels_batch(batch: pa.Table, zones, grid: GridSpec) -> pa.Table:
+    """Stateless-task stage: raster tiles → slim (fid_key, value, nodata)
+    pixel rows (single PIP pass feeding both partials and percentiles)."""
+    from ..sources.raster import tile_window
+    from ..stages.join import _cached_zoneset
+
+    zs = _cached_zoneset(zones)
+    keys_out, vals_out, nd_out = [], [], []
+    txs = batch["tile_x"].to_numpy()
+    tys = batch["tile_y"].to_numpy()
+    flat, offs = _list_col_buffers(batch["values"])
+    for i in range(len(batch)):
+        col0, row0, ncols, nrows = tile_window(grid, int(txs[i]), int(tys[i]))
+        v = flat[offs[i] : offs[i + 1]]
+        gx, gy = grid.pixel_centers(col0, row0, ncols, nrows)
+        fids = zs.assign_points(gx.ravel(), gy.ravel())
+        m = fids != -1
+        if not m.any():
+            continue
+        keys_out.append(_fid_keys(fids[m]))
+        vals_out.append(v[m].astype(np.float64))
+        nd_out.append(Z.nodata_mask(v[m], grid.nodata))
+    if not keys_out:
+        return Z.ROWS_SCHEMA.empty_table()
+    return pa.table(
+        {
+            "group_key": pa.array(np.concatenate(keys_out).tolist(), pa.string()),
+            "value": pa.array(np.concatenate(vals_out), pa.float64()),
+            "nodata": pa.array(np.concatenate(nd_out)),
+        },
+        schema=Z.ROWS_SCHEMA,
+    )
 
 
 def _fetch_windows(tiles_ds, grid: GridSpec, windows: list[tuple[int, int, int, int]]):
@@ -334,18 +364,16 @@ def zonal_stats_raster(
     pixels = None
     if plist:
         pixels = tiles_ds.map_batches(
-            TileFidPixels,
-            fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
+            tile_fid_pixels_batch,
+            fn_kwargs={"zones": zones_arg, "grid": grid},
             batch_format="pyarrow",
-            concurrency=concurrency,
         ).materialize()
         partials = pixels.map_batches(Z.partials_from_rows, batch_format="pyarrow")
     else:
         partials = tiles_ds.map_batches(
-            TileFidPartials,
-            fn_constructor_kwargs={"zones": zones_arg, "grid": grid},
+            tile_fid_partials_batch,
+            fn_kwargs={"zones": zones_arg, "grid": grid},
             batch_format="pyarrow",
-            concurrency=concurrency,
         )
     merged = Z.reduce_partials(partials)
 
@@ -365,20 +393,31 @@ def zonal_stats_raster(
     fid_value_chunks: dict[int, list[np.ndarray]] | None = None
     if plist:
         values_ds = pixels.map_batches(Z.values_from_rows, batch_format="pyarrow")
+        if pixels.count() <= 2_000_000:
+            # small: stream to the driver (a distributed shuffle's fixed
+            # cost dwarfs the data here)
+            vdf = values_ds.to_pandas()
+            fid_value_chunks = {
+                int(k): [g["value"].to_numpy(dtype=np.float32)]
+                for k, g in vdf.groupby("group_key", sort=False)
+            }
+        else:
 
-        def collect(g: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "group_key": [g["group_key"].iloc[0]],
-                    "vals": [g["value"].to_numpy(dtype=np.float32)],
-                }
+            def collect(g: pd.DataFrame) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "group_key": [g["group_key"].iloc[0]],
+                        "vals": [g["value"].to_numpy(dtype=np.float32)],
+                    }
+                )
+
+            res = values_ds.groupby("group_key").map_groups(
+                collect, batch_format="pandas"
             )
-
-        res = values_ds.groupby("group_key").map_groups(collect, batch_format="pandas")
-        fid_value_chunks = {
-            int(r["group_key"]): [np.asarray(r["vals"], dtype=np.float32)]
-            for r in res.to_pandas().to_dict("records")
-        }
+            fid_value_chunks = {
+                int(r["group_key"]): [np.asarray(r["vals"], dtype=np.float32)]
+                for r in res.to_pandas().to_dict("records")
+            }
 
     # --- quirk-Q4 bbox-window fallback for zero-pixel FIDs
     #     (runner.py:697-811: whole envelope window, unmasked by geometry,

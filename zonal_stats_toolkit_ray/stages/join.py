@@ -45,9 +45,106 @@ def _resolve_zones(zones) -> ZoneSet:
     raise TypeError(f"cannot build ZoneSet from {type(zones)}")
 
 
+# Per-worker-process ZoneSet cache for the stateless-task join path: a Ray
+# task worker is a long-lived process reused across tasks and datasets, so
+# the broadcast zones are fetched + indexed once per process — the same
+# amortization an actor pool gives, WITHOUT spawning fresh processes (in
+# this sandbox a new Python process pays seconds of slow page-fault
+# imports, so per-run actor pools dominated small-job wall time).
+_ZS_CACHE: dict = {}
+
+
+def _cached_zoneset(zones) -> ZoneSet:
+    try:
+        import ray
+
+        if isinstance(zones, ray.ObjectRef):
+            key = zones.hex()
+            zs = _ZS_CACHE.get(key)
+            if zs is None:
+                zs = _resolve_zones(zones)
+                _ZS_CACHE.clear()  # one live zones table per worker is typical
+                _ZS_CACHE[key] = zs
+            return zs
+    except ImportError:
+        pass
+    return _resolve_zones(zones)
+
+
+def _join_batch(
+    batch: pa.Table,
+    zs: ZoneSet,
+    *,
+    lon_col: str,
+    lat_col: str,
+    cell_col: str | None,
+    shortcut_res: int | None,
+    drop_unassigned: bool,
+    cell_cache_enabled: bool,
+) -> pa.Table:
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    fids = None
+    if shortcut_res is not None and cell_col is not None and (
+        cell_col in batch.column_names
+    ):
+        cells = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(cells) and int(cellid.get_resolution(cells).min()) < shortcut_res:
+            coarse = None  # cells coarser than the shortcut res: no-op
+        else:
+            coarse = cellid.cell_to_parent(cells, shortcut_res)
+        # the per-cell dictionary path only pays when points CLUSTER (few
+        # distinct coarse cells, amortized across the worker's lifetime);
+        # scattered points would turn it into a per-point Python loop, so
+        # fall through to the vectorized tree query
+        if (
+            cell_cache_enabled
+            and coarse is not None
+            and np.unique(coarse).size <= 0.25 * coarse.size
+        ):
+            fids = zs.assign_points_cached(lon, lat, coarse)
+    if fids is None:
+        fids = zs.assign_points(lon, lat)
+    batch = batch.append_column("zone_fid", pa.array(fids, pa.int64()))
+    batch = batch.append_column("group_value", zs.groups_for_fids(fids))
+    if drop_unassigned:
+        batch = batch.filter(pa.compute.not_equal(batch["zone_fid"], -1))
+    return batch
+
+
+def spatial_join_batch(
+    batch: pa.Table,
+    zones,
+    *,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    cell_col: str | None = "cell_id",
+    shortcut_res: int | None = 7,
+    drop_unassigned: bool = False,
+) -> pa.Table:
+    """Stateless-task spatial join (default path): pass with
+    ``ds.map_batches(spatial_join_batch, fn_kwargs=dict(zones=ref))``.
+    The zones ObjectRef resolves through a per-worker-process cache, so the
+    R-tree builds once per worker, and the stage runs on Ray's persistent
+    shared task workers (no actor-pool process spin-up)."""
+    zs = _cached_zoneset(zones)
+    return _join_batch(
+        batch,
+        zs,
+        lon_col=lon_col,
+        lat_col=lat_col,
+        cell_col=cell_col,
+        shortcut_res=shortcut_res,
+        drop_unassigned=drop_unassigned,
+        cell_cache_enabled=True,
+    )
+
+
 class SpatialJoiner:
-    """map_batches actor: adds ``zone_fid`` (int64, -1 = unassigned) and
-    ``group_value`` (nullable string) columns.
+    """map_batches ACTOR variant of the join: identical semantics to
+    :func:`spatial_join_batch`, for deployments where the zone index is
+    large enough that dedicated, individually-sized actor processes
+    (``num_cpus``/memory per actor) are worth their spawn cost.
 
     Pass to ``ds.map_batches(SpatialJoiner, fn_constructor_kwargs=dict(
     zones=ref), concurrency=N, batch_format="pyarrow")``.
@@ -63,6 +160,9 @@ class SpatialJoiner:
         shortcut_res: int | None = 7,
         drop_unassigned: bool = False,
     ):
+        from ..state.resources import prefault
+
+        prefault()
         self.zs = _resolve_zones(zones)
         self.lon_col = lon_col
         self.lat_col = lat_col
@@ -71,21 +171,16 @@ class SpatialJoiner:
         self.drop_unassigned = drop_unassigned
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
-        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        if self.shortcut_res is not None and self.cell_col is not None and (
-            self.cell_col in batch.column_names
-        ):
-            cells = batch[self.cell_col].to_numpy(zero_copy_only=False)
-            coarse = cellid.cell_to_parent(cells.astype(np.uint64), self.shortcut_res)
-            fids = self.zs.assign_points_cached(lon, lat, coarse)
-        else:
-            fids = self.zs.assign_points(lon, lat)
-        batch = batch.append_column("zone_fid", pa.array(fids, pa.int64()))
-        batch = batch.append_column("group_value", self.zs.groups_for_fids(fids))
-        if self.drop_unassigned:
-            batch = batch.filter(pa.compute.not_equal(batch["zone_fid"], -1))
-        return batch
+        return _join_batch(
+            batch,
+            self.zs,
+            lon_col=self.lon_col,
+            lat_col=self.lat_col,
+            cell_col=self.cell_col,
+            shortcut_res=self.shortcut_res,
+            drop_unassigned=self.drop_unassigned,
+            cell_cache_enabled=True,
+        )
 
 
 class ZoneKNN:

@@ -174,34 +174,68 @@ def finalize_group_stats(
 # ---------------------------------------------------------------------------
 
 def reduce_partials(partials_ds) -> pd.DataFrame:
-    """Distributed final merge of the (tiny) partials dataset: groupby over
-    O(#groups × #blocks) rows, then the small merged frame comes to the
-    driver."""
-    merged = partials_ds.groupby("group_key").map_groups(
-        merge_partials_df, batch_format="pandas"
+    """Final merge of the partials dataset (O(#groups × #blocks) rows —
+    orders of magnitude smaller than the data).
+
+    The partials stream to the driver and merge in one vectorized pandas
+    groupby: a distributed ``groupby().map_groups`` here would pay a full
+    sort-shuffle's fixed cost (~seconds) to merge kilobytes.  If the
+    partial count is ever large (millions of blocks × many groups), the
+    same frame can be pre-combined by feeding partials through a second
+    ``map_batches(partials_from_partials)`` tree before collection."""
+    df = partials_ds.to_pandas()
+    if len(df) == 0:
+        return df
+    return (
+        df.groupby("group_key", sort=False)
+        .agg(
+            count=("count", "sum"),
+            nodata_count=("nodata_count", "sum"),
+            sum=("sum", "sum"),
+            sumsq=("sumsq", "sum"),
+            min=("min", "min"),
+            max=("max", "max"),
+        )
+        .reset_index()
     )
-    return merged.to_pandas()
 
 
-def group_percentiles_ds(values_ds, plist: list[float]) -> dict[str, list[float]]:
-    """Exact grouped percentiles: shuffle raw (group_key, value) rows, one
-    ``np.percentile`` per group (linear interpolation — matches
-    ``runner.py:891-904`` bit-for-bit on float32-downcast chunks).
+def group_percentiles_ds(
+    values_ds, plist: list[float], *, driver_threshold: int = 2_000_000
+) -> dict[str, list[float]]:
+    """Exact grouped percentiles over (group_key, value) rows with
+    ``np.percentile`` (linear interpolation — matches ``runner.py:891-904``
+    bit-for-bit on float32-downcast values).
 
-    Memory note (documented tradeoff, SURVEY §7.3): each group's values
-    must fit in one worker — the scale path is to cap percentile groups or
-    switch to a mergeable sketch; the reference instead holds ALL groups'
-    values in a single process (``runner.py:502-508``), so this is strictly
-    more scalable.
+    Adaptive execution: below ``driver_threshold`` rows the values stream
+    to the driver (a distributed sort-shuffle costs seconds of fixed
+    overhead to move kilobytes); above it, a ``groupby().map_groups``
+    shuffle keys the raw values by group so each group's bag lands on one
+    worker.  Memory note (documented tradeoff, SURVEY §7.3): each GROUP's
+    values must fit in one worker — the scale path caps percentile groups
+    or switches to a mergeable sketch; the reference instead holds ALL
+    groups' values in a single process (``runner.py:502-508``), so this is
+    strictly more scalable.
     """
     plist = sorted(set(float(p) for p in plist))
+    try:
+        n = values_ds.count()
+    except Exception:
+        n = None
+    if n is not None and n <= driver_threshold:
+        df = values_ds.to_pandas()
+        out: dict[str, list[float]] = {}
+        for key, g in df.groupby("group_key", sort=False):
+            vals = g["value"].to_numpy(dtype=np.float32)
+            out[key] = list(np.percentile(vals, plist)) if vals.size else [None] * len(plist)
+        return out
 
     def pcts(g: pd.DataFrame) -> pd.DataFrame:
         # reference downcasts chunks to float32 before concatenating
         vals = g["value"].to_numpy(dtype=np.float32)
-        out = np.percentile(vals, plist) if vals.size else [None] * len(plist)
+        res = np.percentile(vals, plist) if vals.size else [None] * len(plist)
         return pd.DataFrame(
-            {"group_key": [g["group_key"].iloc[0]], "pcts": [list(out)]}
+            {"group_key": [g["group_key"].iloc[0]], "pcts": [list(res)]}
         )
 
     res = values_ds.groupby("group_key").map_groups(pcts, batch_format="pandas")

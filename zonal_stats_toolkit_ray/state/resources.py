@@ -10,6 +10,22 @@ stateless operators.
 from __future__ import annotations
 
 
+def prefault(mb: int = 64) -> None:
+    """Pre-fault worker heap pages.
+
+    This sandbox kernel zero-fills fresh pages at ~75 MB/s, so the FIRST
+    large NumPy allocation in a new worker/actor process costs seconds.
+    Touching (and freeing) a scratch buffer once in ``__init__`` moves that
+    cost out of the first data batch; combined with high malloc trim/mmap
+    thresholds (set in bench.py) the faulted pages stay in the arena and
+    every later allocation reuses them."""
+    import numpy as np
+
+    scratch = np.empty(mb * 1024 * 1024 // 8, dtype=np.int64)
+    scratch[:: 512] = 1  # touch every page
+    del scratch
+
+
 def default_pool_size(reserve: int = 2, cap: int | None = None) -> int:
     """Actor-pool concurrency: cluster CPUs minus ``reserve``, at least 1."""
     try:
