@@ -127,10 +127,13 @@ def bench_dedup_exact(sf_dir: str, replicate: int = REPLICATE) -> dict:
     from zonal_stats_toolkit_ray.stages.dedup import exact_dedup
 
     t0 = time.perf_counter()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
     ds = ds.map_batches(
         _replicate_batch_docs, batch_format="pyarrow", fn_kwargs={"k": replicate}
-    ).repartition(32)
+    )
     out = exact_dedup(ds)
     n = out.count()
     return {"sec": time.perf_counter() - t0, "unique": n}
@@ -180,10 +183,13 @@ def bench_token_stats(sf_dir: str, replicate: int = REPLICATE) -> dict:
     from zonal_stats_toolkit_ray.stages.text import quality_score_batch, token_stats_batch
 
     t0 = time.perf_counter()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
     ds = ds.map_batches(
         _replicate_batch_docs, batch_format="pyarrow", fn_kwargs={"k": replicate}
-    ).repartition(32)
+    )
     out = (
         ds.map_batches(token_stats_batch, batch_format="pyarrow")
         .map_batches(quality_score_batch, batch_format="pyarrow")

@@ -36,43 +36,58 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
-class BruteTopK:
-    """map_batches stage: per-batch exact cosine top-k against the broadcast
-    query matrix.  Emits (query_id, vec_id, score) local-top-k rows."""
+# per-worker-process cache of broadcast query/centroid payloads (same
+# rationale as the join's zone cache: long-lived task workers, one fetch)
+_REF_CACHE: dict = {}
 
-    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
-        try:
-            import ray
 
-            if isinstance(queries_ref, ray.ObjectRef):
-                queries_ref = ray.get(queries_ref)
-        except ImportError:
-            pass
-        self.qids = np.asarray(queries_ref["query_id"], dtype=np.int64)
-        self.q = _normalize(np.asarray(queries_ref["matrix"], dtype=np.float64))
-        self.k = int(k)
-        self.id_col = id_col
-        self.vec_col = vec_col
+def _cached_ref(obj):
+    try:
+        import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_stack_vectors(batch[self.vec_col]))
-        scores = m @ self.q.T  # (n, nq)
-        k = min(self.k, m.shape[0])
-        out_q, out_id, out_s = [], [], []
-        for qi in range(self.q.shape[0]):
-            s = scores[:, qi]
-            top = np.argpartition(-s, k - 1)[:k] if k < s.size else np.arange(s.size)
-            out_q.append(np.full(top.size, self.qids[qi], dtype=np.int64))
-            out_id.append(ids[top])
-            out_s.append(s[top])
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(out_q)),
-                self.id_col: pa.array(np.concatenate(out_id)),
-                "score": pa.array(np.concatenate(out_s), pa.float64()),
-            }
-        )
+        if isinstance(obj, ray.ObjectRef):
+            key = obj.hex()
+            if key not in _REF_CACHE:
+                if len(_REF_CACHE) > 8:
+                    _REF_CACHE.clear()
+                _REF_CACHE[key] = ray.get(obj)
+            return _REF_CACHE[key]
+    except ImportError:
+        pass
+    return obj
+
+
+def brute_topk_batch(
+    batch: pa.Table,
+    queries_ref,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Stateless map_batches stage: per-batch exact cosine top-k against the
+    broadcast query matrix.  Emits (query_id, vec_id, score) local-top-k
+    rows — the driver merges #blocks × k rows, never the corpus."""
+    queries = _cached_ref(queries_ref)
+    qids = np.asarray(queries["query_id"], dtype=np.int64)
+    q = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    m = _normalize(_stack_vectors(batch[vec_col]))
+    scores = m @ q.T  # (n, nq)
+    k = min(int(k), m.shape[0])
+    out_q, out_id, out_s = [], [], []
+    for qi in range(q.shape[0]):
+        s = scores[:, qi]
+        top = np.argpartition(-s, k - 1)[:k] if k < s.size else np.arange(s.size)
+        out_q.append(np.full(top.size, qids[qi], dtype=np.int64))
+        out_id.append(ids[top])
+        out_s.append(s[top])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
 
 
 def knn_brute(
@@ -98,10 +113,9 @@ def knn_brute(
         except ImportError:
             pass
     local = ds.map_batches(
-        BruteTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
+        brute_topk_batch,
+        fn_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=2,
     ).to_pandas()
     out = []
     for qid, g in local.groupby("query_id"):
@@ -136,25 +150,13 @@ def train_centroids(sample: np.ndarray, nlist: int, seed: int = 42, iters: int =
     return cent
 
 
-class IVFAssign:
-    """map_batches stage: adds ``ivf_list`` (nearest-centroid id) — the
-    partition key that co-locates similar vectors."""
-
-    def __init__(self, centroids_ref, vec_col: str = "embedding"):
-        try:
-            import ray
-
-            if isinstance(centroids_ref, ray.ObjectRef):
-                centroids_ref = ray.get(centroids_ref)
-        except ImportError:
-            pass
-        self.cent = np.asarray(centroids_ref, dtype=np.float64)
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_stack_vectors(batch[self.vec_col]))
-        assign = np.argmax(m @ self.cent.T, axis=1).astype(np.int32)
-        return batch.append_column("ivf_list", pa.array(assign, pa.int32()))
+def ivf_assign_batch(batch: pa.Table, centroids_ref, vec_col: str = "embedding") -> pa.Table:
+    """Stateless map_batches stage: adds ``ivf_list`` (nearest-centroid id)
+    — the partition key that co-locates similar vectors."""
+    cent = np.asarray(_cached_ref(centroids_ref), dtype=np.float64)
+    m = _normalize(_stack_vectors(batch[vec_col]))
+    assign = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+    return batch.append_column("ivf_list", pa.array(assign, pa.int32()))
 
 
 def knn_ivf(
@@ -181,10 +183,9 @@ def knn_ivf(
     except ImportError:
         cent_ref = cent
     assigned = ds.map_batches(
-        IVFAssign,
-        fn_constructor_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        ivf_assign_batch,
+        fn_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
         batch_format="pyarrow",
-        concurrency=2,
     )
     qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
     qids = np.asarray(queries["query_id"], dtype=np.int64)

@@ -56,20 +56,20 @@ def windowed_aggregate(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     p = ds.map_batches(partials, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g["key"].iloc[0]],
-                "window_start": [g["w"].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "sum_value": [float(g["sum_value"].sum())],
-                "min_value": [float(g["min_value"].min())],
-                "max_value": [float(g["max_value"].max())],
-            }
+    # final merge of the tiny partials frame on the driver (one row per
+    # (key, window, block) — a distributed shuffle's fixed cost dwarfs it)
+    pdf = p.to_pandas()
+    out = (
+        pdf.groupby(["key", "w"], sort=False)
+        .agg(
+            n_events=("n_events", "sum"),
+            sum_value=("sum_value", "sum"),
+            min_value=("min_value", "min"),
+            max_value=("max_value", "max"),
         )
-
-    out = p.groupby(["key", "w"]).map_groups(merge, batch_format="pandas").to_pandas()
+        .reset_index()
+        .rename(columns={"key": key_col, "w": "window_start"})
+    )
     return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
 
 
