@@ -285,12 +285,17 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
 
 def _scaling():
     here = os.path.dirname(os.path.abspath(__file__))
+    # a bigger corpus for the scaling measurement: fixed overheads (worker
+    # startup, first-touch page faults) must be small vs compute so the
+    # ratio reflects the pipeline, not the sandbox
+    scale_rep = os.environ.get("GRAFT_SCALING_REPLICATE", "400")
 
     def run(ncpu: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ONLY="zonal_pages",
+            GRAFT_REPLICATE=scale_rep,
         )
         out = subprocess.run(
             [sys.executable, os.path.join(here, "bench.py")],
@@ -305,7 +310,7 @@ def _scaling():
     import pyarrow.parquet as pq
 
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    rows = n_docs * REPLICATE
+    rows = n_docs * int(scale_rep)
     r8 = run(8)
     r32 = run(32)
     t8 = r8["queries"]["zonal_pages"]
