@@ -23,52 +23,113 @@ _TOKEN_RE = r"\S+"
 _BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+"
 
 
-def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def token_stats_batch(
+    batch: pa.Table, text_col: str = "text", include_bpe: bool = True
+) -> pa.Table:
     """Adds n_chars, n_tokens (whitespace runs), n_bpe_tokens, n_punct.
+
+    n_chars/n_tokens/n_punct come from the vectorized byte-class kernels
+    (exactly equivalent to the regex classes — see ``text_class_counts``);
+    the BPE-ish tokenizer count stays an RE2 scan (pyarrow kernel).
 
     Oracle equivalence (DuckDB): ``length(text)``,
     ``len(regexp_extract_all(text, '\\S+'))``,
     ``len(regexp_extract_all(text, '[.,!?;:]'))``.
     """
     t = batch[text_col]
-    batch = batch.append_column(
-        "n_chars", pc.cast(pc.utf8_length(t), pa.int64())
-    )
-    batch = batch.append_column(
-        "n_tokens", pc.cast(pc.count_substring_regex(t, _TOKEN_RE), pa.int64())
-    )
-    batch = batch.append_column(
-        "n_bpe_tokens", pc.cast(pc.count_substring_regex(t, _BPE_RE), pa.int64())
-    )
-    batch = batch.append_column(
-        "n_punct", pc.cast(pc.count_substring_regex(t, _PUNCT_RE), pa.int64())
-    )
-    return batch
+    c = text_class_counts(t)
+    batch = batch.append_column("n_chars", pa.array(c["n_chars"], pa.int64()))
+    batch = batch.append_column("n_tokens", pa.array(c["n_tokens"], pa.int64()))
+    if include_bpe:
+        batch = batch.append_column(
+            "n_bpe_tokens",
+            pc.cast(pc.count_substring_regex(t, _BPE_RE), pa.int64()),
+        )
+    return batch.append_column("n_punct", pa.array(c["n_punct"], pa.int64()))
+
+
+# --- byte-class lookup tables for the vectorized text kernels -------------
+# Unicode whitespace outside ASCII can't collide with these byte classes
+# (UTF-8 continuation/lead bytes are >= 0x80), so byte-level counting is
+# EXACTLY equivalent to the RE2 character classes used by the oracle SQL:
+#   [A-Za-z]  → ASCII letter bytes
+#   [.,!?;:]  → those ASCII bytes
+#   \s (RE2)  → [\t\n\x0b\x0c\r ] ASCII whitespace bytes
+#   utf8_length → count of non-continuation bytes ((b & 0xC0) != 0x80)
+_ALPHA_TAB = np.zeros(256, dtype=np.uint8)
+_ALPHA_TAB[ord("A") : ord("Z") + 1] = 1
+_ALPHA_TAB[ord("a") : ord("z") + 1] = 1
+_PUNCT_TAB = np.zeros(256, dtype=np.uint8)
+for _c in b".,!?;:":
+    _PUNCT_TAB[_c] = 1
+_SPACE_TAB = np.zeros(256, dtype=np.uint8)
+for _c in b"\t\n\x0b\x0c\r ":
+    _SPACE_TAB[_c] = 1
+_CHAR_TAB = np.ones(256, dtype=np.uint8)
+_CHAR_TAB[0x80:0xC0] = 0  # UTF-8 continuation bytes don't start a character
+
+
+def _segment_sums(per_byte: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0], np.cumsum(per_byte, dtype=np.int64)])
+    base = starts[0] if len(starts) else 0
+    return cs[ends - base] - cs[starts - base]
+
+
+def text_class_counts(col) -> dict[str, np.ndarray]:
+    """Vectorized per-document counts straight off the Arrow byte buffer:
+    n_chars (UTF-8 chars), n_alpha, n_punct, n_tokens (\\S+ runs).  One
+    pass of table lookups + cumsums over the whole column — no regex, no
+    per-row Python."""
+    data, starts, ends = _byte_segments(col)
+    n = len(starts)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return {"n_chars": z, "n_alpha": z, "n_punct": z, "n_tokens": z}
+    base = int(starts[0])
+    seg = data[base : int(ends[-1])]
+    out = {
+        "n_chars": _segment_sums(_CHAR_TAB[seg], starts, ends),
+        "n_alpha": _segment_sums(_ALPHA_TAB[seg], starts, ends),
+        "n_punct": _segment_sums(_PUNCT_TAB[seg], starts, ends),
+    }
+    # token runs: positions where a non-space byte follows a space byte or
+    # a string start
+    nonspace = _SPACE_TAB[seg] == 0
+    prev = np.empty_like(nonspace)
+    prev[0] = False
+    prev[1:] = nonspace[:-1]
+    prev[starts - base] = False  # string boundary counts as whitespace
+    run_start = nonspace & ~prev
+    out["n_tokens"] = _segment_sums(run_start, starts, ends)
+    return out
 
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds alpha_ratio, punct_ratio, mean_token_len, quality_score — pure
-    double arithmetic over regex counts, replicated 1:1 in the oracle SQL so
-    results hash-match:
+    double arithmetic over character-class counts, replicated 1:1 in the
+    oracle SQL (regex classes there, equivalent byte tables here — see
+    ``text_class_counts``) so results hash-match:
 
         alpha_ratio     = n_alpha / (n_chars + 1)
         punct_ratio     = n_punct / (n_tokens + 1)
         mean_token_len  = n_chars / (n_tokens + 1)
         quality_score   = alpha_ratio * (1.0 - punct_ratio)
     """
-    t = batch[text_col]
-    n_chars = pc.cast(pc.utf8_length(t), pa.float64())
-    n_alpha = pc.cast(pc.count_substring_regex(t, r"[A-Za-z]"), pa.float64())
-    n_punct = pc.cast(pc.count_substring_regex(t, _PUNCT_RE), pa.float64())
-    n_tokens = pc.cast(pc.count_substring_regex(t, _TOKEN_RE), pa.float64())
-    alpha_ratio = pc.divide(n_alpha, pc.add(n_chars, 1.0))
-    punct_ratio = pc.divide(n_punct, pc.add(n_tokens, 1.0))
-    mean_token_len = pc.divide(n_chars, pc.add(n_tokens, 1.0))
-    quality = pc.multiply(alpha_ratio, pc.subtract(1.0, punct_ratio))
-    batch = batch.append_column("alpha_ratio", alpha_ratio)
-    batch = batch.append_column("punct_ratio", punct_ratio)
-    batch = batch.append_column("mean_token_len", mean_token_len)
-    return batch.append_column("quality_score", quality)
+    c = text_class_counts(batch[text_col])
+    n_chars = c["n_chars"].astype(np.float64)
+    n_alpha = c["n_alpha"].astype(np.float64)
+    n_punct = c["n_punct"].astype(np.float64)
+    n_tokens = c["n_tokens"].astype(np.float64)
+    alpha_ratio = n_alpha / (n_chars + 1.0)
+    punct_ratio = n_punct / (n_tokens + 1.0)
+    batch = batch.append_column("alpha_ratio", pa.array(alpha_ratio))
+    batch = batch.append_column("punct_ratio", pa.array(punct_ratio))
+    batch = batch.append_column(
+        "mean_token_len", pa.array(n_chars / (n_tokens + 1.0))
+    )
+    return batch.append_column(
+        "quality_score", pa.array(alpha_ratio * (1.0 - punct_ratio))
+    )
 
 
 class LangId:
