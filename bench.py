@@ -96,12 +96,21 @@ def bench_zonal_pages(sf_dir: str, replicate: int = REPLICATE) -> dict:
     ncpu = int(ray.cluster_resources().get("CPU", 8))
 
     t0 = time.perf_counter()
-    # no override_num_blocks here: the corpus is already many files, and a
-    # SplitBlocks stage would break read→map fusion, forcing the full text
-    # column through the object store between operators
+    # GRAFT_FUSE_READ=1 pins one block per input file so ReadParquet fuses
+    # with the downstream maps — the text column then never crosses the
+    # object store (less zero-fill pressure on this sandbox's kernel, at
+    # the cost of read/compute pipelining); default lets Ray split for
+    # pipelined reads
+    n_files = len([f for f in os.listdir(corpus) if f.endswith(".parquet")])
+    kw = (
+        {"override_num_blocks": n_files}
+        if os.environ.get("GRAFT_FUSE_READ") == "1"
+        else {}
+    )
     ds = rd.read_parquet(
         corpus,
         columns=["url", "text"],  # prune at the read: html/ts/lang unused
+        **kw,
     )
     scored = ds.map_batches(quality_score_batch, batch_format="pyarrow")
     # project to the join-relevant columns: the wide text payload never

@@ -216,40 +216,88 @@ class ZoneSet:
                 np.maximum.at(out, sel, np.int64(self.fid[j]))
         return out
 
+    def _classify_cell(self, cell: int) -> int:
+        """cell id → cached classification: -1 outside every zone, -2 on a
+        zone boundary (needs per-point PIP), else the single containing fid."""
+        from ..geom import cellid as _cellid
+
+        hit = self._cell_cache.get(cell)
+        if hit is None:
+            x0, y0, x1, y1 = (
+                float(v) for v in _cellid.cell_to_bbox(np.uint64(cell))
+            )
+            cand = self.tree.query_bbox(x0, y0, x1, y1)
+            if cand.size == 0:
+                hit = -1
+            elif cand.size == 1 and ring_contains_bbox(
+                self.ring_x[cand[0]], self.ring_y[cand[0]], x0, y0, x1, y1
+            ):
+                hit = int(self.fid[cand[0]])
+            else:
+                hit = -2  # boundary / multi-candidate cell
+            self._cell_cache[cell] = hit
+        return hit
+
     def assign_points_cached(
-        self, px: np.ndarray, py: np.ndarray, cells: np.ndarray
+        self,
+        px: np.ndarray,
+        py: np.ndarray,
+        cells: np.ndarray,
+        *,
+        fine_cells: np.ndarray | None = None,
+        refine_threshold: int = 512,
+        max_refine_res: int | None = None,
     ) -> np.ndarray:
-        """Like assign_points but with the interior-cell shortcut: points are
-        grouped by their (coarse) ``cells`` id; a cell whose bbox lies fully
-        inside exactly one candidate zone part resolves all its points with a
-        single cached dict hit (no per-point PIP).  The cache lives for the
-        actor's lifetime, so hot cells amortize across batches."""
+        """Like assign_points but with the interior-cell shortcut + hot-cell
+        RESOLUTION SPLITTING (north_rule skew handling):
+
+        * points grouped by their coarse ``cells`` id; a cell fully inside
+          exactly one zone resolves all its points with one cached dict hit;
+        * a BOUNDARY cell holding ≥ ``refine_threshold`` points (a hot,
+          dense cell) is split: its points are re-keyed at resolution+2 via
+          ``fine_cells`` and recursed, so most of the hot cell's interior
+          children become dictionary hits and only the true boundary sliver
+          pays per-point PIP;
+        * the cache lives for the worker's lifetime, so hot cells amortize
+          across batches."""
         from ..geom import cellid as _cellid
 
         out = np.full(px.shape, -1, dtype=np.int64)
         uniq, inv = np.unique(cells, return_inverse=True)
         todo_mask = np.zeros(px.shape, dtype=bool)
+        refine: list[np.ndarray] = []
+        cell_res = int(_cellid.get_resolution(np.uint64(uniq[0]))) if uniq.size else 0
+        fine_res = (
+            int(_cellid.get_resolution(np.uint64(fine_cells[0])))
+            if fine_cells is not None and len(fine_cells)
+            else cell_res
+        )
+        can_refine = fine_cells is not None and fine_res >= cell_res + 2 and (
+            max_refine_res is None or cell_res + 2 <= max_refine_res
+        )
         for ci, cell in enumerate(uniq.tolist()):
-            hit = self._cell_cache.get(cell)
-            if hit is None:
-                x0, y0, x1, y1 = (
-                    float(v) for v in _cellid.cell_to_bbox(np.uint64(cell))
-                )
-                cand = self.tree.query_bbox(x0, y0, x1, y1)
-                if cand.size == 0:
-                    hit = -1
-                elif cand.size == 1 and ring_contains_bbox(
-                    self.ring_x[cand[0]], self.ring_y[cand[0]], x0, y0, x1, y1
-                ):
-                    hit = int(self.fid[cand[0]])
-                else:
-                    hit = -2  # boundary cell: per-point PIP required
-                self._cell_cache[cell] = hit
+            hit = self._classify_cell(cell)
             m = inv == ci
             if hit == -2:
-                todo_mask |= m
+                if can_refine and int(m.sum()) >= refine_threshold:
+                    refine.append(np.flatnonzero(m))
+                else:
+                    todo_mask |= m
             else:
                 out[m] = hit
+        if refine:
+            idx = np.concatenate(refine)
+            sub_coarse = _cellid.cell_to_parent(
+                np.asarray(fine_cells, dtype=np.uint64)[idx], cell_res + 2
+            )
+            out[idx] = self.assign_points_cached(
+                px[idx],
+                py[idx],
+                sub_coarse,
+                fine_cells=np.asarray(fine_cells)[idx],
+                refine_threshold=refine_threshold,
+                max_refine_res=max_refine_res,
+            )
         if todo_mask.any():
             out[todo_mask] = self.assign_points(px[todo_mask], py[todo_mask])
         return out

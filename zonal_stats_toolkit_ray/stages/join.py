@@ -102,7 +102,7 @@ def _join_batch(
             and coarse is not None
             and np.unique(coarse).size <= 0.25 * coarse.size
         ):
-            fids = zs.assign_points_cached(lon, lat, coarse)
+            fids = zs.assign_points_cached(lon, lat, coarse, fine_cells=cells)
     if fids is None:
         fids = zs.assign_points(lon, lat)
     batch = batch.append_column("zone_fid", pa.array(fids, pa.int64()))

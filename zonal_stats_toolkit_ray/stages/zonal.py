@@ -332,6 +332,49 @@ def _grouped_partials_masked(
     )
 
 
+def salted_group_percentiles(
+    values_ds, plist: list[float], *, salt_buckets: int = 16
+) -> dict[str, list[float]]:
+    """Exact grouped percentiles with SALTED two-level shuffle — the skew
+    path for few-group workloads (SURVEY §4.2): with a handful of groups
+    over 10^12 rows, a plain ``groupby(group)`` lands each group's entire
+    value bag on one task.  Salting first shuffles ``(group, salt)`` so the
+    heavy collect/sort work fans out over ``salt_buckets`` tasks per group;
+    the second level merges the (pre-sorted, already-reduced) per-salt
+    chunks and takes the exact percentile.  Results are identical to the
+    unsalted path (np.percentile over the same multiset)."""
+    plist = sorted(set(float(p) for p in plist))
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return b.append_column(
+            "salt", pa.array((np.arange(n) % salt_buckets).astype(np.int32))
+        )
+
+    def collect_sorted(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float32))
+        return pd.DataFrame(
+            {
+                "group_key": [g["group_key"].iloc[0]],
+                "vals": [v.tobytes()],
+                "n": [v.size],
+            }
+        )
+
+    def merge_pct(g: pd.DataFrame) -> pd.DataFrame:
+        chunks = [np.frombuffer(b, dtype=np.float32) for b in g["vals"]]
+        vals = np.concatenate(chunks) if chunks else np.empty(0, np.float32)
+        res = np.percentile(vals, plist) if vals.size else [None] * len(plist)
+        return pd.DataFrame({"group_key": [g["group_key"].iloc[0]], "pcts": [list(res)]})
+
+    salted = values_ds.map_batches(add_salt, batch_format="pyarrow")
+    level1 = salted.groupby(["group_key", "salt"]).map_groups(
+        collect_sorted, batch_format="pandas"
+    )
+    level2 = level1.groupby("group_key").map_groups(merge_pct, batch_format="pandas")
+    return {r["group_key"]: r["pcts"] for r in level2.to_pandas().to_dict("records")}
+
+
 def values_batch(
     batch: pa.Table,
     value_col: str,
