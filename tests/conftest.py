@@ -26,3 +26,21 @@ def ray_session():
     ctx.enable_progress_bars = False
     yield
     ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def ray_entry_module(ray_session):
+    """__ray_entry__ loaded ONCE under its canonical module name (Ray
+    workers must be able to resolve functions pickled from it)."""
+    import importlib.util
+    import sys
+
+    if "__ray_entry__" in sys.modules:
+        return sys.modules["__ray_entry__"]
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__ray_entry__"] = mod
+    spec.loader.exec_module(mod)
+    return mod

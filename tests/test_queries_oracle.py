@@ -51,15 +51,8 @@ def duck():
 
 
 @pytest.fixture(scope="module")
-def entrymod(ray_session):
-    import importlib.util
-    import sys
-
-    spec = importlib.util.spec_from_file_location("__ray_entry__", "/root/repo/__ray_entry__.py")
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["__ray_entry__"] = mod
-    spec.loader.exec_module(mod)
-    return mod
+def entrymod(ray_entry_module):
+    return ray_entry_module
 
 
 def _oracle_pairs():

@@ -119,6 +119,18 @@ def zonal_stats_points(
             batch_format="pyarrow",
             fn_kwargs={"value_col": value_col, "nodata": nodata},
         ).materialize()
+        if slim.count() <= 2_000_000:
+            # small assigned-row set: one driver pass computes partials AND
+            # percentiles (each extra Dataset execution costs ~0.5 s of
+            # executor startup — pure fixed overhead at this size)
+            df = slim.to_pandas()
+            merged, gp = Z.stats_from_rows_df(df, list(percentiles))
+            return Z.finalize_group_stats(
+                merged,
+                all_group_keys=_all_group_keys(zs),
+                percentiles=list(percentiles),
+                group_percentiles=gp,
+            )
         partials = slim.map_batches(
             Z.partials_from_rows, batch_format="pyarrow"
         )

@@ -332,6 +332,52 @@ def _grouped_partials_masked(
     )
 
 
+def stats_from_rows_df(
+    df: pd.DataFrame, plist: list[float]
+) -> tuple[pd.DataFrame, dict[str, list[float]]]:
+    """Driver-side merge for a small slim-rows frame: returns (merged
+    partials frame, per-group percentiles) in one vectorized pass —
+    identical results to the distributed partials+values path."""
+    plist = sorted(set(float(p) for p in plist))
+    if len(df) == 0:
+        return (
+            pd.DataFrame(
+                columns=["group_key", "count", "nodata_count", "sum", "sumsq", "min", "max"]
+            ),
+            {},
+        )
+    v = df["value"].to_numpy()
+    nd = df["nodata"].to_numpy()
+    vv = np.where(nd, np.nan, v)
+    work = pd.DataFrame(
+        {
+            "group_key": df["group_key"],
+            "nodata": nd.astype(np.int64),
+            "v": vv,
+            "v2": vv * vv,
+        }
+    )
+    merged = (
+        work.groupby("group_key", sort=False)
+        .agg(
+            count=("nodata", "size"),
+            nodata_count=("nodata", "sum"),
+            sum=("v", "sum"),  # pandas sum skips NaN (nodata values)
+            sumsq=("v2", "sum"),
+            min=("v", "min"),
+            max=("v", "max"),
+        )
+        .reset_index()
+    )
+    gp: dict[str, list[float]] = {}
+    if plist:
+        valid = df[~nd]
+        for key, grp in valid.groupby("group_key", sort=False):
+            vals = grp["value"].to_numpy(dtype=np.float32)
+            gp[key] = list(np.percentile(vals, plist)) if vals.size else [None] * len(plist)
+    return merged, gp
+
+
 def salted_group_percentiles(
     values_ds, plist: list[float], *, salt_buckets: int = 16
 ) -> dict[str, list[float]]:
