@@ -15,8 +15,15 @@ their correctness gates live in tests/ (golden-oracle conformance).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# library imports must resolve no matter the driver's cwd
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
 
 import numpy as np
 import pandas as pd
