@@ -1,0 +1,138 @@
+"""Property-based randomized tests (SURVEY §5.2 #3, FIXTURES §7 invariants):
+seed-pinned hypothesis strategies over random convex polygons, grids, and
+coordinates."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from zonal_stats_toolkit_ray.geom import cellid
+from zonal_stats_toolkit_ray.geom.pip import points_in_ring
+from zonal_stats_toolkit_ray.geom.strtree import STRTree
+from zonal_stats_toolkit_ray.stages.zonal import grouped_partials, nodata_mask
+
+finite_lat = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+finite_lng = st.floats(min_value=-180.0, max_value=179.999999, allow_nan=False)
+
+
+@settings(max_examples=50, deadline=None)
+@given(lat=finite_lat, lng=finite_lng, res=st.integers(0, 29))
+def test_cell_roundtrip_stable(lat, lng, res):
+    c = cellid.latlng_to_cell(lat, lng, res)
+    clat, clng = cellid.cell_to_latlng(c)
+    assert cellid.latlng_to_cell(clat, clng, res) == c
+    x0, y0, x1, y1 = cellid.cell_to_bbox(c)
+    assert x0 <= clng <= x1 and y0 <= clat <= y1
+    if res > 0:
+        p = cellid.cell_to_parent(c, res - 1)
+        assert int(cellid.get_resolution(p)) == res - 1
+        kids = cellid.cell_to_children(p)
+        assert int(c) in {int(k) for k in np.ravel(kids)}
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), nv=st.integers(3, 40))
+def test_convex_pip_matches_halfplane(seed, nv):
+    """For a convex polygon, even-odd PIP must agree with the all-half-plane
+    test (an independent characterization of convex containment)."""
+    rng = np.random.default_rng(seed)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    if np.unique(ang).size < 3:
+        return
+    rad = rng.uniform(1.0, 5.0)
+    rx, ry = rad * np.cos(ang), rad * np.sin(ang)
+    px = rng.uniform(-6, 6, 300)
+    py = rng.uniform(-6, 6, 300)
+    got = points_in_ring(px, py, rx, ry)
+    # half-plane test (counter-clockwise ring by construction)
+    inside = np.ones(px.shape, dtype=bool)
+    for i in range(nv):
+        x1, y1 = rx[i], ry[i]
+        x2, y2 = rx[(i + 1) % nv], ry[(i + 1) % nv]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        inside &= cross > 0
+    strict_out = np.ones(px.shape, dtype=bool)
+    for i in range(nv):
+        x1, y1 = rx[i], ry[i]
+        x2, y2 = rx[(i + 1) % nv], ry[(i + 1) % nv]
+        cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        strict_out &= cross >= 0
+    # points strictly inside must be in; points strictly outside must be out
+    assert got[inside].all()
+    assert not got[~strict_out].any()
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 200))
+def test_strtree_point_candidates_complete(seed, n):
+    rng = np.random.default_rng(seed)
+    cx, cy = rng.uniform(-100, 100, n), rng.uniform(-50, 50, n)
+    w, h = rng.uniform(0.1, 8, n), rng.uniform(0.1, 8, n)
+    tree = STRTree(cx - w, cy - h, cx + w, cy + h, leaf_size=7)
+    px, py = rng.uniform(-110, 110, 100), rng.uniform(-60, 60, 100)
+    pt, it = tree.query_points(px, py)
+    got = set(zip(pt.tolist(), it.tolist()))
+    for j in range(n):
+        m = (px >= cx[j] - w[j]) & (px <= cx[j] + w[j]) & (py >= cy[j] - h[j]) & (py <= cy[j] + h[j])
+        for i in np.nonzero(m)[0]:
+            assert (int(i), j) in got
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(1, 500),
+    k=st.integers(1, 6),
+    nodata=st.one_of(st.none(), st.just(-999.0)),
+)
+def test_partials_invariants(seed, n, k, nodata):
+    """count == Σ assigned; valid == count − nodata; sum/min/max consistent
+    (FIXTURES §7 invariant 3); partition-count invariance of the merge."""
+    rng = np.random.default_rng(seed)
+    keys = np.array([f"v:g{i}" for i in rng.integers(0, k, n)], dtype=object)
+    vals = rng.normal(0, 100, n)
+    if nodata is not None:
+        vals[rng.random(n) < 0.2] = nodata
+    t = grouped_partials(keys, vals, nodata)
+    d = t.to_pydict()
+    assert sum(d["count"]) == n
+    nd = nodata_mask(vals, nodata)
+    for i, key in enumerate(d["group_key"]):
+        m = keys == key
+        assert d["count"][i] == int(m.sum())
+        assert d["nodata_count"][i] == int((m & nd).sum())
+        valid = vals[m & ~nd]
+        if valid.size:
+            assert np.isclose(d["sum"][i], valid.sum())
+            assert np.isclose(d["min"][i], valid.min())
+            assert np.isclose(d["max"][i], valid.max())
+            assert d["min"][i] <= d["sum"][i] / valid.size <= d["max"][i] + 1e-9
+        else:
+            assert np.isnan(d["min"][i]) and np.isnan(d["max"][i])
+            assert d["sum"][i] == 0.0
+    # partition invariance: merging partials of two halves == one partial
+    import pandas as pd
+
+    from zonal_stats_toolkit_ray.stages.zonal import merge_partials_df
+
+    h1 = grouped_partials(keys[: n // 2], vals[: n // 2], nodata) if n // 2 else None
+    h2 = grouped_partials(keys[n // 2 :], vals[n // 2 :], nodata)
+    parts = [p.to_pandas() for p in (h1, h2) if p is not None and len(p)]
+    if parts:
+        both = pd.concat(parts, ignore_index=True)
+        merged = (
+            both.groupby("group_key", group_keys=False)
+            .apply(merge_partials_df)
+            .reset_index(drop=True)
+            .sort_values("group_key")
+        )
+        one = t.to_pandas().sort_values("group_key").reset_index(drop=True)
+        merged = merged.reset_index(drop=True)
+        assert np.array_equal(merged["count"].to_numpy(), one["count"].to_numpy())
+        assert np.allclose(
+            merged["sum"].to_numpy(), one["sum"].to_numpy(), equal_nan=True
+        )
+        assert np.allclose(
+            merged["min"].to_numpy(dtype=float),
+            one["min"].to_numpy(dtype=float),
+            equal_nan=True,
+        )
