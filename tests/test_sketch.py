@@ -1,0 +1,70 @@
+"""Quantile sketch: merge associativity, accuracy vs exact percentiles,
+distributed path equivalence."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from zonal_stats_toolkit_ray.stages.sketch import (
+    HistSketch,
+    approx_group_percentiles,
+)
+
+PL = [5.0, 25.0, 50.0, 75.0, 95.0]
+
+
+def _rel_range_err(est, want, vals):
+    rng = vals.max() - vals.min()
+    return np.max(np.abs(np.asarray(est) - np.asarray(want))) / rng
+
+
+def test_single_sketch_accuracy():
+    rng = np.random.default_rng(0)
+    vals = rng.normal(50, 10, 200_000)
+    sk = HistSketch.from_values(vals, 256)
+    want = np.percentile(vals, PL)
+    assert _rel_range_err(sk.quantile(PL), want, vals) < 0.01
+
+
+def test_merge_equals_bulk():
+    rng = np.random.default_rng(1)
+    vals = rng.gamma(2.0, 10.0, 100_000)
+    chunks = np.array_split(vals, 17)
+    acc = HistSketch(256)
+    for ch in chunks:
+        acc = acc.merge(HistSketch.from_values(ch, 256))
+    want = np.percentile(vals, PL)
+    assert _rel_range_err(acc.quantile(PL), want, vals) < 0.02
+    # merge order invariance (approximately)
+    acc2 = HistSketch(256)
+    for ch in reversed(chunks):
+        acc2 = acc2.merge(HistSketch.from_values(ch, 256))
+    assert _rel_range_err(acc2.quantile(PL), want, vals) < 0.02
+
+
+def test_degenerate_cases():
+    assert np.isnan(HistSketch(64).quantile([50.0])[0])
+    sk = HistSketch.from_values(np.array([7.0] * 100), 64)
+    assert np.allclose(sk.quantile(PL), 7.0)
+    sk2 = HistSketch.from_values(np.array([1.0]), 64)
+    assert np.allclose(sk2.quantile([50.0]), 1.0)
+
+
+def test_distributed_approx_percentiles(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n = 120_000
+    keys = np.array([f"v:g{i % 4}" for i in range(n)], dtype=object)
+    vals = rng.normal(100 + 10 * (np.arange(n) % 4), 20, n).astype(np.float64)
+    t = pa.table(
+        {"group_key": pa.array(keys.tolist(), pa.string()), "value": pa.array(vals)}
+    )
+    ds = rd.from_arrow(t).repartition(12)
+    got = approx_group_percentiles(ds, PL, b=256)
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for k, g in df.groupby("k"):
+        want = np.percentile(g["v"].to_numpy(), PL)
+        assert _rel_range_err(got[k], want, g["v"].to_numpy()) < 0.02, k

@@ -1,0 +1,151 @@
+"""Mergeable quantile sketch — the 100-TB path for percentile zonal stats.
+
+The reference keeps EVERY valid pixel in RAM to compute exact percentiles
+(``/root/reference/runner.py:502-508`` — its worst scaling hazard); the
+engine's exact path bounds that per group (stages/zonal.py).  At 10^12
+rows even per-group bags are too big, so this module provides a weighted
+histogram sketch (Ben-Haim & Tom-Tov streaming-histogram style: fixed
+centroid budget, merge = concat + compact): one sketch per (group, batch)
+is emitted from ``map_batches`` — constant size per batch — and sketches
+merge associatively in a tiny groupby, exactly like the sum/count
+partials.  Quantiles interpolate the cumulative weight curve; error is
+bounded by the centroid budget (tested ≤ ~1% of the value RANGE at
+B=256 on unimodal data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class HistSketch:
+    """Weighted centroid histogram with a fixed budget ``b``."""
+
+    __slots__ = ("b", "centroids", "weights")
+
+    def __init__(self, b: int = 256, centroids=None, weights=None):
+        self.b = int(b)
+        self.centroids = (
+            np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else np.empty(0, np.float64)
+        )
+        self.weights = (
+            np.asarray(weights, dtype=np.float64)
+            if weights is not None
+            else np.empty(0, np.float64)
+        )
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, b: int = 256) -> "HistSketch":
+        """Vectorized build: histogram the batch into ≤ b weighted centroids."""
+        v = np.asarray(values, dtype=np.float64)
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return cls(b)
+        lo, hi = float(v.min()), float(v.max())
+        if lo == hi:
+            return cls(b, [lo], [float(v.size)])
+        counts, edges = np.histogram(v, bins=min(b, max(1, v.size)))
+        nz = counts > 0
+        # centroid = mean of values in the bin (weighted by actual sums for
+        # accuracy, not bin midpoints)
+        sums, _ = np.histogram(v, bins=edges, weights=v)
+        return cls(b, sums[nz] / counts[nz], counts[nz].astype(np.float64))
+
+    def merge(self, other: "HistSketch") -> "HistSketch":
+        c = np.concatenate([self.centroids, other.centroids])
+        w = np.concatenate([self.weights, other.weights])
+        return HistSketch(self.b, c, w)._compact()
+
+    def _compact(self) -> "HistSketch":
+        if self.centroids.size <= self.b:
+            return self
+        order = np.argsort(self.centroids)
+        c, w = self.centroids[order], self.weights[order]
+        # merge adjacent centroids into b buckets of ~equal weight
+        cw = np.cumsum(w)
+        total = cw[-1]
+        bucket = np.minimum(
+            (cw - w / 2) / total * self.b, self.b - 1
+        ).astype(np.int64)
+        sums = np.bincount(bucket, weights=c * w, minlength=self.b)
+        wts = np.bincount(bucket, weights=w, minlength=self.b)
+        nz = wts > 0
+        return HistSketch(self.b, sums[nz] / wts[nz], wts[nz])
+
+    def quantile(self, q) -> np.ndarray:
+        """Percentile estimates (q in [0, 100]) by interpolating the
+        cumulative weight at centroid positions."""
+        q = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if self.centroids.size == 0:
+            return np.full(q.shape, np.nan)
+        order = np.argsort(self.centroids)
+        c, w = self.centroids[order], self.weights[order]
+        cw = np.cumsum(w) - w / 2.0
+        total = w.sum()
+        pos = q / 100.0 * total
+        return np.interp(pos, cw, c)
+
+    # --- serialization for Arrow transport ---
+    def to_arrays(self) -> tuple[list[float], list[float]]:
+        return self.centroids.tolist(), self.weights.tolist()
+
+
+def sketch_batch(
+    batch: pa.Table,
+    *,
+    key_col: str = "group_key",
+    value_col: str = "value",
+    b: int = 256,
+) -> pa.Table:
+    """map_batches stage: (key, value) rows → one serialized sketch row per
+    key per batch (constant output size regardless of batch rows)."""
+    keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+    vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    uniq = np.unique(keys)
+    out_k, out_c, out_w = [], [], []
+    for k in uniq.tolist():
+        sk = HistSketch.from_values(vals[keys == k], b)
+        c, w = sk.to_arrays()
+        out_k.append(k)
+        out_c.append(c)
+        out_w.append(w)
+    return pa.table(
+        {
+            "group_key": pa.array(out_k, pa.string()),
+            "centroids": pa.array(out_c, pa.list_(pa.float64())),
+            "weights": pa.array(out_w, pa.list_(pa.float64())),
+        }
+    )
+
+
+def approx_group_percentiles(
+    values_ds, plist: list[float], *, b: int = 256
+) -> dict[str, list[float]]:
+    """Distributed approximate grouped percentiles: per-batch sketches →
+    groupby merge (sketches are tiny and mergeable, so the shuffle moves
+    O(groups × blocks × b) floats — never the raw values)."""
+    plist = sorted(set(float(p) for p in plist))
+    sketches = values_ds.map_batches(
+        sketch_batch, batch_format="pyarrow", fn_kwargs={"b": b}
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = HistSketch(b)
+        for c, w in zip(g["centroids"], g["weights"]):
+            acc = acc.merge(HistSketch(b, c, w))
+        return pd.DataFrame(
+            {
+                "group_key": [g["group_key"].iloc[0]],
+                "pcts": [acc.quantile(plist).tolist()],
+            }
+        )
+
+    df = sketches.to_pandas()
+    out: dict[str, list[float]] = {}
+    for k, g in df.groupby("group_key", sort=False):
+        out[k] = merge_group(g)["pcts"].iloc[0]
+    return out
