@@ -260,6 +260,104 @@ def q_join_broadcast(sf_dir: str):
     return out.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def q_pages(sf_dir: str):
+    """The pages corpus itself (url construction + text passthrough) —
+    value-hash match against SQL-constructed urls verifies the per-row
+    byte-identity invariant of `text` per `url` (input_hint)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ds.map_batches(docs_batch_to_pages, batch_format="pyarrow").select_columns(
+        ["url", "text", "lang"]
+    )
+
+
+def q_semi_join(sf_dir: str):
+    """Broadcast semi join (ray_guide: ship the key set once, filter
+    vectorized per batch): lineitems of orders above a price threshold,
+    then a grouped rollup."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from zonal_stats_toolkit_ray.stages.joins import semi_join
+
+    hot = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
+                ["o_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_quantity"],
+    )
+    kept = semi_join(li, hot, "l_orderkey")
+    out = (
+        kept.groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_asof_join(sf_dir: str):
+    """Per-user as-of self join on events: attach the most recent prior (or
+    simultaneous) 'click' value to every event; grouped rollup keeps the
+    compared result small and float-stable (counts + rounded sums)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    joined = asof_join_self(ds)
+    out = (
+        joined.assign(has_click=joined["last_click_value"].notna())
+        .groupby("event_type")
+        .agg(
+            n_events=("event_id", "size"),
+            n_with_click=("has_click", "sum"),
+            sum_click_value=("last_click_value", "sum"),
+        )
+        .reset_index()
+    )
+    out["n_with_click"] = out["n_with_click"].astype("int64")
+    out["sum_click_value"] = out["sum_click_value"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_approx_percentiles(sf_dir: str):
+    """Mergeable-sketch grouped percentiles (scale path; rows-only check —
+    approximate by design, accuracy gated in tests/test_sketch.py)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.sketch import approx_group_percentiles
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    z = ds.map_batches(_grid_zone_batch, batch_format="pyarrow")
+    vals = z.map_batches(
+        lambda t: pa.table(
+            {
+                "group_key": pc.cast(t["zone_id"], pa.string()),
+                "value": pc.cast(t["n_chars"], pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    res = approx_group_percentiles(vals, [5.0, 50.0, 95.0])
+    return pd.DataFrame(
+        [
+            {"zone_id": int(k), "p5": v[0], "p50": v[1], "p95": v[2]}
+            for k, v in sorted(res.items(), key=lambda kv: int(kv[0]))
+        ]
+    )
+
+
 def q_distinct_langs(sf_dir: str):
     import ray.data as rd
 
@@ -517,7 +615,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": q_filter_project,
         "topk_orders": q_topk_orders,
         "join_broadcast": q_join_broadcast,
+        "semi_join": q_semi_join,
+        "asof_join": q_asof_join,
+        "pages": q_pages,
         "distinct_langs": q_distinct_langs,
+        "approx_percentiles": q_approx_percentiles,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -588,6 +690,36 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "pages": """
+            SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
+                   text, lang
+            FROM documents
+        """,
+        "semi_join": """
+            SELECT l_returnflag,
+                   count(*) AS n_rows,
+                   sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0
+            )
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "asof_join": """
+            WITH j AS (
+                SELECT e.event_type, e.event_id, c.v AS last_click_value
+                FROM events e
+                ASOF LEFT JOIN (
+                    SELECT user_id AS u, ts AS t, value AS v
+                    FROM events WHERE event_type = 'click'
+                ) c ON e.user_id = c.u AND e.ts >= c.t
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(count(last_click_value) AS BIGINT) AS n_with_click,
+                   round(COALESCE(sum(last_click_value), 0.0), 6) AS sum_click_value
+            FROM j GROUP BY event_type ORDER BY event_type
+        """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY text ORDER BY doc_id

@@ -1,0 +1,96 @@
+"""Relational join operators beyond the spatial join: broadcast semi/anti
+joins and the per-key as-of join.
+
+Shapes (ray_guide "Joins and lookups"):
+* semi/anti — broadcast the (small) key set once via ``ray.put``; filter
+  inside ``map_batches`` with a vectorized membership test.  No shuffle.
+* as-of — sort both sides by (key, ts) within key groups and apply
+  ``pd.merge_asof`` per group in ``map_groups``; ordering assumption: one
+  key's rows fit in one group.  Oracle: DuckDB ``ASOF JOIN``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _resolve_ref(obj):
+    try:
+        import ray
+
+        if isinstance(obj, ray.ObjectRef):
+            return ray.get(obj)
+    except ImportError:
+        pass
+    return obj
+
+
+def semi_join_batch(
+    batch: pa.Table, keys_ref, key_col: str, *, anti: bool = False
+) -> pa.Table:
+    """Keep rows whose ``key_col`` is (semi) / is not (anti) in the
+    broadcast key set — vectorized ``pc.is_in`` per batch."""
+    keys = _resolve_ref(keys_ref)
+    arr = keys if isinstance(keys, pa.Array) else pa.array(np.asarray(keys))
+    m = pc.is_in(batch[key_col], arr)
+    if anti:
+        m = pc.invert(m)
+    return batch.filter(m)
+
+
+def semi_join(ds, keys, key_col: str, *, anti: bool = False, broadcast: bool = True):
+    """Dataset semi/anti join against a small key collection."""
+    ref = keys
+    if broadcast:
+        try:
+            import ray
+
+            ref = ray.put(keys)
+        except ImportError:
+            pass
+    return ds.map_batches(
+        semi_join_batch,
+        fn_kwargs={"keys_ref": ref, "key_col": key_col, "anti": anti},
+        batch_format="pyarrow",
+    )
+
+
+def asof_join_self(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    right_filter_col: str = "event_type",
+    right_filter_value: str = "click",
+    value_col: str = "value",
+    out_col: str = "last_click_value",
+) -> pd.DataFrame:
+    """Per-key as-of SELF join: for every row, attach ``value_col`` of the
+    most recent row (same key, ts ≤ this row's ts) matching the filter.
+
+    Implemented as ``groupby(key).map_groups`` with ``pd.merge_asof`` over
+    the ts-sorted group (backward search, allow_exact_matches=True) — the
+    canonical Ray Data shape for as-of/range joins.  Oracle SQL: DuckDB
+    ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        right = g[g[right_filter_col] == right_filter_value][[ts_col, value_col]]
+        right = right.rename(columns={value_col: out_col})
+        out = pd.merge_asof(
+            g,
+            right,
+            on=ts_col,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return out
+
+    return (
+        ds.groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas()
+    )
