@@ -19,7 +19,6 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -39,8 +38,6 @@ def _run_partition(spec: dict, out_dir: str) -> dict:
     pid, n = spec["mod"], spec["n_partitions"]
 
     def shard(t: pa.Table) -> pa.Table:
-        import numpy as np
-
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ids % n == pid))
 

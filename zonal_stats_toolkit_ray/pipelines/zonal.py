@@ -17,12 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.scalars import (
-    GROUP_KEY_NULL,
-    encode_group_key,
-    group_label,
-    percentile_keys,
-)
+from ..functions.scalars import GROUP_KEY_NULL, group_label, percentile_keys
 from ..geom.window import GridSpec, envelope_to_window
 from ..sources.zones import ZoneSet
 from ..stages import zonal as Z
