@@ -308,6 +308,118 @@ def _read_window(
     return out
 
 
+
+def _window_partials_batch(
+    batch: pa.Table, specs_ref, grid: GridSpec
+) -> pa.Table:
+    """Stateless-task stage for the DISTRIBUTED Q4 fallback: for every
+    (fallback window × tile) intersection in the batch, emit one partial
+    stats row keyed by window id.  The reference runs this pass serially on
+    one process (runner.py:697-811); windows tile-partition cleanly, so the
+    window aggregates merge associatively."""
+    from ..sources.raster import tile_window
+
+    specs = specs_ref
+    try:
+        import ray
+
+        if isinstance(specs, ray.ObjectRef):
+            specs = ray.get(specs)
+    except ImportError:
+        pass
+    wid, xoff, yoff, wx, wy = (np.asarray(a) for a in specs)
+    txs = batch["tile_x"].to_numpy()
+    tys = batch["tile_y"].to_numpy()
+    flat, offs = _list_col_buffers(batch["values"])
+    out = {k: [] for k in ("win_id", "count", "nodata_count", "sum", "sumsq", "min", "max")}
+    for i in range(len(batch)):
+        col0, row0, ncols, nrows = tile_window(grid, int(txs[i]), int(tys[i]))
+        hit = np.flatnonzero(
+            (xoff < col0 + ncols)
+            & (xoff + wx > col0)
+            & (yoff < row0 + nrows)
+            & (yoff + wy > row0)
+        )
+        if hit.size == 0:
+            continue
+        tile = flat[offs[i] : offs[i + 1]].reshape(nrows, ncols)
+        for h in hit.tolist():
+            c0 = max(int(xoff[h]), col0)
+            c1 = min(int(xoff[h] + wx[h]), col0 + ncols)
+            r0 = max(int(yoff[h]), row0)
+            r1 = min(int(yoff[h] + wy[h]), row0 + nrows)
+            block = tile[r0 - row0 : r1 - row0, c0 - col0 : c1 - col0]
+            nd = Z.nodata_mask(block, grid.nodata)
+            valid = block[~nd]
+            out["win_id"].append(int(wid[h]))
+            out["count"].append(block.size)
+            out["nodata_count"].append(int(np.count_nonzero(nd)))
+            if valid.size:
+                out["sum"].append(float(valid.sum(dtype=np.float64)))
+                out["sumsq"].append(float(np.sum(valid.astype(np.float64) ** 2)))
+                out["min"].append(float(valid.min()))
+                out["max"].append(float(valid.max()))
+            else:
+                out["sum"].append(0.0)
+                out["sumsq"].append(0.0)
+                out["min"].append(np.nan)
+                out["max"].append(np.nan)
+    return pa.table(
+        {
+            "win_id": pa.array(out["win_id"], pa.int64()),
+            "count": pa.array(out["count"], pa.int64()),
+            "nodata_count": pa.array(out["nodata_count"], pa.int64()),
+            "sum": pa.array(out["sum"], pa.float64()),
+            "sumsq": pa.array(out["sumsq"], pa.float64()),
+            "min": pa.array(out["min"], pa.float64()),
+            "max": pa.array(out["max"], pa.float64()),
+        }
+    )
+
+
+def _window_stats_distributed(tiles_ds, grid: GridSpec, win_specs) -> dict[int, dict]:
+    """Distributed full-window stats for the Q4 fallback windows: one pass
+    over the tiles, merged per window on the driver.  Returns
+    {win_id: {count, nodata_count, sum, sumsq, min, max}} with the
+    reference's empty-valid zeros."""
+    import ray
+
+    wid = np.array([w[0] for w in win_specs], dtype=np.int64)
+    xoff = np.array([w[1] for w in win_specs], dtype=np.int64)
+    yoff = np.array([w[2] for w in win_specs], dtype=np.int64)
+    wx = np.array([w[3] for w in win_specs], dtype=np.int64)
+    wy = np.array([w[4] for w in win_specs], dtype=np.int64)
+    specs_ref = (
+        ray.put((wid, xoff, yoff, wx, wy))
+        if ray.is_initialized()
+        else (wid, xoff, yoff, wx, wy)
+    )
+    parts = tiles_ds.map_batches(
+        _window_partials_batch,
+        fn_kwargs={"specs_ref": specs_ref, "grid": grid},
+        batch_format="pyarrow",
+    ).to_pandas()
+    out: dict[int, dict] = {}
+    for w, g in parts.groupby("win_id", sort=False):
+        count = int(g["count"].sum())
+        ndc = int(g["nodata_count"].sum())
+        valid = count - ndc
+        st = {"count": count, "nodata_count": ndc}
+        if valid <= 0:
+            st.update({"min": 0.0, "max": 0.0, "sum": 0.0, "sumsq": 0.0})
+        else:
+            st.update(
+                {
+                    "min": float(g["min"].min()),
+                    "max": float(g["max"].max()),
+                    "sum": float(g["sum"].sum()),
+                    "sumsq": float(g["sumsq"].sum()),
+                }
+            )
+        out[int(w)] = st
+    return out
+
+
 def zonal_stats_raster(
     tiles_ds,
     grid: GridSpec,
@@ -431,12 +543,17 @@ def zonal_stats_raster(
     #     per-part OVERWRITE so the last part wins) ---
     unset = [f for f in zs.all_fids if f not in fid_stats]
     if unset:
-        part_rows = {
-            f: [j for j in range(zs.n_parts) if zs.fid[j] == f] for f in unset
-        }
-        windows = []
+        unset_set = set(unset)
+        part_rows: dict[int, list[int]] = {f: [] for f in unset}
+        for j in range(zs.n_parts):
+            f = int(zs.fid[j])
+            if f in unset_set:
+                part_rows[f].append(j)
+        # (win_id, fid, part-order) + pixel window per fallback part
+        win_specs: list[tuple[int, int, int, int, int]] = []
+        win_owner: list[tuple[int, int]] = []
         for f in unset:
-            for j in part_rows[f]:
+            for order_idx, j in enumerate(part_rows[f]):
                 env = (
                     float(zs.minx[j]),
                     float(zs.maxx[j]),
@@ -445,20 +562,26 @@ def zonal_stats_raster(
                 )
                 w = envelope_to_window(env, grid)
                 if w is not None:
-                    windows.append(w)
-        tile_map = _fetch_windows(tiles_ds, grid, windows)
-        for f in unset:
-            for j in part_rows[f]:  # part order; later parts overwrite
-                env = (
-                    float(zs.minx[j]),
-                    float(zs.maxx[j]),
-                    float(zs.miny[j]),
-                    float(zs.maxy[j]),
-                )
-                w = envelope_to_window(env, grid)
-                if w is None:
-                    continue
-                block = _read_window(tile_map, grid, *w)
+                    win_specs.append((len(win_specs), *w))
+                    win_owner.append((f, order_idx))
+
+        if win_specs and fid_value_chunks is None and len(win_specs) > 16:
+            # DISTRIBUTED fallback (engine improvement over the reference's
+            # serial pass): one tile sweep computes every window's stats
+            win_stats = _window_stats_distributed(tiles_ds, grid, win_specs)
+            # apply per fid in part order: later parts OVERWRITE (quirk Q4)
+            for (f, _order), (win_id, *_rest) in zip(win_owner, win_specs):
+                st = win_stats.get(win_id)
+                if st is not None:
+                    fid_stats[f] = dict(st)
+        elif win_specs:
+            # driver path (small window sets / percentile mode, which also
+            # needs the raw valid values appended per part)
+            tile_map = _fetch_windows(
+                tiles_ds, grid, [w[1:] for w in win_specs]
+            )
+            for (f, _order), (_wid, xoff, yoff, wx, wy) in zip(win_owner, win_specs):
+                block = _read_window(tile_map, grid, xoff, yoff, wx, wy)
                 nd = Z.nodata_mask(block, grid.nodata)
                 valid = block[~nd]
                 st = {
