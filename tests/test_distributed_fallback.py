@@ -60,6 +60,28 @@ def test_distributed_fallback_matches_oracle(ray_session):
                 assert np.isclose(float(gv), float(wv), rtol=1e-6), (g, k, gv, wv)
 
 
+def test_distributed_fallback_percentiles_match_oracle(ray_session):
+    """Percentile mode with a large fallback set: the distributed values
+    sweep must reproduce the oracle's per-part value bags exactly."""
+    import ray.data as rd
+
+    zt = _overlapping_zones(n=48, seed=21)
+    zs = ZoneSet(zt)
+    tiles = rd.from_arrow(synth_tiles_table(GRID, seed=9)).repartition(5)
+    got = zonal_stats_raster(tiles, GRID, zs, percentiles=[5.0, 50.0, 95.0])
+    want = oracle_zonal_statistics(
+        dense_array(GRID, seed=9), GRID, zt, [5.0, 50.0, 95.0]
+    )
+    assert set(got) == set(want)
+    for g in want:
+        for k in ("p5", "p50", "p95", "sum", "count"):
+            wv, gv = want[g][k], got[g][k]
+            if wv is None:
+                assert gv is None, (g, k)
+            else:
+                assert np.isclose(float(gv), float(wv), rtol=1e-6), (g, k, gv, wv)
+
+
 def test_fallback_paths_agree(ray_session):
     """Driver path (forced via percentile mode) and distributed path agree
     on the shared stats fields."""

@@ -377,6 +377,62 @@ def _window_partials_batch(
     )
 
 
+
+def _window_values_batch(batch: pa.Table, specs_ref, grid: GridSpec) -> pa.Table:
+    """Distributed fallback VALUES pass: (win_id, value) rows of valid
+    pixels per fallback window × tile intersection — feeds the percentile
+    value bags when the fallback set is large (reference appends each
+    part-window's valid pixels to the bag, runner.py:805-811; percentile
+    over the multiset is order-independent, so distributed collection is
+    exact)."""
+    from ..sources.raster import tile_window
+
+    specs = specs_ref
+    try:
+        import ray
+
+        if isinstance(specs, ray.ObjectRef):
+            specs = ray.get(specs)
+    except ImportError:
+        pass
+    wid, xoff, yoff, wx, wy = (np.asarray(a) for a in specs)
+    txs = batch["tile_x"].to_numpy()
+    tys = batch["tile_y"].to_numpy()
+    flat, offs = _list_col_buffers(batch["values"])
+    out_w, out_v = [], []
+    for i in range(len(batch)):
+        col0, row0, ncols, nrows = tile_window(grid, int(txs[i]), int(tys[i]))
+        hit = np.flatnonzero(
+            (xoff < col0 + ncols)
+            & (xoff + wx > col0)
+            & (yoff < row0 + nrows)
+            & (yoff + wy > row0)
+        )
+        if hit.size == 0:
+            continue
+        tile = flat[offs[i] : offs[i + 1]].reshape(nrows, ncols)
+        for h in hit.tolist():
+            c0 = max(int(xoff[h]), col0)
+            c1 = min(int(xoff[h] + wx[h]), col0 + ncols)
+            r0 = max(int(yoff[h]), row0)
+            r1 = min(int(yoff[h] + wy[h]), row0 + nrows)
+            block = tile[r0 - row0 : r1 - row0, c0 - col0 : c1 - col0]
+            valid = block[~Z.nodata_mask(block, grid.nodata)]
+            if valid.size:
+                out_w.append(np.full(valid.size, wid[h], dtype=np.int64))
+                out_v.append(valid.astype(np.float32, copy=False).ravel())
+    if not out_w:
+        return pa.table(
+            {"win_id": pa.array([], pa.int64()), "value": pa.array([], pa.float32())}
+        )
+    return pa.table(
+        {
+            "win_id": pa.array(np.concatenate(out_w)),
+            "value": pa.array(np.concatenate(out_v), pa.float32()),
+        }
+    )
+
+
 def _window_stats_distributed(tiles_ds, grid: GridSpec, win_specs) -> dict[int, dict]:
     """Distributed full-window stats for the Q4 fallback windows: one pass
     over the tiles, merged per window on the driver.  Returns
@@ -565,15 +621,44 @@ def zonal_stats_raster(
                     win_specs.append((len(win_specs), *w))
                     win_owner.append((f, order_idx))
 
-        if win_specs and fid_value_chunks is None and len(win_specs) > 16:
+        if win_specs and len(win_specs) > 16:
             # DISTRIBUTED fallback (engine improvement over the reference's
-            # serial pass): one tile sweep computes every window's stats
+            # serial pass, runner.py:697-811): one tile sweep computes every
+            # window's stats
             win_stats = _window_stats_distributed(tiles_ds, grid, win_specs)
             # apply per fid in part order: later parts OVERWRITE (quirk Q4)
             for (f, _order), (win_id, *_rest) in zip(win_owner, win_specs):
                 st = win_stats.get(win_id)
                 if st is not None:
                     fid_stats[f] = dict(st)
+            if fid_value_chunks is not None:
+                # percentile value bags for the fallback windows, collected
+                # in a second distributed sweep (exact: percentile over the
+                # multiset is append-order-independent)
+                import ray as _ray
+
+                wid = np.array([w[0] for w in win_specs], dtype=np.int64)
+                arrs = (
+                    wid,
+                    np.array([w[1] for w in win_specs], dtype=np.int64),
+                    np.array([w[2] for w in win_specs], dtype=np.int64),
+                    np.array([w[3] for w in win_specs], dtype=np.int64),
+                    np.array([w[4] for w in win_specs], dtype=np.int64),
+                )
+                sref = _ray.put(arrs) if _ray.is_initialized() else arrs
+                vals = tiles_ds.map_batches(
+                    _window_values_batch,
+                    fn_kwargs={"specs_ref": sref, "grid": grid},
+                    batch_format="pyarrow",
+                ).to_pandas()
+                by_win = {
+                    int(w): g["value"].to_numpy(dtype=np.float32)
+                    for w, g in vals.groupby("win_id", sort=False)
+                }
+                for (f, _order), (win_id, *_rest) in zip(win_owner, win_specs):
+                    v = by_win.get(win_id)
+                    if v is not None and v.size:
+                        fid_value_chunks.setdefault(f, []).append(v)
         elif win_specs:
             # driver path (small window sets / percentile mode, which also
             # needs the raw valid values appended per part)
