@@ -521,7 +521,7 @@ def _scaling():
         "efficiency": round((z_lo / z_hi) / 4.0, 3),
     }
     # transparency: the allocation-bound pages flagship on the same levels
-    if os.environ.get("GRAFT_SCALE_PAGES", "1") == "1":
+    if os.environ.get("GRAFT_SCALE_PAGES", "0") == "1":
         p_lo = min(run(lo_cpu, "zonal_pages") for _ in range(repeats))
         p_hi = min(run(hi_cpu, "zonal_pages") for _ in range(repeats))
         rows = n_docs * int(scale_rep)
