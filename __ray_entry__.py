@@ -564,6 +564,75 @@ def q_zone_knn(sf_dir: str):
     return out.select_columns(["url", "knn_fids", "knn_dists"])
 
 
+def q_config_job(sf_dir: str):
+    """Config-driven multi-job run (reference main() parity: INI validation,
+    raster glob, zonal stats, Q8/Q9 pivot, timestamped CSV) — returns the
+    produced CSV as a table (deterministic; rows-only check)."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from zonal_stats_toolkit_ray.geom.window import GridSpec
+    from zonal_stats_toolkit_ray.pipelines.runner import run_config
+    from zonal_stats_toolkit_ray.sources.raster import write_tiles
+    from zonal_stats_toolkit_ray.sources.zones import synth_zones
+
+    root = Path(tempfile.mkdtemp(prefix="graft_cfg_"))
+    grid = GridSpec(
+        x0=-180.0, y0=90.0, dx=3.75, dy=-3.75, width=96, height=48,
+        nodata=-9999.0, tile_size=32,
+    )
+    pq.write_table(synth_zones(seed=42, n_zones=12), root / "zones.parquet")
+    write_tiles(str(root / "rasterA.parquet"), grid, seed=1)
+    write_tiles(str(root / "rasterB.parquet"), grid, seed=2)
+    (root / "work").mkdir()
+    (root / "out").mkdir()
+    cfg = root / "job.ini"
+    cfg.write_text(
+        f"""[project]
+name = job
+global_work_dir = {root}/work
+global_output_dir = {root}/out
+
+[job:demo]
+agg_vector = {root}/zones.parquet
+agg_field = group_value
+operations = avg,stdev,valid_count,total_count,p5,p95
+row_col_order = agg_field,base_raster
+base_raster_pattern = {root}/raster*.parquet
+"""
+    )
+    outs = run_config(str(cfg), timestamp="2026_01_01_00_00_00")
+    return pd.read_csv(outs[0])
+
+
+def q_pages_job_resume(sf_dir: str):
+    """Checkpointed partitioned pages-zonal job (north_rule resume): runs
+    the partitioned job twice — the second invocation must skip every
+    completed partition via the manifest — and returns the final grouped
+    stats plus skip counts (rows-only check)."""
+    import shutil
+    import tempfile
+
+    from zonal_stats_toolkit_ray.pipelines.pages_job import run_pages_job
+    from zonal_stats_toolkit_ray.sources.zones import synth_zones
+
+    out = tempfile.mkdtemp(prefix="graft_pjob_")
+    shutil.rmtree(out, ignore_errors=True)
+    zones = synth_zones(seed=42, n_zones=16)
+    first = run_pages_job(
+        f"{sf_dir}/documents.parquet", zones, out, n_partitions=3
+    )
+    second = run_pages_job(
+        f"{sf_dir}/documents.parquet", zones, out, n_partitions=3
+    )
+    df = second["stats"].copy()
+    df["first_run_completed"] = len(first["report"]["completed"])
+    df["second_run_skipped"] = len(second["report"]["skipped"])
+    return df
+
+
 def q_media_pipeline(sf_dir: str):
     import ray.data as rd
     from zonal_stats_toolkit_ray.stages.multimodal import media_pipeline, synth_media_table
@@ -638,6 +707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "media_pipeline": q_media_pipeline,
+        "config_job": q_config_job,
+        "pages_job_resume": q_pages_job_resume,
     }
 
 
