@@ -358,6 +358,43 @@ def q_approx_percentiles(sf_dir: str):
     )
 
 
+def q_union_distinct(sf_dir: str):
+    """Set operators: union of two filtered order subsets → distinct rows →
+    grouped count (Dataset.union + dedup via groupby)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 350000.0)),
+        batch_format="pyarrow",
+    )
+    prio = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        ),
+        batch_format="pyarrow",
+    )
+    both = big.union(prio)
+
+    def dedup_keys(g):
+        import pandas as pd
+
+        return g.head(1)
+
+    distinct = both.groupby("o_orderkey").map_groups(dedup_keys, batch_format="pandas")
+    out = (
+        distinct.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_distinct_langs(sf_dir: str):
     import ray.data as rd
 
@@ -687,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "asof_join": q_asof_join,
         "pages": q_pages,
+        "union_distinct": q_union_distinct,
         "distinct_langs": q_distinct_langs,
         "approx_percentiles": q_approx_percentiles,
         "dedup_exact": q_dedup_exact,
@@ -761,6 +799,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "union_distinct": """
+            SELECT o_orderstatus, count(*) AS n_orders FROM (
+                SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_totalprice > 350000.0
+                UNION
+                SELECT o_orderkey, o_orderstatus FROM orders
+                WHERE o_orderpriority = '1-URGENT'
+            ) GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
         "pages": """
             SELECT 'https://' || source || '.example/doc/' || doc_id AS url,
                    text, lang
