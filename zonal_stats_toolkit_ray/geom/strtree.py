@@ -148,6 +148,28 @@ class STRTree:
         return np.array(sorted(hits), dtype=np.int64)
 
     # ------------------------------------------------------------------
+    def _knn_vectorized(self, px, py, k: int) -> tuple[np.ndarray, np.ndarray]:
+        # (N, n) bbox min-distances in one broadcastped pass (items are in
+        # STR order; map back through self.order)
+        dx = np.maximum(
+            np.maximum(self.bx0[None, :] - px[:, None], 0.0),
+            px[:, None] - self.bx1[None, :],
+        )
+        dy = np.maximum(
+            np.maximum(self.by0[None, :] - py[:, None], 0.0),
+            py[:, None] - self.by1[None, :],
+        )
+        d = np.sqrt(dx * dx + dy * dy)
+        if k < self.n:
+            part = np.argpartition(d, k - 1, axis=1)[:, :k]
+        else:
+            part = np.broadcast_to(np.arange(self.n), (px.size, self.n)).copy()
+        pd_ = np.take_along_axis(d, part, axis=1)
+        order = np.argsort(pd_, axis=1, kind="stable")
+        idx_sorted = np.take_along_axis(part, order, axis=1)
+        d_sorted = np.take_along_axis(pd_, order, axis=1)
+        return self.order[idx_sorted], d_sorted
+
     def _mindist2_node(self, level: int, node: int, x: float, y: float) -> float:
         b = self.levels[level][node]
         dx = max(b[0] - x, 0.0, x - b[2])
@@ -155,13 +177,22 @@ class STRTree:
         return dx * dx + dy * dy
 
     def knn_points(self, px, py, k: int) -> tuple[np.ndarray, np.ndarray]:
-        """k nearest items per query point by bbox min-distance (best-first
-        branch-and-bound).  Returns (indices (N,k) int64 padded with -1,
-        dists (N,k) float64 padded with inf)."""
+        """k nearest items per query point by bbox min-distance.
+
+        Two execution strategies with identical results:
+        * small item sets (≤ 4096): one vectorized (N × n) bbox-distance
+          matrix + argpartition — no per-point Python;
+        * large item sets: best-first branch-and-bound over the tree per
+          point (prunes to O(log n + k) node visits).
+
+        Returns (indices (N,k) int64 padded with -1, dists (N,k) float64
+        padded with inf)."""
         px = np.asarray(px, dtype=np.float64).ravel()
         py = np.asarray(py, dtype=np.float64).ravel()
         npts = px.size
         k = min(int(k), self.n)
+        if self.n <= 4096:
+            return self._knn_vectorized(px, py, k)
         idx_out = np.full((npts, k), -1, dtype=np.int64)
         d_out = np.full((npts, k), np.inf, dtype=np.float64)
         top = len(self.levels) - 1
