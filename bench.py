@@ -96,7 +96,6 @@ def bench_zonal_pages(sf_dir: str, replicate: int = REPLICATE) -> dict:
     zones = synth_zones(seed=42, n_zones=48, n_groups=12)
     zs = ZoneSet(zones)
     zones_ref = ray.put(zones)
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
 
     t0 = time.perf_counter()
     # GRAFT_FUSE_READ=1 pins one block per input file so ReadParquet fuses

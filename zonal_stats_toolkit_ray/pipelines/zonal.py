@@ -1,9 +1,10 @@
 """End-to-end zonal statistics pipelines (points path and raster path).
 
 Points path (the graft's primary corpus flow, SURVEY §3.4):
-    pages → geocode → cell-encode → SpatialJoiner actor pool → per-batch
-    partials → groupby(group_key) merge (shuffle of tiny partials only) →
-    finalize (+ exact percentiles via a raw-value shuffle when requested).
+    pages → geocode → cell-encode → spatial join (stateless tasks with a
+    per-worker index cache by default; actor pool via ``use_actors``) →
+    per-batch partials → group merge (the shuffle moves only tiny partials)
+    → finalize (+ exact percentiles via a raw-value path when requested).
 
 Raster path (the reference's native flow, ``runner.py:264-926``): tiles →
 per-tile pixel-center assignment + per-FID partials → FID merge → quirk-Q4
