@@ -358,6 +358,42 @@ def q_approx_percentiles(sf_dir: str):
     )
 
 
+def q_anti_join(sf_dir: str):
+    """Broadcast ANTI join: customers with NO orders above a threshold —
+    the blocklist-filter shape (key set shipped once, inverted membership
+    test per batch)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from zonal_stats_toolkit_ray.stages.joins import semi_join
+
+    hot = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(
+                ["o_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_custkey"]
+        .unique()
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    cold = semi_join(cust, hot, "c_custkey", anti=True)
+    out = (
+        cold.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return pd.DataFrame(
+            {"c_mktsegment": pd.Series(dtype=object),
+             "n_customers": pd.Series(dtype=np.int64)}
+        )
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
 def q_union_distinct(sf_dir: str):
     """Set operators: union of two filtered order subsets → distinct rows →
     grouped count (Dataset.union + dedup via groupby)."""
@@ -725,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q_asof_join,
         "pages": q_pages,
         "union_distinct": q_union_distinct,
+        "anti_join": q_anti_join,
         "distinct_langs": q_distinct_langs,
         "approx_percentiles": q_approx_percentiles,
         "dedup_exact": q_dedup_exact,
@@ -799,6 +836,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "distinct_langs": "SELECT DISTINCT lang FROM documents ORDER BY lang",
+        "anti_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+            )
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
         "union_distinct": """
             SELECT o_orderstatus, count(*) AS n_orders FROM (
                 SELECT o_orderkey, o_orderstatus FROM orders
