@@ -195,3 +195,44 @@ class TestWindow:
         gx, gy = self.GRID.pixel_centers(0, 0, 2, 2)
         assert gx[0, 0] == -179.5 and gy[0, 0] == 89.5
         assert gx[0, 1] == -178.5 and gy[1, 0] == 88.5
+
+
+class TestConcaveCellShortcut:
+    """Regression for the round-1 advisor finding: the interior-cell
+    shortcut used a convex-only containment test on arbitrary rings, so
+    concave zones (synth_zones(seed=42) has 19/25 concave parts) could
+    cache-assign points that are actually outside every zone."""
+
+    def test_ring_contains_bbox_concave(self):
+        from zonal_stats_toolkit_ray.geom.pip import (
+            ring_contains_bbox,
+            ring_edges_intersect_bbox,
+        )
+
+        # concave "C" shape: box corners inside, but the notch passes through
+        rx = np.array([0.0, 10.0, 10.0, 6.0, 6.0, 10.0, 10.0, 0.0])
+        ry = np.array([0.0, 0.0, 4.0, 4.0, 6.0, 6.0, 10.0, 10.0])
+        # box spanning the notch: all 4 corners inside the C, middle outside
+        assert not ring_contains_bbox(rx, ry, 5.0, 3.0, 7.0, 7.0)
+        assert ring_edges_intersect_bbox(rx, ry, 5.0, 3.0, 7.0, 7.0)
+        # box fully in the solid left arm
+        assert ring_contains_bbox(rx, ry, 1.0, 1.0, 3.0, 9.0)
+        # box fully outside
+        assert not ring_contains_bbox(rx, ry, 11.0, 1.0, 12.0, 2.0)
+
+    def test_cached_assign_matches_uncached_200k(self):
+        """The advisor's exact repro: 200k uniform points over
+        synth_zones(seed=42) — cached and uncached assignment must agree."""
+        from zonal_stats_toolkit_ray.geom import cellid
+        from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+
+        zs = ZoneSet(synth_zones(seed=42))
+        rng = np.random.default_rng(0)
+        n = 200_000
+        px = rng.uniform(-180.0, 180.0, n)
+        py = rng.uniform(-90.0, 90.0, n)
+        coarse = cellid.latlng_to_cell(py, px, 7)
+        fine = cellid.latlng_to_cell(py, px, 12)
+        want = zs.assign_points(px, py)
+        got = zs.assign_points_cached(px, py, coarse, fine_cells=fine)
+        assert np.array_equal(got, want)

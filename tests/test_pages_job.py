@@ -56,3 +56,32 @@ def test_pages_job_resume(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
     assert total == pq.read_metadata(DOCS).num_rows
+
+
+def test_rerun_with_different_zones_invalidates_checkpoint(ray_session, tmp_path):
+    """Regression (round-1 advisor): rerunning into the same out_dir with a
+    DIFFERENT zones table must rewrite zones.arrow and re-run every
+    partition — the fingerprint now includes the zones content hash, so a
+    stale checkpoint can't pair old joins with new finalize zones."""
+    out = tmp_path / "job"
+    zones_a = synth_zones(seed=42, n_zones=16)
+    run_a = pages_job.run_pages_job(DOCS, zones_a, out, n_partitions=2)
+    assert run_a["report"]["skipped"] == []
+
+    zones_b = synth_zones(seed=7, n_zones=9)
+    run_b = pages_job.run_pages_job(DOCS, zones_b, out, n_partitions=2)
+    # nothing may be skipped: all partitions re-run against the new zones
+    assert run_b["report"]["skipped"] == []
+    assert run_b["report"]["completed"] == ["mod000", "mod001"]
+
+    # the result equals a fresh run with zones_b (no stale-join poisoning)
+    fresh = pages_job.run_pages_job(DOCS, zones_b, tmp_path / "fresh", n_partitions=2)
+    pd.testing.assert_frame_equal(
+        run_b["stats"].fillna(-1).reset_index(drop=True),
+        fresh["stats"].fillna(-1).reset_index(drop=True),
+    )
+
+    # idempotent rerun with the SAME zones skips everything
+    run_b2 = pages_job.run_pages_job(DOCS, zones_b, out, n_partitions=2)
+    assert run_b2["report"]["completed"] == []
+    assert run_b2["report"]["skipped"] == ["mod000", "mod001"]

@@ -167,3 +167,18 @@ def test_zone_knn_stage(ray_session):
     dy = np.maximum(np.maximum(zs.miny - py, 0), py - zs.maxy)
     want = np.sort(np.sqrt(dx * dx + dy * dy))[:3]
     assert np.allclose(np.sort(np.asarray(row["knn_dists"])), want)
+
+
+def test_hash_long_documents():
+    """Regression: the 31^k power table was capped at 2^16, so any string
+    over 64 KiB raised IndexError; it must now grow on demand and still
+    match the pure-Python reference (web pages routinely exceed 64 KiB)."""
+    long_doc = "x" * 70_000 + "tail"
+    longer = "y" * 200_001
+    arr = pa.array(["short", long_doc, longer], pa.string())
+    got = hash64_utf8(arr)
+    want = np.array(
+        [hash64_py("short"), hash64_py(long_doc), hash64_py(longer)],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(got, want)

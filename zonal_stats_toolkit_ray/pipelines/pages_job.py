@@ -72,23 +72,42 @@ def run_pages_job(
 ) -> dict:
     """Partitioned, resumable run.  Returns the final grouped-stats frame
     plus the checkpoint report."""
+    import hashlib
+
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     zones_ipc = out / "zones.arrow"
-    if not zones_ipc.exists():
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, zones_table.schema) as w:
-            w.write_table(zones_table)
-        zones_ipc.write_bytes(sink.getvalue().to_pybytes())
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, zones_table.schema) as w:
+        w.write_table(zones_table)
+    ipc_bytes = sink.getvalue().to_pybytes()
+    zones_sha = hashlib.sha256(ipc_bytes).hexdigest()[:16]
+    # rewrite when the passed table differs — a rerun into the same out_dir
+    # with different zones must not silently reuse the stale file (and the
+    # content hash below feeds the partition fingerprint so manifest entries
+    # from the old zones are invalidated too)
+    if not zones_ipc.exists() or (
+        hashlib.sha256(zones_ipc.read_bytes()).hexdigest()[:16] != zones_sha
+    ):
+        zones_ipc.write_bytes(ipc_bytes)
+
+    docs_p = Path(docs_path)
+    docs_stat = (
+        {"size": docs_p.stat().st_size, "mtime_ns": docs_p.stat().st_mtime_ns}
+        if docs_p.is_file()
+        else None
+    )
 
     parts = [
         (
             f"mod{i:03d}",
             {
                 "docs_path": docs_path,
+                "docs_stat": docs_stat,
                 "mod": i,
                 "n_partitions": n_partitions,
                 "zones_ipc": str(zones_ipc),
+                "zones_sha": zones_sha,
                 "concurrency": concurrency,
             },
         )

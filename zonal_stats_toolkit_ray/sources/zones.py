@@ -174,6 +174,13 @@ class ZoneSet:
         self.unique_groups = sorted(
             set(self.fid_to_group.values()), key=lambda v: (v is None, str(v))
         )
+        # precomputed fid→group LUT arrays for vectorized groups_for_fids
+        # (sorted fid keys + a parallel Arrow string array of group values;
+        # built once per ZoneSet instead of per batch)
+        self._lut_fids = np.asarray(self.all_fids, dtype=np.int64)
+        self._lut_groups = pa.array(
+            [self.fid_to_group[f] for f in self.all_fids], pa.string()
+        )
 
         self.interior_cell_res = interior_cell_res
         # cell_id → fid for cells proven interior to exactly one zone part;
@@ -218,8 +225,17 @@ class ZoneSet:
 
     def _classify_cell(self, cell: int) -> int:
         """cell id → cached classification: -1 outside every zone, -2 on a
-        zone boundary (needs per-point PIP), else the single containing fid."""
+        zone boundary (needs per-point PIP), else the fid every point in the
+        cell resolves to.
+
+        Exact for arbitrary (including concave) rings: if NO candidate
+        ring's edges intersect the cell box, even-odd parity is constant
+        across the box for every candidate, so one corner test per
+        candidate decides containment and highest-fid-wins picks the
+        winner.  Any edge crossing the box → -2 (per-point PIP fallback).
+        """
         from ..geom import cellid as _cellid
+        from ..geom.pip import ring_edges_intersect_bbox
 
         hit = self._cell_cache.get(cell)
         if hit is None:
@@ -229,12 +245,18 @@ class ZoneSet:
             cand = self.tree.query_bbox(x0, y0, x1, y1)
             if cand.size == 0:
                 hit = -1
-            elif cand.size == 1 and ring_contains_bbox(
-                self.ring_x[cand[0]], self.ring_y[cand[0]], x0, y0, x1, y1
-            ):
-                hit = int(self.fid[cand[0]])
             else:
-                hit = -2  # boundary / multi-candidate cell
+                hit = -1
+                cx = np.array([x0])
+                cy = np.array([y0])
+                for j in cand.tolist():
+                    if ring_edges_intersect_bbox(
+                        self.ring_x[j], self.ring_y[j], x0, y0, x1, y1
+                    ):
+                        hit = -2  # boundary cell: per-point PIP needed
+                        break
+                    if points_in_ring(cx, cy, self.ring_x[j], self.ring_y[j])[0]:
+                        hit = max(hit, int(self.fid[j]))
             self._cell_cache[cell] = hit
         return hit
 
@@ -303,11 +325,18 @@ class ZoneSet:
         return out
 
     def groups_for_fids(self, fids: np.ndarray) -> pa.Array:
-        """Vectorized fid → group_value lookup (None-able string array)."""
-        lut_fids = np.asarray(self.all_fids, dtype=np.int64)
-        lut_groups = [self.fid_to_group[f] for f in self.all_fids]
-        pos = np.searchsorted(lut_fids, fids)
-        pos = np.clip(pos, 0, len(lut_fids) - 1)
-        ok = lut_fids[pos] == fids
-        vals = [lut_groups[p] if k else None for p, k in zip(pos.tolist(), ok.tolist())]
-        return pa.array(vals, pa.string())
+        """Vectorized fid → group_value lookup (None-able string array).
+
+        Uses the LUT precomputed in ``__init__``: one ``searchsorted`` over
+        int64 keys + an Arrow ``take`` with null indices for misses — no
+        per-row Python and no per-batch LUT rebuild."""
+        fids = np.asarray(fids, dtype=np.int64)
+        pos = np.searchsorted(self._lut_fids, fids)
+        pos = np.clip(pos, 0, max(len(self._lut_fids) - 1, 0))
+        ok = self._lut_fids[pos] == fids if len(self._lut_fids) else np.zeros(
+            fids.shape, dtype=bool
+        )
+        take_idx = pa.array(
+            np.where(ok, pos, 0).astype(np.int64), mask=~ok
+        )  # null index → null output
+        return self._lut_groups.take(take_idx)

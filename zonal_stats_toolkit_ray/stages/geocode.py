@@ -14,12 +14,29 @@ import numpy as np
 import pyarrow as pa
 
 _P = np.uint64(31)
-_MAX_POW = 1 << 16  # longest supported string for the power table
+_INIT_POW = 1 << 16  # initial power-table length; grows on demand
 with np.errstate(over="ignore"):
     # powers of 31 mod 2^64 (intentional uint64 wraparound)
     _POW31 = np.multiply.accumulate(
-        np.concatenate([[np.uint64(1)], np.full(_MAX_POW - 1, _P)]), dtype=np.uint64
+        np.concatenate([[np.uint64(1)], np.full(_INIT_POW - 1, _P)]), dtype=np.uint64
     )
+
+
+def _pow_table(n: int) -> np.ndarray:
+    """Powers of 31 mod 2^64 with length ≥ n, grown (and cached) on demand so
+    arbitrarily long documents hash without an index error."""
+    global _POW31
+    if n > _POW31.size:
+        grow = max(n, _POW31.size * 2)
+        with np.errstate(over="ignore"):
+            ext = _POW31[-1] * _P * np.multiply.accumulate(
+                np.concatenate(
+                    [[np.uint64(1)], np.full(grow - _POW31.size - 1, _P)]
+                ),
+                dtype=np.uint64,
+            )
+            _POW31 = np.concatenate([_POW31, ext])
+    return _POW31
 
 
 def hash64_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
@@ -49,7 +66,8 @@ def hash64_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     # exponent of each byte = (its string's end-1) - (its global position)
     byte_pos = np.arange(total_lo, total_hi, dtype=np.int64)
     exp = np.repeat(ends - 1, lens) - byte_pos
-    terms = seg * _POW31[exp]
+    pow31 = _pow_table(int(lens.max()) if lens.size else 1)
+    terms = seg * pow31[exp]
     csum = np.cumsum(terms, dtype=np.uint64)  # wraps mod 2^64
     zero = np.uint64(0)
     cs = np.concatenate([[zero], csum])

@@ -86,7 +86,12 @@ def session_windows(
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
-        ts = g[ts_col].astype("int64").to_numpy() / 1e6  # seconds
+        # normalize the unit explicitly: the arrow→pandas dtype may be
+        # datetime64[us] or [ns] depending on versions, and a raw int64 view
+        # would be off by 1000× in one of them
+        ts = (
+            g[ts_col].to_numpy().astype("datetime64[us]").astype("int64") / 1e6
+        )  # seconds
         new = np.ones(len(g), dtype=bool)
         if len(g) > 1:
             new[1:] = (ts[1:] - ts[:-1]) > gap_seconds

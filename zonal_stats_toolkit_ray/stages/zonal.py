@@ -4,7 +4,17 @@ aggregate semantics (``/root/reference/runner.py:653-685, 848-917``):
 
 * ``count``      = pixels/points assigned to the zone (incl. nodata)
 * ``nodata_count`` via ``np.isclose`` (quirk Q2, not ``==``)
-* ``sum`` / ``sumsq`` over valid values (float64 accumulation)
+* ``sum`` / ``sumsq`` over valid values.  DELIBERATE PRECISION
+  IMPROVEMENT over the reference: the reference's main pass sums each
+  float32 block in float32 (``runner.py:681-682`` — ``np.sum`` of a
+  float32 array has a float32 pairwise accumulator) before adding into a
+  Python float; this engine promotes values to float64 BEFORE the
+  per-batch sum, so ``sum``/``stdev`` can differ from the reference in the
+  last float32 ulps on large / ill-conditioned data.  Oracle equality is
+  therefore numeric-tolerance (and exact on the conformance fixtures,
+  whose magnitudes don't exercise the gap); the engine's answer is the
+  more accurate one.  ``count``/``min``/``max``/``nodata_count`` and all
+  join/tile assignments remain row-identical.
 * ``min`` / ``max`` over valid values (None when none)
 * finalize: ``valid_count = count − nodata_count``; population stdev with
   negative-variance clamp (quirk Q3); exact percentiles via
