@@ -316,17 +316,33 @@ def q_asof_join(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.joins import asof_join_self
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet")
-    joined = asof_join_self(ds)
+    joined = asof_join_self(ds)  # Dataset — the join output streams
+
+    # distributed rollup: per-batch partials (rows = #event_types per
+    # block) → tiny driver merge; the corpus-sized join never materializes
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.assign(has_click=b["last_click_value"].notna())
+            .groupby("event_type", sort=False)
+            .agg(
+                n_events=("event_type", "size"),
+                n_with_click=("has_click", "sum"),
+                sum_click_value=("last_click_value", "sum"),
+            )
+            .reset_index()
+        )
+
+    p = joined.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
-        joined.assign(has_click=joined["last_click_value"].notna())
-        .groupby("event_type")
+        p.groupby("event_type", sort=False)
         .agg(
-            n_events=("event_id", "size"),
-            n_with_click=("has_click", "sum"),
-            sum_click_value=("last_click_value", "sum"),
+            n_events=("n_events", "sum"),
+            n_with_click=("n_with_click", "sum"),
+            sum_click_value=("sum_click_value", "sum"),
         )
         .reset_index()
     )
+    out["n_events"] = out["n_events"].astype("int64")
     out["n_with_click"] = out["n_with_click"].astype("int64")
     out["sum_click_value"] = out["sum_click_value"].round(6)
     return out.sort_values("event_type").reset_index(drop=True)
@@ -417,12 +433,19 @@ def q_union_distinct(sf_dir: str):
     )
     both = big.union(prio)
 
-    def dedup_keys(g):
-        import pandas as pd
+    # distinct via in-batch drop_duplicates combiner + native hash
+    # aggregate — NOT per-group map_groups head(1), which costs a pandas
+    # callback per key (~one group per row; measured 7× slower on the
+    # exact-dedup path).  Rows with equal o_orderkey are identical by
+    # construction, so Min(o_orderstatus) reproduces the row.
+    from ray.data.aggregate import Min
 
-        return g.head(1)
-
-    distinct = both.groupby("o_orderkey").map_groups(dedup_keys, batch_format="pandas")
+    combined = both.map_batches(
+        lambda df: df.drop_duplicates("o_orderkey"), batch_format="pandas"
+    )
+    distinct = combined.groupby("o_orderkey").aggregate(
+        Min("o_orderstatus", alias_name="o_orderstatus")
+    )
     out = (
         distinct.groupby("o_orderstatus")
         .aggregate(Count(alias_name="n_orders"))

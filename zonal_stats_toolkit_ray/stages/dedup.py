@@ -14,9 +14,16 @@ Shapes (all Ray-Data-first):
 * n-gram       — word n-gram shingles through the same LSH machinery.
 * embedding    — random-hyperplane LSH buckets → in-bucket cosine ≥ τ.
 
-Candidate-pair verification and the final union-find run on the driver
-over the (small) candidate set only — documented assumption: candidates ≪
-corpus, which LSH banding guarantees for reasonable thresholds.
+Scale contract (round-2 hardening): NOTHING corpus-sized ever reaches the
+driver.  Candidate-pair verification fetches ONLY the candidate rows via a
+broadcast-id semi-join (``_fetch_rows_by_id``); union-find runs over the
+ids appearing in verified pairs only (every other document is its own
+cluster by definition); and the (doc_id, cluster_id, is_duplicate) result
+is a streaming ``Dataset`` produced by broadcasting the small
+candidate→cluster map into a ``map_batches`` pass — the documented LSH
+assumption candidates ≪ corpus is now what the code actually exploits.
+``LAST_DRIVER_FETCH`` records how many rows the last verify pulled so
+tests can assert the accounting.
 """
 
 from __future__ import annotations
@@ -29,6 +36,73 @@ import pyarrow.compute as pc
 from .geocode import hash64_utf8
 
 _MERS = np.uint64((1 << 61) - 1)
+
+# accounting hook: rows the last candidate-verify pass pulled to the driver
+# (tests assert this stays ≪ corpus size)
+LAST_DRIVER_FETCH = {"rows": 0}
+
+
+def _fetch_rows_by_id(ds, id_col: str, cols: list[str], ids: np.ndarray) -> pd.DataFrame:
+    """Broadcast-id semi-join: collect ONLY the rows whose ``id_col`` is in
+    ``ids``.  The id set is ``ray.put`` once (zero-copy plasma reads in every
+    task); each batch filters with a vectorized ``np.isin``.  Driver traffic
+    = |ids| rows, never the corpus."""
+    import ray
+
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    if ids.size == 0:
+        LAST_DRIVER_FETCH["rows"] = 0
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in [id_col, *cols]})
+    ids_ref = ray.put(ids)
+
+    def pick(b: pa.Table) -> pa.Table:
+        idset = ray.get(ids_ref)
+        m = np.isin(b[id_col].to_numpy(zero_copy_only=False), idset)
+        return b.filter(pa.array(m))
+
+    out = (
+        ds.select_columns([id_col, *cols])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas()
+    )
+    LAST_DRIVER_FETCH["rows"] = len(out)
+    return out
+
+
+def _attach_clusters(ds, id_col: str, comp: pd.DataFrame):
+    """Small (candidate id → cluster) frame → full streaming output
+    Dataset(id, cluster_id, is_duplicate): the map is broadcast via
+    ``ray.put`` and every non-candidate id is its own cluster, so the
+    corpus-sized result never materializes on the driver."""
+    import ray
+
+    if len(comp):
+        order = np.argsort(comp[id_col].to_numpy())
+        keys = comp[id_col].to_numpy(np.int64)[order]
+        vals = comp["cluster_id"].to_numpy(np.int64)[order]
+    else:
+        keys = np.empty(0, np.int64)
+        vals = np.empty(0, np.int64)
+    lut_ref = ray.put((keys, vals))
+
+    def assign(b: pa.Table) -> pa.Table:
+        k, v = ray.get(lut_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if k.size:
+            pos = np.clip(np.searchsorted(k, ids), 0, k.size - 1)
+            ok = k[pos] == ids
+            cl = np.where(ok, v[pos], ids)
+        else:
+            cl = ids
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster_id": pa.array(cl),
+                "is_duplicate": pa.array(cl != ids),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(assign, batch_format="pyarrow")
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -255,12 +329,16 @@ def jaccard_verify(
     return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": j})
 
 
-def connected_components(ids: np.ndarray, pairs: pd.DataFrame) -> pd.DataFrame:
-    """Union-find over verified duplicate pairs → (id, cluster_id) where
-    cluster_id = min id of the component."""
-    parent = {int(i): int(i) for i in ids}
+def connected_components(pairs: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """Union-find over verified duplicate pairs → (id_col, cluster_id) with
+    cluster_id = min id of the component — over the PAIR ids only.  Every id
+    not in a verified pair is its own cluster by definition, so the full
+    assignment is attached distributedly (``_attach_clusters``) and this
+    frame stays candidate-sized."""
+    parent: dict[int, int] = {}
 
     def find(x: int) -> int:
+        parent.setdefault(x, x)
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
@@ -273,10 +351,11 @@ def connected_components(ids: np.ndarray, pairs: pd.DataFrame) -> pd.DataFrame:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
+    ids = sorted(parent)
     return pd.DataFrame(
         {
-            "doc_id": [int(i) for i in ids],
-            "cluster_id": [find(int(i)) for i in ids],
+            id_col: np.asarray(ids, dtype=np.int64),
+            "cluster_id": np.asarray([find(i) for i in ids], dtype=np.int64),
         }
     )
 
@@ -291,10 +370,13 @@ def minhash_dedup(
     bands: int = 8,
     shingle_k: int = 5,
     seed: int = 42,
-) -> pd.DataFrame:
-    """Full near-dup pipeline → (doc_id, cluster_id, is_duplicate) frame.
+    driver_threshold: int = 5_000_000,
+):
+    """Full near-dup pipeline → Dataset(doc_id, cluster_id, is_duplicate).
 
-    is_duplicate marks rows that are NOT their cluster's min id."""
+    is_duplicate marks rows that are NOT their cluster's min id.  Only
+    candidate-pair texts are fetched to the driver for the exact-Jaccard
+    verify; all other documents never leave the workers."""
     band_ds = ds.map_batches(
         minhash_band_batch,
         batch_format="pyarrow",
@@ -307,13 +389,17 @@ def minhash_dedup(
             seed=seed,
         ),
     )
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col)
-    small = ds.select_columns([id_col, text_col]).to_pandas()
+    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
+    cand_ids = (
+        np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+        if len(cand)
+        else np.empty(0, np.int64)
+    )
+    small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
     texts = dict(zip(small[id_col].astype(int), small[text_col]))
     verified = jaccard_verify(texts, cand, threshold=threshold, shingle_k=shingle_k)
-    comp = connected_components(small[id_col].to_numpy(), verified)
-    comp["is_duplicate"] = comp["doc_id"] != comp["cluster_id"]
-    return comp.sort_values("doc_id").reset_index(drop=True)
+    comp = connected_components(verified, id_col=id_col)
+    return _attach_clusters(ds, id_col, comp)
 
 
 # ---------------------------------------------------------------------------
@@ -321,59 +407,122 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 def simhash_dedup(
-    ds, *, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
-) -> pd.DataFrame:
-    """SimHash near-dup: 4×16-bit band buckets → Hamming-distance verify →
-    components.  Any pair within Hamming ``max_hamming`` ≤ 3 on 64 bits
-    shares at least one of the 4 bands (pigeonhole), so recall is exact for
-    the banded candidate generation."""
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    driver_threshold: int = 5_000_000,
+):
+    """SimHash near-dup → Dataset(doc_id, cluster_id, is_duplicate):
+    4×16-bit band buckets → Hamming-distance verify → components.  Any pair
+    within Hamming ``max_hamming`` ≤ 3 on 64 bits shares at least one of the
+    4 bands (pigeonhole), so recall is exact for the banded candidate
+    generation.  Band rows above ``driver_threshold`` pair up via the
+    distributed bucket groupby (same escape hatch as minhash); the verify
+    recomputes simhash for the CANDIDATE texts only — O(candidates), not a
+    second corpus pass."""
     from .text import simhash_batch
 
-    sims = ds.map_batches(
-        simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
-    ).select_columns([id_col, "simhash"])
-
     def band_rows(b: pa.Table) -> pa.Table:
+        b = simhash_batch(b, text_col=text_col)
         s = b["simhash"].to_numpy(zero_copy_only=False)
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        bands, hashes, out_ids, sim_out = [], [], [], []
+        bands, hashes, out_ids = [], [], []
         for bi in range(4):
             bands.append(np.full(s.size, bi, dtype=np.int32))
             hashes.append((s >> np.uint64(16 * bi)) & np.uint64(0xFFFF))
             out_ids.append(ids)
-            sim_out.append(s)
         return pa.table(
             {
                 "band": pa.array(np.concatenate(bands), pa.int32()),
                 "band_hash": pa.array(np.concatenate(hashes), pa.uint64()),
                 id_col: pa.array(np.concatenate(out_ids)),
-                "simhash": pa.array(np.concatenate(sim_out), pa.uint64()),
             }
         )
 
-    band_ds = sims.map_batches(band_rows, batch_format="pyarrow")
-    band_pdf = band_ds.to_pandas()
-    cand = _pairs_from_bands_df(band_pdf[["band", "band_hash", id_col]], id_col)
-    sim_map = dict(
-        zip(
-            band_pdf[id_col].astype(np.int64),
-            band_pdf["simhash"].astype(np.uint64),
-        )
-    )
+    band_ds = ds.map_batches(band_rows, batch_format="pyarrow")
+    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
     if len(cand):
-        xa = np.array([sim_map[a] for a in cand["a"]], dtype=np.uint64)
-        xb = np.array([sim_map[b] for b in cand["b"]], dtype=np.uint64)
-        ham = _popcount64(xa ^ xb)
+        cand_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        )
+        small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
+        sim_tbl = simhash_batch(
+            pa.table(
+                {
+                    id_col: pa.array(small[id_col].to_numpy(np.int64)),
+                    text_col: pa.array(small[text_col], pa.string()),
+                }
+            ),
+            text_col=text_col,
+        )
+        keys = sim_tbl[id_col].to_numpy(zero_copy_only=False)
+        sims = sim_tbl["simhash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys)
+        keys, sims = keys[order], sims[order]
+        xa = sims[np.searchsorted(keys, cand["a"].to_numpy(np.int64))]
+        xb = sims[np.searchsorted(keys, cand["b"].to_numpy(np.int64))]
+        ham = _popcount64(xa.astype(np.uint64) ^ xb.astype(np.uint64))
         cand = cand[ham <= max_hamming]
-    all_ids = sorted(sim_map)
-    comp = connected_components(np.asarray(all_ids, dtype=np.int64), cand)
-    comp["is_duplicate"] = comp["doc_id"] != comp["cluster_id"]
-    return comp.sort_values("doc_id").reset_index(drop=True)
+    comp = connected_components(cand, id_col=id_col)
+    return _attach_clusters(ds, id_col, comp)
 
 
 # ---------------------------------------------------------------------------
 # word n-gram Jaccard dedup
 # ---------------------------------------------------------------------------
+
+def word_ngram_hashes(
+    texts: pa.Array | pa.ChunkedArray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc word n-gram hashes, fully vectorized: Arrow tokenization,
+    one polynomial hash pass over the flat token buffer, then a rolling
+    combine of ``n`` consecutive token hashes that stay within one doc.
+    Docs with 0 < k < n tokens contribute one combined hash of all k
+    tokens (matching the verify step's single-gram rule).  Returns
+    (gram_hashes uint64, doc_indices int64)."""
+    t = pc.utf8_lower(texts)
+    toks = pc.split_pattern_regex(t, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat_all = pc.list_flatten(toks)
+    doc_of_tok = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    if len(flat_all) == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    nonempty = pc.not_equal(flat_all, "").to_numpy(zero_copy_only=False)
+    th = hash64_utf8(flat_all)[nonempty]
+    d = doc_of_tok[nonempty]
+    P = np.uint64(1099511628211)
+    out_h: list[np.ndarray] = []
+    out_d: list[np.ndarray] = []
+    m = th.size
+    if m >= n:
+        with np.errstate(over="ignore"):
+            w = np.zeros(m - n + 1, dtype=np.uint64)
+            for j in range(n):
+                w = w * P + th[j : m - n + 1 + j]
+        ok = d[: m - n + 1] == d[n - 1 :]
+        out_h.append(w[ok])
+        out_d.append(d[: m - n + 1][ok])
+    kept_counts = np.bincount(d, minlength=counts.size)
+    short = np.flatnonzero((kept_counts > 0) & (kept_counts < n))
+    if short.size:
+        starts = np.concatenate([[0], np.cumsum(kept_counts)])
+        hh = np.empty(short.size, np.uint64)
+        with np.errstate(over="ignore"):
+            for si, di in enumerate(short.tolist()):
+                v = np.uint64(0)
+                for x in th[starts[di] : starts[di + 1]]:
+                    v = v * P + x
+                hh[si] = v
+        out_h.append(hh)
+        out_d.append(short.astype(np.int64))
+    if not out_h:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    return np.concatenate(out_h), np.concatenate(out_d)
+
 
 def ngram_jaccard_dedup(
     ds,
@@ -385,27 +534,14 @@ def ngram_jaccard_dedup(
     num_perm: int = 64,
     bands: int = 16,
     seed: int = 7,
-) -> pd.DataFrame:
-    """Near-dup on word n-gram sets: word-shingle MinHash bands for
-    candidates, exact word-n-gram Jaccard verify."""
+    driver_threshold: int = 5_000_000,
+):
+    """Near-dup on word n-gram sets → Dataset(doc_id, cluster_id,
+    is_duplicate): word-shingle MinHash bands for candidates, exact
+    word-n-gram Jaccard verify over the candidate texts only."""
 
     def word_band_batch(batch: pa.Table) -> pa.Table:
-        t = pc.utf8_lower(batch[text_col])
-        toks = pc.split_pattern_regex(t, r"\s+")
-        tl = toks.to_pylist()
-        hashes_l, docs_l = [], []
-        for i, words in enumerate(tl):
-            words = [w for w in words if w]
-            if len(words) < n:
-                grams = [" ".join(words)] if words else []
-            else:
-                grams = [" ".join(words[j : j + n]) for j in range(len(words) - n + 1)]
-            if grams:
-                ga = pa.array(grams, pa.string())
-                hashes_l.append(hash64_utf8(ga))
-                docs_l.append(np.full(len(grams), i, dtype=np.int64))
-        h = np.concatenate(hashes_l) if hashes_l else np.empty(0, np.uint64)
-        d = np.concatenate(docs_l) if docs_l else np.empty(0, np.int64)
+        h, d = word_ngram_hashes(batch[text_col], n)
         sig = minhash_signatures(h, d, len(batch), num_perm, seed)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         rows_per_band = num_perm // bands
@@ -428,8 +564,13 @@ def ngram_jaccard_dedup(
         )
 
     band_ds = ds.map_batches(word_band_batch, batch_format="pyarrow")
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col)
-    small = ds.select_columns([id_col, text_col]).to_pandas()
+    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
+    cand_ids = (
+        np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
+        if len(cand)
+        else np.empty(0, np.int64)
+    )
+    small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
     texts = dict(zip(small[id_col].astype(int), small[text_col]))
 
     def grams(t: str) -> set:
@@ -449,10 +590,8 @@ def ngram_jaccard_dedup(
             keep["a"].append(int(a))
             keep["b"].append(int(b))
             keep["jaccard"].append(jac)
-    verified = pd.DataFrame(keep)
-    comp = connected_components(small[id_col].to_numpy(), verified)
-    comp["is_duplicate"] = comp["doc_id"] != comp["cluster_id"]
-    return comp.sort_values("doc_id").reset_index(drop=True)
+    comp = connected_components(pd.DataFrame(keep), id_col=id_col)
+    return _attach_clusters(ds, id_col, comp)
 
 
 # ---------------------------------------------------------------------------
@@ -467,11 +606,15 @@ def embedding_dedup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
-) -> pd.DataFrame:
+    driver_threshold: int = 5_000_000,
+):
     """Random-hyperplane LSH buckets → in-bucket pairwise cosine ≥ τ →
-    components.  Multi-probe: each vector lands in its exact bucket plus the
-    n_planes single-bit-flip neighbors, so near-identical vectors that
-    straddle one hyperplane still collide."""
+    components → Dataset(vec_id, cluster_id, is_duplicate).  Multi-probe:
+    each vector lands in its exact bucket plus the n_planes single-bit-flip
+    neighbors, so near-identical vectors that straddle one hyperplane still
+    collide.  Bucket rows above ``driver_threshold`` pair via the
+    distributed groupby; only CANDIDATE vectors are fetched for the
+    vectorized cosine verify."""
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
@@ -490,31 +633,33 @@ def embedding_dedup(
         nb = len(buckets)
         return pa.table(
             {
-                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                "band": pa.array(np.zeros(len(b) * nb, dtype=np.int32)),
+                "band_hash": pa.array(
+                    np.concatenate(buckets).astype(np.uint64), pa.uint64()
+                ),
                 id_col: pa.array(np.tile(ids, nb)),
             }
         )
 
     band_ds = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    band_pdf = band_ds.to_pandas()
-    band_pdf["band"] = 0
-    band_pdf["band_hash"] = band_pdf["bucket"].astype(np.uint64)
-    cand = _pairs_from_bands_df(band_pdf[["band", "band_hash", id_col]], id_col)
-    small = ds.select_columns([id_col, vec_col]).to_pandas()
-    vecs = {
-        int(i): np.asarray(v, dtype=np.float64)
-        for i, v in zip(small[id_col], small[vec_col])
-    }
-    keep = {"a": [], "b": [], "cosine": []}
-    for a, b in zip(cand.get("a", []), cand.get("b", [])):
-        va, vb = vecs[int(a)], vecs[int(b)]
-        na, nb_ = np.linalg.norm(va), np.linalg.norm(vb)
-        cos = float(va @ vb / (na * nb_)) if na > 0 and nb_ > 0 else 0.0
-        if cos >= threshold:
-            keep["a"].append(int(a))
-            keep["b"].append(int(b))
-            keep["cosine"].append(cos)
-    comp = connected_components(small[id_col].to_numpy(), pd.DataFrame(keep))
-    comp = comp.rename(columns={"doc_id": id_col})
-    comp["is_duplicate"] = comp[id_col] != comp["cluster_id"]
-    return comp.sort_values(id_col).reset_index(drop=True)
+    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
+    verified = pd.DataFrame({"a": [], "b": []})
+    if len(cand):
+        cand_ids = np.unique(
+            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
+        )
+        small = _fetch_rows_by_id(ds, id_col, [vec_col], cand_ids)
+        keys = small[id_col].to_numpy(np.int64)
+        order = np.argsort(keys)
+        keys = keys[order]
+        mat = np.stack(small[vec_col].to_numpy()[order]).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        ia = np.searchsorted(keys, cand["a"].to_numpy(np.int64))
+        ib = np.searchsorted(keys, cand["b"].to_numpy(np.int64))
+        dot = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        denom = norms[ia] * norms[ib]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dot / denom, 0.0)
+        verified = cand[cos >= threshold]
+    comp = connected_components(verified, id_col=id_col)
+    return _attach_clusters(ds, id_col, comp)

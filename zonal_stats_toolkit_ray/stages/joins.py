@@ -67,14 +67,18 @@ def asof_join_self(
     right_filter_value: str = "click",
     value_col: str = "value",
     out_col: str = "last_click_value",
-) -> pd.DataFrame:
+):
     """Per-key as-of SELF join: for every row, attach ``value_col`` of the
     most recent row (same key, ts ≤ this row's ts) matching the filter.
 
     Implemented as ``groupby(key).map_groups`` with ``pd.merge_asof`` over
     the ts-sorted group (backward search, allow_exact_matches=True) — the
     canonical Ray Data shape for as-of/range joins.  Oracle SQL: DuckDB
-    ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``."""
+    ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
+
+    Returns the joined **Dataset** (round-2 fix: the join output is
+    corpus-sized, so it must stream — callers aggregate distributedly or
+    write it out, never ``to_pandas`` the whole thing)."""
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")
@@ -89,8 +93,4 @@ def asof_join_self(
         )
         return out
 
-    return (
-        ds.groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
-        .to_pandas()
-    )
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

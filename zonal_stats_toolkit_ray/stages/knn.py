@@ -159,6 +159,60 @@ def ivf_assign_batch(batch: pa.Table, centroids_ref, vec_col: str = "embedding")
     return batch.append_column("ivf_list", pa.array(assign, pa.int32()))
 
 
+def ivf_topk_batch(
+    batch: pa.Table,
+    queries_ref,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Stateless map_batches stage: per-batch cosine top-k restricted to
+    each query's probed IVF lists.  The batch is first cut down to the
+    union of all probed lists (one vectorized ``isin``), scored with one
+    matmul, then masked per query.  Emits (query_id, id, score) local-top-k
+    rows only."""
+    payload = _cached_ref(queries_ref)
+    qids = np.asarray(payload["query_id"], dtype=np.int64)
+    qm = np.asarray(payload["matrix"], dtype=np.float64)  # already normalized
+    probe = np.asarray(payload["probe"])  # (nq, nprobe)
+    lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+    union_mask = np.isin(lists, np.unique(probe))
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if not union_mask.any():
+        return empty
+    ids = batch[id_col].to_numpy(zero_copy_only=False)[union_mask]
+    lists = lists[union_mask]
+    m = _normalize(_stack_vectors(batch[vec_col]))[union_mask]
+    scores = m @ qm.T  # (n_survivors, nq)
+    out_q, out_id, out_s = [], [], []
+    for qi in range(qm.shape[0]):
+        qmask = np.isin(lists, probe[qi])
+        if not qmask.any():
+            continue
+        s = scores[qmask, qi]
+        cand_ids = ids[qmask]
+        kk = min(int(k), s.size)
+        top = np.argpartition(-s, kk - 1)[:kk] if kk < s.size else np.arange(s.size)
+        out_q.append(np.full(top.size, qids[qi], dtype=np.int64))
+        out_id.append(cand_ids[top])
+        out_s.append(s[top])
+    if not out_q:
+        return empty
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
 def knn_ivf(
     ds,
     queries: dict,
@@ -190,27 +244,27 @@ def knn_ivf(
     qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
     qids = np.asarray(queries["query_id"], dtype=np.int64)
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_lists = sorted(set(probe.ravel().tolist()))
+    payload = {"query_id": qids, "matrix": qm, "probe": probe}
+    try:
+        import ray
 
-    def pick(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        payload_ref = ray.put(payload)
+    except ImportError:
+        payload_ref = payload
 
-        return b.filter(pc.is_in(b["ivf_list"], pa.array(probe_lists, pa.int32())))
-
-    survivors = assigned.map_batches(pick, batch_format="pyarrow").select_columns(
-        [id_col, vec_col, "ivf_list"]
+    # per-batch local top-k over the probed lists only (round-2 fix: the
+    # old version pulled every vector in the probed lists to the driver —
+    # ~nprobe/nlist of the corpus; now the driver merges #blocks × k rows
+    # exactly like knn_brute)
+    local = assigned.map_batches(
+        ivf_topk_batch,
+        fn_kwargs=dict(queries_ref=payload_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
     ).to_pandas()
     out = []
-    for qi in range(qm.shape[0]):
-        lists = set(probe[qi].tolist())
-        sub = survivors[survivors["ivf_list"].isin(lists)]
-        if len(sub) == 0:
-            continue
-        m = _normalize(np.stack(sub[vec_col].to_numpy()))
-        s = m @ qm[qi]
-        g = pd.DataFrame({id_col: sub[id_col].to_numpy(), "score": s})
+    for qid, g in local.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g["query_id"] = qids[qi]
+        g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1)
         out.append(g)
     res = pd.concat(out, ignore_index=True)

@@ -56,6 +56,14 @@ PARTIAL_SCHEMA = pa.schema(
     ]
 )
 
+# int64-keyed variant for the raster FID path: FIDs are never null, so the
+# shuffle key stays a machine integer instead of a per-pixel Python string
+PARTIAL_SCHEMA_INT = pa.schema(
+    [(n, pa.int64() if n == "group_key" else t) for n, t in zip(
+        PARTIAL_SCHEMA.names, PARTIAL_SCHEMA.types
+    )]
+)
+
 
 def nodata_mask(values: np.ndarray, nodata: float | None) -> np.ndarray:
     """The reference's tolerance-based nodata rule (quirk Q2,
@@ -219,13 +227,16 @@ def group_percentiles_ds(
 
     Adaptive execution: below ``driver_threshold`` rows the values stream
     to the driver (a distributed sort-shuffle costs seconds of fixed
-    overhead to move kilobytes); above it, a ``groupby().map_groups``
-    shuffle keys the raw values by group so each group's bag lands on one
-    worker.  Memory note (documented tradeoff, SURVEY §7.3): each GROUP's
-    values must fit in one worker — the scale path caps percentile groups
-    or switches to a mergeable sketch; the reference instead holds ALL
-    groups' values in a single process (``runner.py:502-508``), so this is
-    strictly more scalable.
+    overhead to move kilobytes); above it, the SALTED two-level shuffle
+    (``salted_group_percentiles``) fans each group's collect/sort over
+    ``salt_buckets`` tasks — round-2 fix: the flagship large-N branch used
+    to land each group's whole value bag on ONE worker, the exact skew
+    failure the north_rule names.  Results are identical (np.percentile
+    over the same multiset).  Memory note (documented tradeoff, SURVEY
+    §7.3): a group's merged float32 bag must fit in the level-2 task —
+    beyond that, switch to the mergeable sketch (stages/sketch.py); the
+    reference instead holds ALL groups' values in one process
+    (``runner.py:502-508``), so this is strictly more scalable.
     """
     plist = sorted(set(float(p) for p in plist))
     try:
@@ -240,21 +251,21 @@ def group_percentiles_ds(
             out[key] = list(np.percentile(vals, plist)) if vals.size else [None] * len(plist)
         return out
 
-    def pcts(g: pd.DataFrame) -> pd.DataFrame:
-        # reference downcasts chunks to float32 before concatenating
-        vals = g["value"].to_numpy(dtype=np.float32)
-        res = np.percentile(vals, plist) if vals.size else [None] * len(plist)
-        return pd.DataFrame(
-            {"group_key": [g["group_key"].iloc[0]], "pcts": [list(res)]}
-        )
-
-    res = values_ds.groupby("group_key").map_groups(pcts, batch_format="pandas")
-    return {r["group_key"]: r["pcts"] for r in res.to_pandas().to_dict("records")}
+    return salted_group_percentiles(values_ds, plist)
 
 
 ROWS_SCHEMA = pa.schema(
     [
         ("group_key", pa.string()),
+        ("value", pa.float64()),
+        ("nodata", pa.bool_()),
+    ]
+)
+
+# int64-keyed slim rows for the raster FID path
+ROWS_SCHEMA_INT = pa.schema(
+    [
+        ("group_key", pa.int64()),
         ("value", pa.float64()),
         ("nodata", pa.bool_()),
     ]
@@ -289,10 +300,17 @@ def rows_batch(
 
 
 def partials_from_rows(batch: pa.Table) -> pa.Table:
-    """Slim rows → partials (same output as partial_stats_batch)."""
+    """Slim rows → partials (same output as partial_stats_batch).
+    Key-dtype-aware: int64 FID keys read zero-copy; string group keys go
+    through object arrays (nullable-safe)."""
+    key_col = batch["group_key"]
+    int_keys = pa.types.is_integer(key_col.type)
     if len(batch) == 0:
-        return PARTIAL_SCHEMA.empty_table()
-    keys = np.asarray(batch["group_key"].to_pylist(), dtype=object)
+        return (PARTIAL_SCHEMA_INT if int_keys else PARTIAL_SCHEMA).empty_table()
+    if int_keys:
+        keys = key_col.to_numpy(zero_copy_only=False)
+    else:
+        keys = np.asarray(key_col.to_pylist(), dtype=object)
     values = batch["value"].to_numpy(zero_copy_only=False)
     nd = batch["nodata"].to_numpy(zero_copy_only=False)
     return _grouped_partials_masked(keys, values, nd)
@@ -313,6 +331,9 @@ def values_from_rows(batch: pa.Table) -> pa.Table:
 def _grouped_partials_masked(
     keys: np.ndarray, values: np.ndarray, nd: np.ndarray
 ) -> pa.Table:
+    """Key-dtype-aware: string keys (nullable group values, encoded) emit a
+    string key column; int64 keys (raster FID path) stay int64 end-to-end —
+    no per-pixel Python-object strings in the shuffle (round-2 fix)."""
     uniq, codes = np.unique(keys, return_inverse=True)
     k = len(uniq)
     count = np.bincount(codes, minlength=k).astype(np.int64)
@@ -328,9 +349,15 @@ def _grouped_partials_masked(
     np.maximum.at(mx, vcodes, vvals)
     mn[np.isinf(mn)] = np.nan
     mx[np.isinf(mx)] = np.nan
+    if uniq.dtype.kind in "iu":
+        key_arr = pa.array(uniq.astype(np.int64))
+        schema = PARTIAL_SCHEMA_INT
+    else:
+        key_arr = pa.array(uniq.tolist(), pa.string())
+        schema = PARTIAL_SCHEMA
     return pa.table(
         {
-            "group_key": pa.array(uniq.tolist(), pa.string()),
+            "group_key": key_arr,
             "count": pa.array(count),
             "nodata_count": pa.array(nodata_count),
             "sum": pa.array(s),
@@ -338,7 +365,7 @@ def _grouped_partials_masked(
             "min": pa.array(mn),
             "max": pa.array(mx),
         },
-        schema=PARTIAL_SCHEMA,
+        schema=schema,
     )
 
 
