@@ -308,6 +308,31 @@ def q_semi_join(sf_dir: str):
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def q_hash_join(sf_dir: str):
+    """Large×large hash-partitioned join (lineitem ⋈ orders on orderkey —
+    neither side broadcastable at scale) → distributed grouped rollup.
+    Both sides hash-shuffle into buckets; matching buckets join pairwise
+    (Ray Dataset.join)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    out = (
+        j.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty"))
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(6)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_asof_join(sf_dir: str):
     """Per-user as-of self join on events: attach the most recent prior (or
     simultaneous) 'click' value to every event; grouped rollup keeps the
@@ -349,11 +374,18 @@ def q_asof_join(sf_dir: str):
 
 
 def q_approx_percentiles(sf_dir: str):
-    """Mergeable-sketch grouped percentiles (scale path; rows-only check —
-    approximate by design, accuracy gated in tests/test_sketch.py)."""
+    """Mergeable-sketch grouped percentiles with a HASH-CHECKABLE
+    bounded-error certificate (round-2: was rows-only).  The sketch values
+    themselves are approximate, so the emitted row per zone is the
+    pass/fail of the accuracy bound |sketch − exact| / value_range ≤ 0.02
+    (the same bound tests/test_sketch.py gates) against an independent
+    ``np.percentile`` ground truth; the oracle simply asserts every zone
+    row is TRUE — a sketch regression flips rows to FALSE and breaks the
+    value hash."""
     import ray.data as rd
     from zonal_stats_toolkit_ray.stages.sketch import approx_group_percentiles
 
+    PL = [5.0, 50.0, 95.0]
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     z = ds.map_batches(_grid_zone_batch, batch_format="pyarrow")
     vals = z.map_batches(
@@ -364,14 +396,30 @@ def q_approx_percentiles(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    )
-    res = approx_group_percentiles(vals, [5.0, 50.0, 95.0])
-    return pd.DataFrame(
-        [
-            {"zone_id": int(k), "p5": v[0], "p50": v[1], "p95": v[2]}
-            for k, v in sorted(res.items(), key=lambda kv: int(kv[0]))
-        ]
-    )
+    ).materialize()
+    res = approx_group_percentiles(vals, PL)
+
+    # independent ground truth (tiny at verification scale; the sketch
+    # remains the scale path — this check is the certificate).  Bound in
+    # RANK space: the estimate must sit within 2 positions + 2%·n of the
+    # target rank in the group's sorted values (a value-space bound is
+    # meaningless for tiny groups where the histogram interpolates between
+    # a handful of points).
+    vdf = vals.to_pandas()
+    rows = []
+    for k in sorted(res, key=lambda kv: int(kv)):
+        est = np.asarray(res[k], dtype=np.float64)
+        v = np.sort(vdf.loc[vdf["group_key"] == k, "value"].to_numpy())
+        n = v.size
+        ok = True
+        for p, e in zip(PL, est):
+            lo = np.searchsorted(v, e, side="left")
+            hi = np.searchsorted(v, e, side="right")
+            target = p / 100.0 * n
+            d = 0.0 if lo <= target <= hi else min(abs(target - lo), abs(target - hi))
+            ok &= d <= 2.0 + 0.02 * n
+        rows.append({"zone_id": int(k), "within_tol": bool(ok)})
+    return pd.DataFrame(rows)
 
 
 def q_anti_join(sf_dir: str):
@@ -597,14 +645,40 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    from zonal_stats_toolkit_ray.stages.text import fingerprint_batch, simhash_batch
+    """Rolling-hash document fingerprint, SQL-checkable (round-2: was
+    rows-only): the uint64 min-rolling-hash is reinterpreted as int64
+    (two's complement) so the DuckDB oracle — the same Rabin-Karp windows
+    written as a HUGEINT list comprehension — hash-matches exactly."""
+    from zonal_stats_toolkit_ray.stages.text import fingerprint_batch
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        fp = t["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint_i64": pa.array(fp.view(np.int64)),
+            }
+        )
+
     out = ds.map_batches(fingerprint_batch, batch_format="pyarrow").map_batches(
-        simhash_batch, batch_format="pyarrow"
+        to_i64, batch_format="pyarrow"
     )
-    return out.select_columns(["doc_id", "fingerprint", "simhash"])
+    return out
+
+
+def q_simhash_sigs(sf_dir: str):
+    """SimHash signatures per document (rows-only: token-level bit votes
+    need modular exponentiation DuckDB lacks; gated by pytest + the
+    dedup_simhash pipeline instead)."""
+    from zonal_stats_toolkit_ray.stages.text import simhash_batch
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "simhash"])
 
 
 def _pages_pipeline(sf_dir: str, percentiles=(5.0, 95.0)):
@@ -781,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": q_topk_orders,
         "join_broadcast": q_join_broadcast,
         "semi_join": q_semi_join,
+        "hash_join": q_hash_join,
         "asof_join": q_asof_join,
         "pages": q_pages,
         "union_distinct": q_union_distinct,
@@ -804,16 +879,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "simhash_sigs": q_simhash_sigs,
         "media_pipeline": q_media_pipeline,
         "config_job": q_config_job,
         "pages_job_resume": q_pages_job_resume,
     }
 
 
+_P257 = [257**k for k in range(8)]
+_FP_WIN = " + ".join(
+    f"unicode(substr(text, i+{j}, 1))::HUGEINT * {_P257[7-j]}::HUGEINT"
+    for j in range(8)
+)
+_P31_LIST = "[" + ",".join(str(31**k) for k in range(7)) + "]"
+# independent DuckDB implementation of the engine's Rabin-Karp fingerprint
+# (window=8, base 257, min over windows; short docs fall back to the base-31
+# full-text hash) — valid for ASCII corpora where code points == bytes,
+# which the driver testdata is; HUGEINT % 2^64 reproduces uint64 wraparound
+_FINGERPRINT_SQL = f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+    SELECT doc_id,
+      CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+                THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT)
+        AS fingerprint_i64
+    FROM (
+      SELECT doc_id,
+        CASE WHEN n >= 8 THEN
+          list_min([({_FP_WIN}) % 18446744073709551616::HUGEINT
+                    for i in generate_series(1, n-7)])
+        ELSE
+          COALESCE(list_sum([
+            unicode(substr(text, i, 1))::HUGEINT * ({_P31_LIST}[n-i+1])::HUGEINT
+            for i in generate_series(1, n)]), 0)
+          % 18446744073709551616::HUGEINT
+        END AS fp
+      FROM d)
+    ORDER BY doc_id
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "zonal_grid_join": f"""
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
+        """,
+        "fingerprint": _FINGERPRINT_SQL,
+        "hash_join": """
+            SELECT o.o_orderstatus,
+                   count(*) AS n_rows,
+                   round(sum(l.l_quantity), 6) AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+        """,
+        "approx_percentiles": f"""
+            SELECT {_GEO_SQL} AS zone_id, TRUE AS within_tol
+            FROM documents GROUP BY zone_id ORDER BY zone_id
         """,
         "zonal_grid_stats": f"""
             SELECT {_GEO_SQL} AS zone_id,

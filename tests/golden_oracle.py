@@ -139,7 +139,12 @@ def oracle_zonal_statistics(
                 if nodata is not None
                 else np.zeros(block.shape, bool)
             )
-            vb = block[~nd] if ignore_nodata else block
+            # NOTE: with ignore_nodata=False the reference would append the
+            # 2-D window block to the 1-D value bags and crash in
+            # np.concatenate (latent, unreachable: its job runner always
+            # passes True, runner.py:954-963).  We take the evident intent:
+            # the flattened pixel multiset.
+            vb = block[~nd] if ignore_nodata else block.ravel()
             st = {
                 "count": int(block.size),
                 "nodata_count": int(np.count_nonzero(nd)),

@@ -52,12 +52,14 @@ def test_fast_zonal_statistics_guards(ray_session, env):
     root, _ = env
     with pytest.raises(ValueError, match="single-band"):
         api.fast_zonal_statistics((str(root / "r1.parquet"), 2), str(root / "zones.parquet"))
-    with pytest.raises(NotImplementedError):
-        api.fast_zonal_statistics(
-            (str(root / "r1.parquet"), 1),
-            str(root / "zones.parquet"),
-            ignore_nodata=False,
-        )
+    # ignore_nodata=False is now implemented (round-2): it must RUN and
+    # report the same counts as True mode with nodata kept in the sums
+    res = api.fast_zonal_statistics(
+        (str(root / "r1.parquet"), 1),
+        str(root / "zones.parquet"),
+        ignore_nodata=False,
+    )
+    assert res and all("valid_count" in v for v in res.values())
 
 
 def test_run_zonal_stats_job_csv(ray_session, env, tmp_path):

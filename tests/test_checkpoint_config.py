@@ -188,3 +188,36 @@ def test_run_config_end_to_end(ray_session, config_env):
     assert np.isclose(float(rows[0]["sum_rasterA"]), want[g0]["sum"])
     assert int(rows[0]["count_rasterA"]) == want[g0]["count"]
     assert "p2.5_rasterB" in rows[0]
+
+
+def test_run_config_two_jobs_concurrent(ray_session, config_env):
+    """VERDICT item 9: ≥2 jobs run concurrently (reference parity with one
+    process per [job:*], runner.py:1075-1077) and produce the same CSVs as
+    a serial run."""
+    from zonal_stats_toolkit_ray.pipelines.runner import run_config
+
+    root, cfg = config_env
+    two = root / "twojobs.ini"
+    text = cfg.read_text().replace("myproj", "twojobs")
+    text += """
+[job:second]
+agg_vector = %s
+agg_field = group_value
+operations = avg,valid_count
+row_col_order = base_raster,agg_field
+base_raster_pattern = %s/rasterA.parquet
+""" % (root / "zones.parquet", root)
+    two.write_text(text)
+
+    outs = run_config(str(two), timestamp="2026_01_02_00_00_00")
+    assert [o.name for o in outs] == [
+        "biomes_2026_01_02_00_00_00.csv",
+        "second_2026_01_02_00_00_00.csv",
+    ]
+    concurrent_content = [o.read_text() for o in outs]
+
+    outs_serial = run_config(
+        str(two), timestamp="2026_01_03_00_00_00", concurrent_jobs=1
+    )
+    serial_content = [o.read_text() for o in outs_serial]
+    assert concurrent_content == serial_content

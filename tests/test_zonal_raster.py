@@ -126,3 +126,50 @@ def test_pivot_both_orders(ray_session, tiles_ds):
 
     with pytest.raises(ValueError):
         pivot_stats(by_stem, stems, "bogus,order", "biome")
+
+
+@pytest.mark.parametrize("percentiles", [[], [5.0, 95.0]])
+def test_ignore_nodata_false_matches_oracle(ray_session, tiles_ds, percentiles):
+    """Round-2: ignore_nodata=False keeps nodata values in
+    sum/sumsq/min/max and the percentile bags (runner.py:657-667, 778-811)
+    while valid_count/stdev keep their count-based denominators."""
+    zt = synth_zones(seed=42, n_zones=24, include_subpixel=True, subpixel_size=0.01)
+    zs = ZoneSet(zt)
+    arr = dense_array(GRID, seed=42)
+    want = oracle_zonal_statistics(
+        arr, GRID, zt, percentiles, ignore_nodata=False
+    )
+    got = zonal_stats_raster(
+        tiles_ds, GRID, zs, percentiles=percentiles, ignore_nodata=False
+    )
+    _stats_equal(got, want)
+    # the fixture has nodata pixels, so False must actually differ from True
+    got_true = zonal_stats_raster(tiles_ds, GRID, zs, percentiles=percentiles)
+    assert any(
+        got[g]["sum"] != got_true[g]["sum"]
+        for g in got
+        if got[g]["nodata_count"] > 0
+    )
+
+
+def test_api_ignore_nodata_false(ray_session, tmp_path):
+    """Public-API path: fast_zonal_statistics(ignore_nodata=False) now runs
+    (was NotImplementedError) and matches the oracle."""
+    import pyarrow.parquet as pq
+
+    from zonal_stats_toolkit_ray.api import fast_zonal_statistics
+    from zonal_stats_toolkit_ray.sources.raster import write_tiles
+    from zonal_stats_toolkit_ray.sources.zones import synth_zones as sz
+
+    raster = tmp_path / "r.parquet"
+    write_tiles(str(raster), GRID, seed=42)
+    zt = sz(seed=42, n_zones=12)
+    zpath = tmp_path / "zones.parquet"
+    pq.write_table(zt, zpath)
+    got = fast_zonal_statistics(
+        (str(raster), 1), str(zpath), ignore_nodata=False
+    )
+    want = oracle_zonal_statistics(
+        dense_array(GRID, seed=42), GRID, zt, None, ignore_nodata=False
+    )
+    _stats_equal(got, want)

@@ -41,8 +41,11 @@ def fast_zonal_statistics(
     * ``aggregate_vector_field`` must be "group_value" (the engine's zones
       schema carries the agg field under that name; reshape upstream for
       arbitrary fields).
-    * ``ignore_nodata=False`` is not supported (the reference's job runner
-      always passes True, runner.py:954-963 — quirk Q7).
+    * ``ignore_nodata=False`` keeps nodata values in sum/sumsq/min/max and
+      the percentile value bags while count/nodata_count/valid_count keep
+      their usual meaning — exactly the reference's ``runner.py:657-667,
+      778-811`` behavior (the job runner itself always passes True,
+      runner.py:954-963 — quirk Q7 — but the public API supports both).
     * ``aggregate_layer_name`` / ``working_dir`` / ``clean_working_dir``
       are accepted for parity; the engine needs no temp working dir.
 
@@ -55,11 +58,6 @@ def fast_zonal_statistics(
     raster_path, band = base_raster_path_band
     if int(band) != 1:
         raise ValueError("tiles tables are single-band; use one table per band")
-    if not ignore_nodata:
-        raise NotImplementedError(
-            "ignore_nodata=False is never used by the reference job runner "
-            "(runner.py:954-963) and is not implemented"
-        )
     grid = read_grid_spec(raster_path)
     zs = ZoneSet(pq.read_table(aggregate_vector_path))
     tiles = rd.read_parquet(raster_path)
@@ -69,6 +67,7 @@ def fast_zonal_statistics(
         zs,
         percentiles=list(percentile_list or []),
         polygons_might_overlap=polygons_might_overlap,
+        ignore_nodata=ignore_nodata,
     )
 
 

@@ -61,11 +61,29 @@ def run_job(job: dict, *, timestamp: str | None = None, metrics: StageMetrics | 
     return out
 
 
-def run_config(cfg_path: str, *, timestamp: str | None = None) -> list[Path]:
+def run_config(
+    cfg_path: str,
+    *,
+    timestamp: str | None = None,
+    concurrent_jobs: int | None = None,
+) -> list[Path]:
     """Parse + validate + run every job in the config.  The caller owns the
-    Ray session (driver contract)."""
+    Ray session (driver contract).
+
+    Jobs run CONCURRENTLY (reference parity: one worker process per
+    ``[job:*]`` section, ``runner.py:1075-1077``) — here as driver threads
+    each driving its own Ray Data pipeline, so N small jobs overlap instead
+    of serializing; the Ray scheduler interleaves their tasks.  Output
+    order matches config order regardless of completion order.
+    ``concurrent_jobs=1`` restores serial execution."""
     cfg = parse_and_validate_config(cfg_path)
-    outputs = []
-    for job in cfg["job_list"]:
-        outputs.append(run_job(job, timestamp=timestamp))
-    return outputs
+    jobs = cfg["job_list"]
+    if concurrent_jobs is None:
+        concurrent_jobs = len(jobs)
+    if concurrent_jobs <= 1 or len(jobs) <= 1:
+        return [run_job(job, timestamp=timestamp) for job in jobs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=concurrent_jobs) as ex:
+        futs = [ex.submit(run_job, job, timestamp=timestamp) for job in jobs]
+        return [f.result() for f in futs]

@@ -46,11 +46,20 @@ def join_points(
     shortcut_res: int | None = 7,
     geocode: bool = True,
     use_actors: bool = False,
+    zones_crs=None,
+    points_crs=None,
 ):
     """pages/points Dataset → joined Dataset with zone_fid + group_value.
 
     ``zones`` may be a ZoneSet / Arrow table / ray.ObjectRef (broadcast once
     with ``ray.put`` for multi-stage reuse).
+
+    ``zones_crs``/``points_crs`` (geom.crs.CRS, both optional) reproduce
+    the reference's M1 decision (``runner.py:307-341``): when both are
+    given and differ after axis normalization — or the zones CRS is
+    missing (None) while ``points_crs`` is set — the zones table is
+    reprojected into the points frame before the index builds.  Requires
+    ``zones`` as a table/ZoneSet (not a pre-broadcast ObjectRef).
 
     ``use_actors=False`` (default) runs the join as stateless tasks on
     Ray's persistent shared workers with a per-process ZoneSet cache —
@@ -66,6 +75,17 @@ def join_points(
     batch_size=32768)."""
     from ..stages.join import spatial_join_batch
 
+    if points_crs is not None:
+        from ..geom.crs import prepare_zones
+        from ..sources.zones import ZoneSet as _ZS
+
+        tbl = zones.table if isinstance(zones, _ZS) else zones
+        if not isinstance(tbl, pa.Table):
+            raise TypeError(
+                "zones_crs/points_crs reprojection needs zones as a table or "
+                "ZoneSet, not a pre-broadcast ObjectRef"
+            )
+        zones = prepare_zones(tbl, zones_crs, points_crs)
     if geocode:
         ds = ds.map_batches(geocode_batch, batch_format="pyarrow")
     ds = ds.map_batches(
@@ -176,7 +196,9 @@ def _list_col_buffers(col) -> tuple[np.ndarray, np.ndarray]:
 # string key was pure overhead (round-2 fix, VERDICT item 5).
 
 
-def tile_fid_partials_batch(batch: pa.Table, zones, grid: GridSpec) -> pa.Table:
+def tile_fid_partials_batch(
+    batch: pa.Table, zones, grid: GridSpec, ignore_nodata: bool = True
+) -> pa.Table:
     """Stateless-task stage: raster tiles → per-(tile, FID) partial
     aggregates.  Pixel centers are assigned to zones with the same PIP
     semantics as the reference's FID burn; partials are keyed by FID (not
@@ -199,7 +221,10 @@ def tile_fid_partials_batch(batch: pa.Table, zones, grid: GridSpec) -> pa.Table:
         m = fids != -1
         if not m.any():
             continue
-        t = Z.grouped_partials(fids[m], v.astype(np.float64)[m], grid.nodata)
+        t = Z.grouped_partials(
+            fids[m], v.astype(np.float64)[m], grid.nodata,
+            ignore_nodata=ignore_nodata,
+        )
         out.append(t)
     if not out:
         return Z.PARTIAL_SCHEMA_INT.empty_table()
@@ -311,7 +336,7 @@ def _read_window(
 
 
 def _window_partials_batch(
-    batch: pa.Table, specs_ref, grid: GridSpec
+    batch: pa.Table, specs_ref, grid: GridSpec, ignore_nodata: bool = True
 ) -> pa.Table:
     """Stateless-task stage for the DISTRIBUTED Q4 fallback: for every
     (fallback window × tile) intersection in the batch, emit one partial
@@ -351,7 +376,7 @@ def _window_partials_batch(
             r1 = min(int(yoff[h] + wy[h]), row0 + nrows)
             block = tile[r0 - row0 : r1 - row0, c0 - col0 : c1 - col0]
             nd = Z.nodata_mask(block, grid.nodata)
-            valid = block[~nd]
+            valid = block[~nd] if ignore_nodata else block.ravel()
             out["win_id"].append(int(wid[h]))
             out["count"].append(block.size)
             out["nodata_count"].append(int(np.count_nonzero(nd)))
@@ -379,7 +404,9 @@ def _window_partials_batch(
 
 
 
-def _window_values_batch(batch: pa.Table, specs_ref, grid: GridSpec) -> pa.Table:
+def _window_values_batch(
+    batch: pa.Table, specs_ref, grid: GridSpec, ignore_nodata: bool = True
+) -> pa.Table:
     """Distributed fallback VALUES pass: (win_id, value) rows of valid
     pixels per fallback window × tile intersection — feeds the percentile
     value bags when the fallback set is large (reference appends each
@@ -418,7 +445,11 @@ def _window_values_batch(batch: pa.Table, specs_ref, grid: GridSpec) -> pa.Table
             r0 = max(int(yoff[h]), row0)
             r1 = min(int(yoff[h] + wy[h]), row0 + nrows)
             block = tile[r0 - row0 : r1 - row0, c0 - col0 : c1 - col0]
-            valid = block[~Z.nodata_mask(block, grid.nodata)]
+            valid = (
+                block[~Z.nodata_mask(block, grid.nodata)]
+                if ignore_nodata
+                else block.ravel()
+            )
             if valid.size:
                 out_w.append(np.full(valid.size, wid[h], dtype=np.int64))
                 out_v.append(valid.astype(np.float32, copy=False).ravel())
@@ -434,7 +465,9 @@ def _window_values_batch(batch: pa.Table, specs_ref, grid: GridSpec) -> pa.Table
     )
 
 
-def _window_stats_distributed(tiles_ds, grid: GridSpec, win_specs) -> dict[int, dict]:
+def _window_stats_distributed(
+    tiles_ds, grid: GridSpec, win_specs, *, ignore_nodata: bool = True
+) -> dict[int, dict]:
     """Distributed full-window stats for the Q4 fallback windows: one pass
     over the tiles, merged per window on the driver.  Returns
     {win_id: {count, nodata_count, sum, sumsq, min, max}} with the
@@ -453,14 +486,20 @@ def _window_stats_distributed(tiles_ds, grid: GridSpec, win_specs) -> dict[int, 
     )
     parts = tiles_ds.map_batches(
         _window_partials_batch,
-        fn_kwargs={"specs_ref": specs_ref, "grid": grid},
+        fn_kwargs={
+            "specs_ref": specs_ref,
+            "grid": grid,
+            "ignore_nodata": ignore_nodata,
+        },
         batch_format="pyarrow",
     ).to_pandas()
     out: dict[int, dict] = {}
     for w, g in parts.groupby("win_id", sort=False):
         count = int(g["count"].sum())
         ndc = int(g["nodata_count"].sum())
-        valid = count - ndc
+        # zeros apply when the VALUE BAG is empty: with ignore_nodata=False
+        # every pixel is in the bag (reference runner.py:778-793)
+        valid = count - ndc if ignore_nodata else count
         st = {"count": count, "nodata_count": ndc}
         if valid <= 0:
             st.update({"min": 0.0, "max": 0.0, "sum": 0.0, "sumsq": 0.0})
@@ -487,6 +526,7 @@ def zonal_stats_raster(
     concurrency: int | tuple[int, int] | None = None,
     simplify_tolerance: float | None = None,
     polygons_might_overlap: bool = False,
+    ignore_nodata: bool = True,
 ) -> dict:
     """Full reference-semantics zonal statistics over a tiled raster.
 
@@ -544,11 +584,19 @@ def zonal_stats_raster(
             fn_kwargs={"zones": zones_arg, "grid": grid},
             batch_format="pyarrow",
         ).materialize()
-        partials = pixels.map_batches(Z.partials_from_rows, batch_format="pyarrow")
+        partials = pixels.map_batches(
+            Z.partials_from_rows,
+            batch_format="pyarrow",
+            fn_kwargs={"ignore_nodata": ignore_nodata},
+        )
     else:
         partials = tiles_ds.map_batches(
             tile_fid_partials_batch,
-            fn_kwargs={"zones": zones_arg, "grid": grid},
+            fn_kwargs={
+                "zones": zones_arg,
+                "grid": grid,
+                "ignore_nodata": ignore_nodata,
+            },
             batch_format="pyarrow",
         )
     merged = Z.reduce_partials(partials)
@@ -568,7 +616,11 @@ def zonal_stats_raster(
     # slim rows — no second PIP pass) ---
     fid_value_chunks: dict[int, list[np.ndarray]] | None = None
     if plist:
-        values_ds = pixels.map_batches(Z.values_from_rows, batch_format="pyarrow")
+        values_ds = pixels.map_batches(
+            Z.values_from_rows,
+            batch_format="pyarrow",
+            fn_kwargs={"ignore_nodata": ignore_nodata},
+        )
         if pixels.count() <= 2_000_000:
             # small: stream to the driver (a distributed shuffle's fixed
             # cost dwarfs the data here)
@@ -626,7 +678,9 @@ def zonal_stats_raster(
             # DISTRIBUTED fallback (engine improvement over the reference's
             # serial pass, runner.py:697-811): one tile sweep computes every
             # window's stats
-            win_stats = _window_stats_distributed(tiles_ds, grid, win_specs)
+            win_stats = _window_stats_distributed(
+                tiles_ds, grid, win_specs, ignore_nodata=ignore_nodata
+            )
             # apply per fid in part order: later parts OVERWRITE (quirk Q4)
             for (f, _order), (win_id, *_rest) in zip(win_owner, win_specs):
                 st = win_stats.get(win_id)
@@ -649,7 +703,11 @@ def zonal_stats_raster(
                 sref = _ray.put(arrs) if _ray.is_initialized() else arrs
                 vals = tiles_ds.map_batches(
                     _window_values_batch,
-                    fn_kwargs={"specs_ref": sref, "grid": grid},
+                    fn_kwargs={
+                        "specs_ref": sref,
+                        "grid": grid,
+                        "ignore_nodata": ignore_nodata,
+                    },
                     batch_format="pyarrow",
                 ).to_pandas()
                 by_win = {
@@ -669,7 +727,7 @@ def zonal_stats_raster(
             for (f, _order), (_wid, xoff, yoff, wx, wy) in zip(win_owner, win_specs):
                 block = _read_window(tile_map, grid, xoff, yoff, wx, wy)
                 nd = Z.nodata_mask(block, grid.nodata)
-                valid = block[~nd]
+                valid = block[~nd] if ignore_nodata else block.ravel()
                 st = {
                     "count": block.size,
                     "nodata_count": int(np.count_nonzero(nd)),

@@ -58,6 +58,34 @@ def semi_join(ds, keys, key_col: str, *, anti: bool = False, broadcast: bool = T
     )
 
 
+def hash_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    how: str = "inner",
+    num_partitions: int = 32,
+):
+    """Large-side × large-side HASH-PARTITIONED join (round-2: the missing
+    path — everything else here is broadcast-small-side).  Both datasets
+    hash-shuffle on the key into ``num_partitions`` buckets and matching
+    buckets join pairwise — Ray Data's native ``Dataset.join`` operator, so
+    the streaming executor pipelines and spills the exchange.
+
+    Scale note: ``num_partitions`` bounds per-bucket memory (rows/partition
+    ≈ N/num_partitions must fit a worker); size it to the cluster.  For
+    skewed keys prefer pre-aggregating the hot side or salting before this
+    join — a hash join cannot split one hot key across buckets."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=((right_on or on),),
+    )
+
+
 def asof_join_self(
     ds,
     *,

@@ -75,12 +75,20 @@ def nodata_mask(values: np.ndarray, nodata: float | None) -> np.ndarray:
 
 
 def grouped_partials(
-    keys: np.ndarray, values: np.ndarray, nodata: float | None
+    keys: np.ndarray,
+    values: np.ndarray,
+    nodata: float | None,
+    *,
+    ignore_nodata: bool = True,
 ) -> pa.Table:
     """Vectorized within-batch partial aggregate: one output row per distinct
     key.  ``keys`` is an array of encoded group-key strings (see
-    ``encode_group_key``); ``values`` float64."""
-    return _grouped_partials_masked(keys, values, nodata_mask(values, nodata))
+    ``encode_group_key``); ``values`` float64.  ``ignore_nodata=False``
+    keeps nodata values in sum/sumsq/min/max (reference
+    ``runner.py:657-660``) while still counting them in nodata_count."""
+    return _grouped_partials_masked(
+        keys, values, nodata_mask(values, nodata), ignore_nodata=ignore_nodata
+    )
 
 
 def partial_stats_batch(
@@ -299,7 +307,7 @@ def rows_batch(
     )
 
 
-def partials_from_rows(batch: pa.Table) -> pa.Table:
+def partials_from_rows(batch: pa.Table, *, ignore_nodata: bool = True) -> pa.Table:
     """Slim rows → partials (same output as partial_stats_batch).
     Key-dtype-aware: int64 FID keys read zero-copy; string group keys go
     through object arrays (nullable-safe)."""
@@ -313,13 +321,14 @@ def partials_from_rows(batch: pa.Table) -> pa.Table:
         keys = np.asarray(key_col.to_pylist(), dtype=object)
     values = batch["value"].to_numpy(zero_copy_only=False)
     nd = batch["nodata"].to_numpy(zero_copy_only=False)
-    return _grouped_partials_masked(keys, values, nd)
+    return _grouped_partials_masked(keys, values, nd, ignore_nodata=ignore_nodata)
 
 
-def values_from_rows(batch: pa.Table) -> pa.Table:
-    """Slim rows → (group_key, value float32) valid-value rows."""
-    m = pa.compute.invert(batch["nodata"])
-    b = batch.filter(m)
+def values_from_rows(batch: pa.Table, *, ignore_nodata: bool = True) -> pa.Table:
+    """Slim rows → (group_key, value float32) value rows — valid values
+    only when ``ignore_nodata`` (default), all values otherwise (the
+    reference's value bags keep nodata then, runner.py:664-667)."""
+    b = batch.filter(pa.compute.invert(batch["nodata"])) if ignore_nodata else batch
     return pa.table(
         {
             "group_key": b["group_key"],
@@ -329,7 +338,11 @@ def values_from_rows(batch: pa.Table) -> pa.Table:
 
 
 def _grouped_partials_masked(
-    keys: np.ndarray, values: np.ndarray, nd: np.ndarray
+    keys: np.ndarray,
+    values: np.ndarray,
+    nd: np.ndarray,
+    *,
+    ignore_nodata: bool = True,
 ) -> pa.Table:
     """Key-dtype-aware: string keys (nullable group values, encoded) emit a
     string key column; int64 keys (raster FID path) stay int64 end-to-end —
@@ -338,9 +351,14 @@ def _grouped_partials_masked(
     k = len(uniq)
     count = np.bincount(codes, minlength=k).astype(np.int64)
     nodata_count = np.bincount(codes, weights=nd, minlength=k).astype(np.int64)
-    valid = ~nd
-    vcodes = codes[valid]
-    vvals = values[valid].astype(np.float64)
+    if ignore_nodata:
+        valid = ~nd
+        vcodes = codes[valid]
+        vvals = values[valid].astype(np.float64)
+    else:
+        # reference runner.py:657-660: nodata stays in the aggregates
+        vcodes = codes
+        vvals = values.astype(np.float64)
     s = np.bincount(vcodes, weights=vvals, minlength=k)
     ssq = np.bincount(vcodes, weights=vvals * vvals, minlength=k)
     mn = np.full(k, np.inf)
