@@ -51,17 +51,34 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
 
 
 def _payload_hashes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic uint64 per binary payload (drives the fake kernels)."""
+    """Deterministic uint64 per binary payload (drives the fake kernels).
+
+    Vectorized straight off the binary column's offsets+data buffers:
+    Horner over the (≤64-byte) prefix, one masked pass per byte position —
+    no per-row Python, so this survives into a real decode path where
+    payloads are MB-scale (only the prefix is ever touched)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
-    out = np.empty(len(col), dtype=np.uint64)
-    for i, v in enumerate(col):
-        b = v.as_py() or b""
-        h = 0
-        for byte in b[:64]:  # bounded prefix hash; payload identity proxy
-            h = (h * 31 + byte) & 0xFFFFFFFFFFFFFFFF
-        out[i] = h ^ (len(b) << 32)
-    return out
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + col.offset)
+    offsets = offsets[col.offset : col.offset + n + 1].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    h = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(min(64, int(lens.max()))):
+            m = lens > j
+            h[m] = h[m] * np.uint64(31) + data[starts[m] + j]
+        return h ^ (lens.astype(np.uint64) << np.uint64(32))
 
 
 class ImageDecode:
