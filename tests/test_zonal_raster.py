@@ -173,3 +173,52 @@ def test_api_ignore_nodata_false(ray_session, tmp_path):
         dense_array(GRID, seed=42), GRID, zt, None, ignore_nodata=False
     )
     _stats_equal(got, want)
+
+
+def test_distributed_percentiles_match_driver_path(ray_session, tiles_ds):
+    """Round-2: percentile_driver_threshold=0 forces the salted distributed
+    percentile path (no pixel value reaches the driver); results must equal
+    the driver path and the golden oracle — including Q4 fallback zones
+    whose window values union in as Datasets."""
+    zt = synth_zones(seed=42, n_zones=24, include_subpixel=True, subpixel_size=0.01)
+    zs = ZoneSet(zt)
+    arr = dense_array(GRID, seed=42)
+    pl = [5.0, 95.0, 2.5]
+    want = oracle_zonal_statistics(arr, GRID, zt, pl)
+    got = zonal_stats_raster(
+        tiles_ds, GRID, zs, percentiles=pl, percentile_driver_threshold=0
+    )
+    _stats_equal(got, want)
+
+
+def test_distributed_percentiles_many_fallback_windows(ray_session):
+    """Distributed fallback sweep (>16 windows) + distributed percentiles:
+    many subpixel zones all land in the tile-sweep branch."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.sources.raster import synth_tiles_table
+    from zonal_stats_toolkit_ray.sources.zones import zones_table
+
+    rng = np.random.default_rng(7)
+    fids, parts, groups, rings = [], [], [], []
+    for i in range(24):  # > 16 windows → distributed sweep
+        cx = -170.0 + 14.0 * i % 340
+        cy = -80.0 + 6.5 * i % 160
+        s = 1e-3
+        fids.append(i)
+        parts.append(0)
+        groups.append(f"g{i % 5}")
+        rings.append(
+            (np.array([cx, cx + s, cx + s, cx]), np.array([cy, cy, cy + s, cy + s]))
+        )
+    zt = zones_table(fids, parts, groups, rings)
+    zs = ZoneSet(zt)
+    tiles = rd.from_arrow(synth_tiles_table(GRID, seed=42))
+    arr = dense_array(GRID, seed=42)
+    pl = [5.0, 95.0]
+    want = oracle_zonal_statistics(arr, GRID, zt, pl)
+    got = zonal_stats_raster(
+        tiles, GRID, zs, percentiles=pl, percentile_driver_threshold=0
+    )
+    _stats_equal(got, want)

@@ -527,6 +527,7 @@ def zonal_stats_raster(
     simplify_tolerance: float | None = None,
     polygons_might_overlap: bool = False,
     ignore_nodata: bool = True,
+    percentile_driver_threshold: int = 2_000_000,
 ) -> dict:
     """Full reference-semantics zonal statistics over a tiled raster.
 
@@ -621,31 +622,27 @@ def zonal_stats_raster(
             batch_format="pyarrow",
             fn_kwargs={"ignore_nodata": ignore_nodata},
         )
-        if pixels.count() <= 2_000_000:
+        if pixels.count() < percentile_driver_threshold:
             # small: stream to the driver (a distributed shuffle's fixed
             # cost dwarfs the data here)
             vdf = values_ds.to_pandas()
-            fid_value_chunks = {
-                int(k): [g["value"].to_numpy(dtype=np.float32)]
-                for k, g in vdf.groupby("group_key", sort=False)
-            }
-        else:
-
-            def collect(g: pd.DataFrame) -> pd.DataFrame:
-                return pd.DataFrame(
-                    {
-                        "group_key": [g["group_key"].iloc[0]],
-                        "vals": [g["value"].to_numpy(dtype=np.float32)],
-                    }
-                )
-
-            res = values_ds.groupby("group_key").map_groups(
-                collect, batch_format="pandas"
+            # an all-fallback run has zero assigned pixels: the empty frame
+            # comes back without columns, so skip the groupby
+            fid_value_chunks = (
+                {
+                    int(k): [g["value"].to_numpy(dtype=np.float32)]
+                    for k, g in vdf.groupby("group_key", sort=False)
+                }
+                if len(vdf)
+                else {}
             )
-            fid_value_chunks = {
-                int(r["group_key"]): [np.asarray(r["vals"], dtype=np.float32)]
-                for r in res.to_pandas().to_dict("records")
-            }
+        else:
+            # DISTRIBUTED percentiles (round-2): keep the (fid, value) rows
+            # as Datasets — fallback window values union in below — and the
+            # group percentile runs through the salted two-level shuffle.
+            # No pixel value ever reaches the driver.
+            fid_value_chunks = None
+            dist_value_parts = [values_ds]
 
     # --- quirk-Q4 bbox-window fallback for zero-pixel FIDs
     #     (runner.py:697-811: whole envelope window, unmasked by geometry,
@@ -686,7 +683,7 @@ def zonal_stats_raster(
                 st = win_stats.get(win_id)
                 if st is not None:
                     fid_stats[f] = dict(st)
-            if fid_value_chunks is not None:
+            if plist:
                 # percentile value bags for the fallback windows, collected
                 # in a second distributed sweep (exact: percentile over the
                 # multiset is append-order-independent)
@@ -701,7 +698,7 @@ def zonal_stats_raster(
                     np.array([w[4] for w in win_specs], dtype=np.int64),
                 )
                 sref = _ray.put(arrs) if _ray.is_initialized() else arrs
-                vals = tiles_ds.map_batches(
+                win_vals_ds = tiles_ds.map_batches(
                     _window_values_batch,
                     fn_kwargs={
                         "specs_ref": sref,
@@ -709,15 +706,44 @@ def zonal_stats_raster(
                         "ignore_nodata": ignore_nodata,
                     },
                     batch_format="pyarrow",
-                ).to_pandas()
-                by_win = {
-                    int(w): g["value"].to_numpy(dtype=np.float32)
-                    for w, g in vals.groupby("win_id", sort=False)
-                }
+                )
+                # win_id → owning fid (small LUT; windows whose stats were
+                # discarded never made win_specs)
+                win_fid = np.full(len(win_specs), -1, dtype=np.int64)
                 for (f, _order), (win_id, *_rest) in zip(win_owner, win_specs):
-                    v = by_win.get(win_id)
-                    if v is not None and v.size:
-                        fid_value_chunks.setdefault(f, []).append(v)
+                    win_fid[win_id] = f
+                if fid_value_chunks is not None:
+                    vals = win_vals_ds.to_pandas()
+                    by_win = {
+                        int(w): g["value"].to_numpy(dtype=np.float32)
+                        for w, g in vals.groupby("win_id", sort=False)
+                    }
+                    for (f, _order), (win_id, *_rest) in zip(win_owner, win_specs):
+                        v = by_win.get(win_id)
+                        if v is not None and v.size:
+                            fid_value_chunks.setdefault(f, []).append(v)
+                else:
+                    wf_ref = (
+                        _ray.put(win_fid) if _ray.is_initialized() else win_fid
+                    )
+
+                    def win_to_fid_rows(b: pa.Table) -> pa.Table:
+                        import ray as _r
+
+                        wf = _r.get(wf_ref) if not isinstance(wf_ref, np.ndarray) else wf_ref
+                        w = b["win_id"].to_numpy(zero_copy_only=False)
+                        return pa.table(
+                            {
+                                "group_key": pa.array(wf[w], pa.int64()),
+                                "value": b["value"],
+                            }
+                        )
+
+                    dist_value_parts.append(
+                        win_vals_ds.map_batches(
+                            win_to_fid_rows, batch_format="pyarrow"
+                        )
+                    )
         elif win_specs:
             # driver path (small window sets / percentile mode, which also
             # needs the raw valid values appended per part)
@@ -753,6 +779,24 @@ def zonal_stats_raster(
                     # part (runner.py:805-811)
                     fid_value_chunks.setdefault(f, []).append(
                         valid.astype(np.float32, copy=False)
+                    )
+                elif plist and fid_value_chunks is None and valid.size:
+                    import ray.data as _rd
+
+                    dist_value_parts.append(
+                        _rd.from_arrow(
+                            pa.table(
+                                {
+                                    "group_key": pa.array(
+                                        np.full(valid.size, f, dtype=np.int64)
+                                    ),
+                                    "value": pa.array(
+                                        valid.astype(np.float32, copy=False),
+                                        pa.float32(),
+                                    ),
+                                }
+                            )
+                        )
                     )
 
     # FIDs still unset get the zeroed default (runner.py:813-815, 491-500)
@@ -803,11 +847,66 @@ def zonal_stats_raster(
             if ch:
                 group_chunks.setdefault(gv, []).extend(ch)
 
-    if plist:
+    if plist and fid_value_chunks is not None:
         for gv, chunks in group_chunks.items():
             vals = np.concatenate(chunks)
             for k, v in zip(pkeys, np.percentile(vals, plist).tolist()):
                 grouped[gv][k] = v
+    elif plist:
+        # distributed: re-key (fid, value) → encoded group key with a
+        # broadcast LUT, then the salted two-level percentile shuffle —
+        # identical multiset per group, so results equal the driver path
+        import ray as _ray
+
+        from ..functions.scalars import encode_group_key as _enc
+
+        lut_fids = np.asarray(zs.all_fids, dtype=np.int64)
+        lut_keys = np.array(
+            [_enc(pa.array([zs.fid_to_group[int(f)]], pa.string()))[0] for f in lut_fids],
+            dtype=object,
+        )
+        lut_ref = (
+            _ray.put((lut_fids, lut_keys))
+            if _ray.is_initialized()
+            else (lut_fids, lut_keys)
+        )
+
+        def rekey(b: pa.Table) -> pa.Table:
+            import ray as _r
+
+            lut = lut_ref if isinstance(lut_ref, tuple) else _r.get(lut_ref)
+            kf, kk = lut
+            fids = b["group_key"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(kf, fids)
+            keys = kk[np.clip(pos, 0, len(kf) - 1)]
+            return pa.table(
+                {
+                    "group_key": pa.array(keys.tolist(), pa.string()),
+                    "value": b["value"],
+                }
+            )
+
+        # materialize each slim part once and drop empty ones — an empty
+        # map_batches output has no schema (Ray never runs the UDF), which
+        # would poison the union's groupby
+        parts_mat = [p.materialize() for p in dist_value_parts]
+        parts_mat = [p for p in parts_mat if p.count() > 0]
+        if not parts_mat:
+            gp = {}
+        else:
+            all_vals = parts_mat[0]
+            for part in parts_mat[1:]:
+                all_vals = all_vals.union(part)
+            gp = Z.salted_group_percentiles(
+                all_vals.map_batches(rekey, batch_format="pyarrow"), plist
+            )
+        from ..functions.scalars import decode_group_key as _dec
+
+        for key, pv in gp.items():
+            gv = _dec(key)
+            if gv in grouped:
+                for k, v in zip(pkeys, pv):
+                    grouped[gv][k] = v
 
     # --- finalize (runner.py:906-917) ---
     for gv, g in grouped.items():
