@@ -314,7 +314,6 @@ def q_hash_join(sf_dir: str):
     Both sides hash-shuffle into buckets; matching buckets join pairwise
     (Ray Dataset.join)."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
     from zonal_stats_toolkit_ray.stages.joins import hash_join
 
     li = rd.read_parquet(
@@ -323,12 +322,25 @@ def q_hash_join(sf_dir: str):
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
     )
-    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=16)
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    # rollup via per-batch partials + tiny driver merge — the join already
+    # paid one hash shuffle; a second full groupby shuffle would double the
+    # fixed cost to merge a handful of status rows
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_orderstatus", sort=False)
+            .agg(n_rows=("o_orderstatus", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+
+    p = j.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
-        j.groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n_rows"), Sum("l_quantity", alias_name="sum_qty"))
-        .to_pandas()
+        p.groupby("o_orderstatus", sort=False)
+        .agg(n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum"))
+        .reset_index()
     )
+    out["n_rows"] = out["n_rows"].astype("int64")
     out["sum_qty"] = out["sum_qty"].round(6)
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
@@ -568,11 +580,15 @@ def q_sessions(sf_dir: str):
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet")
-    out = session_windows(ds, gap_seconds=1800.0)
-    out = out[["user_id", "n_events", "start", "end"]].copy()
-    out["start"] = out["start"].round(6)
-    out["end"] = out["end"].round(6)
-    return out
+    sess = session_windows(ds, gap_seconds=1800.0)  # streaming Dataset
+
+    def fmt(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[["user_id", "n_events", "start", "end"]].copy()
+        b["start"] = b["start"].round(6)
+        b["end"] = b["end"].round(6)
+        return b
+
+    return sess.map_batches(fmt, batch_format="pandas")
 
 
 def q_knn_brute(sf_dir: str):

@@ -356,6 +356,37 @@ def bench_window(sf_dir: str) -> dict:
     return {"sec": time.perf_counter() - t0, "windows": len(out)}
 
 
+def bench_hash_join(sf_dir: str) -> dict:
+    """Large x large hash-partitioned join (round-2 operator): lineitem ⋈
+    orders on orderkey, grouped rollup."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+
+    t0 = time.perf_counter()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def partial(df):
+        return (
+            df.groupby("o_orderstatus", sort=False)
+            .agg(n_rows=("o_orderstatus", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+
+    p = j.map_batches(partial, batch_format="pandas").to_pandas()
+    out = p.groupby("o_orderstatus", sort=False).agg(
+        n_rows=("n_rows", "sum"), sum_qty=("sum_qty", "sum")
+    )
+    return {"sec": time.perf_counter() - t0, "groups": len(out)}
+
+
 # ordered: token_stats runs before the dedup family so text buffers and
 # worker heaps are already faulted when the hash-heavy stages run (the
 # kernel zero-fill warmup effect documented in BASELINE.md).  The two
@@ -370,12 +401,14 @@ BENCHES = {
     "dedup_minhash": bench_dedup_minhash,
     "knn_brute": bench_knn,
     "window_events": bench_window,
+    "hash_join": bench_hash_join,
     "zonal_scaling": bench_zonal_scaling,
     "join_stage": bench_join_stage,
 }
 DEFAULT_SUITE = [
     "zonal_pages", "zonal_raster", "groupby_lineitem", "token_stats",
     "dedup_exact", "dedup_minhash", "knn_brute", "window_events",
+    "hash_join",
 ]
 
 

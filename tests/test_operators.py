@@ -261,7 +261,7 @@ class TestWindow:
         import ray.data as rd
 
         ev = rd.read_parquet(f"{SF}/events.parquet")
-        out = session_windows(ev, gap_seconds=3600.0)
+        out = session_windows(ev, gap_seconds=3600.0).to_pandas()
         df = ev.to_pandas()
         assert out["n_events"].sum() == len(df)
         assert (out["duration_s"] >= 0).all()

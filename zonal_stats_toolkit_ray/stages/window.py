@@ -79,10 +79,14 @@ def session_windows(
     ts_col: str = "ts",
     key_col: str = "user_id",
     gap_seconds: float = 1800.0,
-) -> pd.DataFrame:
+):
     """Session windowing per key: a new session starts when the gap to the
     previous event exceeds ``gap_seconds``.  Ordering assumption: events of
-    one key fit in one group and are sorted by ts inside ``map_groups``."""
+    one key fit in one group and are sorted by ts inside ``map_groups``.
+
+    Returns the per-session **Dataset** (round-2: per-session output is
+    corpus-sized — one row per session — so it must stream; callers
+    ``to_pandas()`` only at verification scale)."""
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col)
@@ -106,10 +110,4 @@ def session_windows(
         out["duration_s"] = out["end"] - out["start"]
         return out[[key_col, "n_events", "start", "end", "duration_s"]]
 
-    return (
-        ds.groupby(key_col)
-        .map_groups(sessions, batch_format="pandas")
-        .to_pandas()
-        .sort_values([key_col, "start"])
-        .reset_index(drop=True)
-    )
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
