@@ -650,6 +650,80 @@ def q_dedup_embedding(sf_dir: str):
     return embedding_dedup(ds, threshold=0.99)
 
 
+def _cocluster_cert(sf_dir: str, dedup_fn) -> pd.DataFrame:
+    """Shared certificate: verbatim-duplicate texts MUST co-cluster — for
+    identical texts the LSH signatures are identical, so they collide in
+    every band, are always candidate pairs and pass any verify threshold.
+    Emits one (doc_id, cocluster_ok) row per doc; a recall regression in
+    banding/verify/union-find flips rows to FALSE and breaks the driver's
+    value hash (the oracle asserts all-TRUE)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.geocode import hash64_utf8
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    comp = dedup_fn(ds).to_pandas()
+    docs = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "content_hash": pa.array(hash64_utf8(t["text"]), pa.uint64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    df = docs.merge(comp[["doc_id", "cluster_id"]], on="doc_id")
+    ok_by_hash = df.groupby("content_hash")["cluster_id"].nunique() == 1
+    df["cocluster_ok"] = df["content_hash"].map(ok_by_hash)
+    return (
+        df[["doc_id", "cocluster_ok"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_dedup_minhash_cert(sf_dir: str):
+    from zonal_stats_toolkit_ray.stages.dedup import minhash_dedup
+
+    return _cocluster_cert(sf_dir, lambda ds: minhash_dedup(ds, threshold=0.7))
+
+
+def q_dedup_simhash_cert(sf_dir: str):
+    from zonal_stats_toolkit_ray.stages.dedup import simhash_dedup
+
+    return _cocluster_cert(sf_dir, lambda ds: simhash_dedup(ds, max_hamming=3))
+
+
+def q_dedup_ngram_cert(sf_dir: str):
+    from zonal_stats_toolkit_ray.stages.dedup import ngram_jaccard_dedup
+
+    return _cocluster_cert(sf_dir, lambda ds: ngram_jaccard_dedup(ds, threshold=0.8))
+
+
+def q_knn_ivf_cert(sf_dir: str):
+    """IVF recall certificate: recall@10 vs exact brute force must be
+    ≥ 0.5 per query with nprobe=4 of nlist=8 (measured 0.6-0.9 across all
+    shipped scale factors; the bound leaves margin for list-assignment
+    jitter while still catching a broken quantizer or probe path)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.knn import knn_brute, knn_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.limit(4).to_pandas()
+    qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qids = head["vec_id"].to_numpy(np.int64)
+    queries = {"query_id": qids, "matrix": qm}
+    brute = knn_brute(emb, queries, k=10)
+    ivf = knn_ivf(emb, queries, k=10, nlist=8, nprobe=4)
+    rows = []
+    for qid in qids:
+        b = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+        a = set(ivf.loc[ivf["query_id"] == qid, "vec_id"])
+        rows.append(
+            {"query_id": int(qid), "recall_ok": bool(len(a & b) / max(len(b), 1) >= 0.5)}
+        )
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.text import LangId
     import ray.data as rd
@@ -893,6 +967,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_minhash_cert": q_dedup_minhash_cert,
+        "dedup_simhash_cert": q_dedup_simhash_cert,
+        "dedup_ngram_cert": q_dedup_ngram_cert,
+        "knn_ivf_cert": q_knn_ivf_cert,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash_sigs": q_simhash_sigs,
@@ -940,6 +1018,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "dedup_minhash_cert": """
+            SELECT doc_id, TRUE AS cocluster_ok FROM documents ORDER BY doc_id
+        """,
+        "dedup_simhash_cert": """
+            SELECT doc_id, TRUE AS cocluster_ok FROM documents ORDER BY doc_id
+        """,
+        "dedup_ngram_cert": """
+            SELECT doc_id, TRUE AS cocluster_ok FROM documents ORDER BY doc_id
+        """,
+        "knn_ivf_cert": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 4
+        """,
         "hash_join": """
             SELECT o.o_orderstatus,
                    count(*) AS n_rows,

@@ -83,3 +83,38 @@ def test_run_zonal_stats_job_csv(ray_session, env, tmp_path):
     assert "p5_r1" in rows[0]
     assert "avg_r1" not in rows[0]
     assert "median_r1" not in rows[0]
+
+
+def test_layer_selection(ray_session, env):
+    """Round-2: aggregate_layer_name selects rows of a multi-layer zones
+    file carrying a `layer` column (GetLayerByName analogue,
+    runner.py:318-329); unknown names raise like the reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from zonal_stats_toolkit_ray.sources.zones import synth_zones
+
+    root, _ = env
+    za = synth_zones(seed=42, n_zones=6)
+    zb = synth_zones(seed=7, n_zones=4)
+    multi = pa.concat_tables([
+        za.append_column("layer", pa.array(["first"] * len(za))),
+        zb.append_column("layer", pa.array(["second"] * len(zb))),
+    ])
+    path = root / "multi_zones.parquet"
+    pq.write_table(multi, path)
+
+    got = api.fast_zonal_statistics(
+        (str(root / "r1.parquet"), 1), str(path), aggregate_layer_name="first"
+    )
+    # direct single-layer run over layer "first" only
+    pq.write_table(za, root / "zl.parquet")
+    direct = api.fast_zonal_statistics((str(root / "r1.parquet"), 1), str(root / "zl.parquet"))
+    assert set(got) == set(direct)
+    for g in got:
+        assert got[g]["count"] == direct[g]["count"]
+
+    with pytest.raises(RuntimeError, match="Could not open layer"):
+        api.fast_zonal_statistics(
+            (str(root / "r1.parquet"), 1), str(path), aggregate_layer_name="nope"
+        )

@@ -46,8 +46,13 @@ def fast_zonal_statistics(
       their usual meaning — exactly the reference's ``runner.py:657-667,
       778-811`` behavior (the job runner itself always passes True,
       runner.py:954-963 — quirk Q7 — but the public API supports both).
-    * ``aggregate_layer_name`` / ``working_dir`` / ``clean_working_dir``
-      are accepted for parity; the engine needs no temp working dir.
+    * ``aggregate_layer_name``: the engine's zones Parquet is single-layer
+      by construction, but a multi-layer file may carry a ``layer`` string
+      column — when it does and a name is given, only that layer's rows
+      participate (the ``GetLayerByName`` analogue, ``runner.py:318-329``);
+      an unknown name raises like the reference's "Could not open layer".
+    * ``working_dir`` / ``clean_working_dir`` are accepted for parity; the
+      engine needs no temp working dir.
 
     Returns {group_value: {min,max,count,nodata_count,valid_count,sum,
     stdev,p*}} exactly like the reference (quirks Q1-Q9 replicated).
@@ -59,7 +64,18 @@ def fast_zonal_statistics(
     if int(band) != 1:
         raise ValueError("tiles tables are single-band; use one table per band")
     grid = read_grid_spec(raster_path)
-    zs = ZoneSet(pq.read_table(aggregate_vector_path))
+    ztable = pq.read_table(aggregate_vector_path)
+    if aggregate_layer_name is not None and "layer" in ztable.column_names:
+        import pyarrow.compute as pc
+
+        ztable = ztable.filter(pc.equal(ztable["layer"], aggregate_layer_name))
+        if len(ztable) == 0:
+            raise RuntimeError(
+                "Could not open layer %s on %s"
+                % (aggregate_layer_name, aggregate_vector_path)
+            )
+        ztable = ztable.drop_columns(["layer"])
+    zs = ZoneSet(ztable)
     tiles = rd.read_parquet(raster_path)
     return zonal_stats_raster(
         tiles,
