@@ -85,3 +85,47 @@ def test_rerun_with_different_zones_invalidates_checkpoint(ray_session, tmp_path
     run_b2 = pages_job.run_pages_job(DOCS, zones_b, out, n_partitions=2)
     assert run_b2["report"]["completed"] == []
     assert run_b2["report"]["skipped"] == ["mod000", "mod001"]
+
+
+def test_concurrent_partitions_match_serial(ray_session, tmp_path):
+    """Round-2: partition_concurrency>1 overlaps partitions (threads);
+    results and manifest must match the serial run, and resume semantics
+    hold when a partition fails mid-flight."""
+    zones = synth_zones(seed=42, n_zones=12)
+    serial = pages_job.run_pages_job(DOCS, zones, tmp_path / "s", n_partitions=3)
+    conc = pages_job.run_pages_job(
+        DOCS, zones, tmp_path / "c", n_partitions=3, partition_concurrency=3
+    )
+    assert sorted(conc["report"]["completed"]) == ["mod000", "mod001", "mod002"]
+    pd.testing.assert_frame_equal(
+        serial["stats"].fillna(-1).reset_index(drop=True),
+        conc["stats"].fillna(-1).reset_index(drop=True),
+    )
+
+    # failure in one partition: the others' manifest entries survive
+    orig = pages_job._run_partition
+
+    def failing(spec, out_dir):
+        if spec["mod"] == 1:
+            raise RuntimeError("killed")
+        return orig(spec, out_dir)
+
+    pages_job._run_partition = failing
+    try:
+        with pytest.raises(RuntimeError):
+            pages_job.run_pages_job(
+                DOCS, zones, tmp_path / "f", n_partitions=3, partition_concurrency=3
+            )
+    finally:
+        pages_job._run_partition = orig
+    res = pages_job.run_pages_job(
+        DOCS, zones, tmp_path / "f", n_partitions=3, partition_concurrency=3
+    )
+    assert "mod001" in res["report"]["completed"]
+    assert set(res["report"]["completed"]) | set(res["report"]["skipped"]) == {
+        "mod000", "mod001", "mod002",
+    }
+    pd.testing.assert_frame_equal(
+        serial["stats"].fillna(-1).reset_index(drop=True),
+        res["stats"].fillna(-1).reset_index(drop=True),
+    )

@@ -69,9 +69,15 @@ def run_pages_job(
     *,
     n_partitions: int = 4,
     concurrency: int = 2,
+    partition_concurrency: int = 1,
 ) -> dict:
     """Partitioned, resumable run.  Returns the final grouped-stats frame
-    plus the checkpoint report."""
+    plus the checkpoint report.
+
+    ``partition_concurrency > 1`` overlaps that many partitions (driver
+    threads; manifest/publish are concurrency-safe, see
+    state/checkpoint.py) — at 100-TB scale partitions are the unit of both
+    parallelism and resume, so they must not serialize."""
     import hashlib
 
     out = Path(out_dir)
@@ -113,7 +119,9 @@ def run_pages_job(
         )
         for i in range(n_partitions)
     ]
-    report = run_partitioned(parts, _run_partition, out)
+    report = run_partitioned(
+        parts, _run_partition, out, max_concurrent=partition_concurrency
+    )
 
     # final reduce over the (tiny) per-partition partials only
     import ray.data as rd

@@ -84,30 +84,9 @@ def run_config(
         return [run_job(job, timestamp=timestamp) for job in jobs]
     from concurrent.futures import ThreadPoolExecutor
 
-    # Ray's read path probes `from fsspec.implementations.http import
-    # HTTPFileSystem` on every dataset creation and only catches
-    # ModuleNotFoundError.  When aiohttp is absent the import FAILS without
-    # being cached (failed imports are removed from sys.modules), so two
-    # job threads creating datasets concurrently can race the repeated
-    # import and one observes the half-initialized module — a plain
-    # ImportError Ray does not catch.  Cache the outcome once: if the real
-    # import fails, install a minimal stub so the probe resolves
-    # deterministically (isinstance checks against it are simply False).
-    try:  # pragma: no cover - depends on installed extras
-        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
-    except ModuleNotFoundError:
-        import sys as _sys
-        import types as _types
+    from ..state.resources import warm_lazy_imports
 
-        _m = _types.ModuleType("fsspec.implementations.http")
-
-        class _StubHTTPFileSystem:  # never constructed; type-check target only
-            pass
-
-        _m.HTTPFileSystem = _StubHTTPFileSystem
-        _sys.modules.setdefault("fsspec.implementations.http", _m)
-    except Exception:
-        pass
+    warm_lazy_imports()
 
     with ThreadPoolExecutor(max_workers=concurrent_jobs) as ex:
         futs = [ex.submit(run_job, job, timestamp=timestamp) for job in jobs]

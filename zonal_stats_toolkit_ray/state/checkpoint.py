@@ -77,21 +77,36 @@ def run_partitioned(
     out_dir: str | Path,
     *,
     code_version: str = __version__,
+    max_concurrent: int = 1,
 ) -> dict:
     """Run ``run_fn(spec, tmp_output_dir)`` for every partition not already
     complete in the manifest.  ``run_fn`` must write its partition output
     under the given directory (e.g. ``ds.write_parquet(tmp_dir)``) and
     return a metrics dict (at least ``rows``).
 
-    Returns {"completed": [...], "skipped": [...], "manifest": path}.
+    ``max_concurrent > 1`` runs that many partitions at once (driver
+    threads, each driving its own Ray pipeline); the atomic
+    tmp-dir→rename publish is already per-partition, and manifest appends
+    serialize through a lock, so a kill mid-run still resumes exactly:
+    only manifest-recorded partitions skip.
+
+    Returns {"completed": [...], "skipped": [...], "manifest": path};
+    ``completed`` preserves submission order.
     """
+    import threading
+
     man = CheckpointManifest(out_dir)
-    completed, skipped = [], []
+    completed, skipped, todo = [], [], []
     for pid, spec in partitions:
         fp = fingerprint(spec, code_version)
         if man.is_done(pid, fp):
             skipped.append(pid)
-            continue
+        else:
+            todo.append((pid, spec, fp))
+
+    record_lock = threading.Lock()
+
+    def run_one(pid: str, spec: Any, fp: str) -> None:
         part_dir = man.partition_dir(pid)
         tmp_dir = Path(str(part_dir) + ".tmp")
         if tmp_dir.exists():
@@ -103,14 +118,30 @@ def run_partitioned(
         metrics = run_fn(spec, str(tmp_dir))
         wall = time.perf_counter() - t0
         os.replace(tmp_dir, part_dir)  # atomic publish
-        man.record(
-            {
-                "partition_id": pid,
-                "fingerprint": fp,
-                "out_path": str(part_dir),
-                "wall_s": round(wall, 4),
-                **(metrics or {}),
-            }
-        )
-        completed.append(pid)
+        with record_lock:
+            man.record(
+                {
+                    "partition_id": pid,
+                    "fingerprint": fp,
+                    "out_path": str(part_dir),
+                    "wall_s": round(wall, 4),
+                    **(metrics or {}),
+                }
+            )
+
+    if max_concurrent <= 1 or len(todo) <= 1:
+        for pid, spec, fp in todo:
+            run_one(pid, spec, fp)
+            completed.append(pid)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .resources import warm_lazy_imports
+
+        warm_lazy_imports()
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            futs = [(pid, ex.submit(run_one, pid, spec, fp)) for pid, spec, fp in todo]
+            for pid, f in futs:
+                f.result()
+                completed.append(pid)
     return {"completed": completed, "skipped": skipped, "manifest": str(man.path)}
