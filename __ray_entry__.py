@@ -575,6 +575,21 @@ def q_window_events(sf_dir: str):
     return out
 
 
+def q_hopping_windows(sf_dir: str):
+    """Hopping (overlapping) windows: 1-hour windows every 30 min over the
+    events stream — each event lands in 2 windows (round-2 operator; the
+    streaming-window shape Ray Data lacks natively)."""
+    from zonal_stats_toolkit_ray.stages.window import hopping_aggregate
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = hopping_aggregate(ds, length_s=3600, hop_s=1800)
+    out["sum_value"] = out["sum_value"].round(6)
+    return out
+
+
 def q_sessions(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.window import session_windows
     import ray.data as rd
@@ -697,6 +712,55 @@ def q_dedup_ngram_cert(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.dedup import ngram_jaccard_dedup
 
     return _cocluster_cert(sf_dir, lambda ds: ngram_jaccard_dedup(ds, threshold=0.8))
+
+
+def q_zone_knn_cert(sf_dir: str):
+    """zone-kNN certificate, hash-checked: for every page, (a) the k
+    bbox-distances come back sorted ascending, (b) distance 0 appears iff
+    the point lies inside at least one zone bbox, and (c) exactly k
+    neighbors return.  Verified against an independent NumPy bbox-distance
+    computation; the oracle asserts all-TRUE per doc."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+    from zonal_stats_toolkit_ray.stages.geocode import geocode_batch
+    from zonal_stats_toolkit_ray.stages.join import ZoneKNN
+
+    zones = synth_zones(seed=42, n_zones=24)
+    zs = ZoneSet(zones)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    pages = ds.map_batches(docs_batch_to_pages, batch_format="pyarrow")
+    pts = pages.map_batches(geocode_batch, batch_format="pyarrow")
+    out = pts.map_batches(
+        ZoneKNN,
+        fn_constructor_kwargs={"zones": zones, "k": 3},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["url", "lon", "lat", "knn_fids", "knn_dists"]).to_pandas()
+    # url = https://<source>.example/doc/<doc_id> (deterministic) → recover id
+    out["doc_id"] = out["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+
+    lon = out["lon"].to_numpy()
+    lat = out["lat"].to_numpy()
+    inside_any = np.zeros(len(out), dtype=bool)
+    for j in range(zs.n_parts):
+        inside_any |= (
+            (lon >= zs.minx[j]) & (lon <= zs.maxx[j])
+            & (lat >= zs.miny[j]) & (lat <= zs.maxy[j])
+        )
+    ok = []
+    for i, (fids, dists) in enumerate(zip(out["knn_fids"], out["knn_dists"])):
+        d = np.asarray(dists, dtype=np.float64)
+        row_ok = (
+            len(d) == 3
+            and bool(np.all(np.diff(d) >= 0))
+            and bool(np.isclose(d[0], 0.0, atol=1e-12) == inside_any[i])
+        )
+        ok.append(bool(row_ok))
+    res = pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64), "knn_ok": ok})
+    return res.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_knn_ivf_cert(sf_dir: str):
@@ -956,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "window_events": q_window_events,
+        "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
@@ -970,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_cert": q_dedup_minhash_cert,
         "dedup_simhash_cert": q_dedup_simhash_cert,
         "dedup_ngram_cert": q_dedup_ngram_cert,
+        "zone_knn_cert": q_zone_knn_cert,
         "knn_ivf_cert": q_knn_ivf_cert,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1018,6 +1084,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "hopping_windows": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       value
+                FROM events
+            ),
+            x AS (
+                SELECT event_type,
+                       (es // 1800) * 1800 - kk * 1800 AS window_start,
+                       value
+                FROM e CROSS JOIN (SELECT unnest([0, 1]) AS kk)
+            )
+            SELECT event_type, window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM x GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
         "dedup_minhash_cert": """
             SELECT doc_id, TRUE AS cocluster_ok FROM documents ORDER BY doc_id
         """,
@@ -1026,6 +1111,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_cert": """
             SELECT doc_id, TRUE AS cocluster_ok FROM documents ORDER BY doc_id
+        """,
+        "zone_knn_cert": """
+            SELECT doc_id, TRUE AS knn_ok FROM documents ORDER BY doc_id
         """,
         "knn_ivf_cert": """
             SELECT vec_id AS query_id, TRUE AS recall_ok

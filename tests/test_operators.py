@@ -354,3 +354,48 @@ class TestDedupScale:
         cl = dict(zip(e1["vec_id"], e1["cluster_id"]))
         for i in range(10):
             assert cl[i] == cl[60 + i]
+
+
+class TestHopping:
+    def test_hopping_vs_pandas(self, ray_session):
+        import ray.data as rd
+
+        ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+        from zonal_stats_toolkit_ray.stages.window import hopping_aggregate
+
+        got = hopping_aggregate(ev, length_s=3600, hop_s=1800)
+        df = ev.to_pandas()
+        es = df["ts"].to_numpy().astype("datetime64[us]").astype("int64") // 1_000_000
+        rows = []
+        for k in (0, 1):
+            rows.append(
+                pd.DataFrame(
+                    {
+                        "event_type": df["event_type"],
+                        "window_start": (es // 1800) * 1800 - k * 1800,
+                        "value": df["value"],
+                    }
+                )
+            )
+        want = (
+            pd.concat(rows)
+            .groupby(["event_type", "window_start"])
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+            .sort_values(["event_type", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert np.array_equal(got["n_events"].to_numpy(), want["n_events"].to_numpy())
+        assert np.allclose(got["sum_value"].to_numpy(), want["sum_value"].to_numpy())
+        # every event lands in exactly length/hop windows
+        assert got["n_events"].sum() == 2 * len(df)
+
+    def test_hopping_rejects_nonmultiple(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.window import hopping_aggregate
+
+        ev = rd.read_parquet(f"{SF}/events.parquet")
+        with pytest.raises(ValueError, match="multiple"):
+            hopping_aggregate(ev, length_s=3600, hop_s=1000)

@@ -73,6 +73,62 @@ def windowed_aggregate(
     return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
 
 
+def hopping_aggregate(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    length_s: int = 3600,
+    hop_s: int = 1800,
+) -> pd.DataFrame:
+    """HOPPING (sliding) window grouped aggregate: windows of ``length_s``
+    starting every ``hop_s`` (overlapping when hop < length), keyed by
+    epoch-second window_start.  Each event belongs to exactly
+    ``length_s // hop_s`` windows, so the batch stage replicates rows that
+    many times with vectorized arithmetic (np.repeat + per-copy offsets),
+    partial-aggregates in-batch, and the tiny (key, window, block) partial
+    rows merge on the driver — same two-level shape as the tumbling path.
+    Oracle SQL: cross join against ``unnest(range(length/hop))``.
+    """
+    if length_s % hop_s != 0:
+        raise ValueError("length_s must be a multiple of hop_s")
+    k = length_s // hop_s
+
+    def partials(b: pa.Table) -> pa.Table:
+        es = (
+            pa.compute.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+        )  # timestamps are us-resolution → floor to epoch seconds
+        base = (es // hop_s) * hop_s
+        ws = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_s, es.size
+        )
+        keys = np.repeat(
+            np.asarray(b[key_col].to_pylist(), dtype=object), k
+        )
+        vals = np.repeat(
+            b[value_col].to_numpy(zero_copy_only=False).astype(np.float64), k
+        )
+        df = pd.DataFrame({"key": keys, "ws": ws, "v": vals})
+        g = (
+            df.groupby(["key", "ws"], sort=False)
+            .agg(n_events=("v", "size"), sum_value=("v", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    out = (
+        p.groupby(["key", "ws"], sort=False)
+        .agg(n_events=("n_events", "sum"), sum_value=("sum_value", "sum"))
+        .reset_index()
+        .rename(columns={"key": key_col, "ws": "window_start"})
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values([key_col, "window_start"]).reset_index(drop=True)
+
+
 def session_windows(
     ds,
     *,
