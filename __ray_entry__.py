@@ -788,6 +788,40 @@ def q_knn_ivf_cert(sf_dir: str):
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def q_train_val_split(sf_dir: str):
+    """Deterministic hash-based train/val split (training-data set op):
+    split is a pure function of doc_id (Knuth multiplicative hash), stable
+    across runs/partitionings — per-doc assignment hash-checked in SQL."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import train_val_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return train_val_split(ds, val_fraction=0.1).select_columns(["doc_id", "split"])
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (training-data set op): docs sharing any
+    word 8-gram with the benchmark slice (doc_id < 5) are flagged.  The
+    benchmark n-gram hash set broadcasts once; each batch checks its own
+    vectorized n-gram hashes with one np.isin."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import (
+        benchmark_ngram_hashes,
+        decontaminate,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench_texts = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+        )
+        .select_columns(["text"])
+        .to_pandas()
+    )
+    bh = benchmark_ngram_hashes(pa.array(bench_texts["text"], pa.string()), 8)
+    return decontaminate(ds, bh, n=8)
+
+
 def q_lang_id(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.text import LangId
     import ray.data as rd
@@ -1037,6 +1071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_cert": q_dedup_ngram_cert,
         "zone_knn_cert": q_zone_knn_cert,
         "knn_ivf_cert": q_knn_ivf_cert,
+        "train_val_split": q_train_val_split,
+        "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash_sigs": q_simhash_sigs,
@@ -1084,6 +1120,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "train_val_split": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 < 429496729
+                        THEN 'val' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 8 THEN
+                  [array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w)-7)]
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END AS g
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id < 5),
+            flat AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            hits AS (SELECT DISTINCT f.doc_id FROM flat f JOIN bench ON f.gram = bench.gram)
+            SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            ORDER BY d.doc_id
+        """,
         "hopping_windows": """
             WITH e AS (
                 SELECT event_type,

@@ -399,3 +399,49 @@ class TestHopping:
         ev = rd.read_parquet(f"{SF}/events.parquet")
         with pytest.raises(ValueError, match="multiple"):
             hopping_aggregate(ev, length_s=3600, hop_s=1000)
+
+
+class TestSplitOps:
+    def test_split_deterministic_and_fractional(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.split import train_val_split
+
+        ds = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+        a = train_val_split(ds, val_fraction=0.2).to_pandas()
+        b = train_val_split(ds.repartition(7), val_fraction=0.2).to_pandas()
+        m = a.merge(b, on="doc_id", suffixes=("_a", "_b"))
+        # partitioning-independent assignment
+        assert (m["split_a"] == m["split_b"]).all()
+        frac = (a["split"] == "val").mean()
+        assert 0.1 < frac < 0.3  # ~0.2 for a uniform id hash
+
+    def test_decontaminate_flags_benchmark_and_copies(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.split import (
+            benchmark_ngram_hashes,
+            decontaminate,
+        )
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(6, dtype=np.int64),
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta iota",  # benchmark
+                    "totally unrelated words one two three four five six",
+                    "alpha beta gamma delta epsilon zeta eta theta tail",  # shares 8-gram
+                    "short doc",
+                    "alpha beta gamma delta", # shares no full 8-gram
+                    "ALPHA BETA GAMMA DELTA EPSILON ZETA ETA THETA IOTA",  # case-folded dup
+                ],
+            }
+        )
+        bh = benchmark_ngram_hashes(pa.array([docs["text"][0]]), 8)
+        out = (
+            decontaminate(rd.from_pandas(docs), bh, n=8)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["contaminated"].tolist() == [True, False, True, False, False, True]

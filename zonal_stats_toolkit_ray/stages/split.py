@@ -1,0 +1,103 @@
+"""Training-data set operations: deterministic train/val splitting and
+benchmark decontamination.
+
+Both are standard large-corpus pipeline stages (north-rule "operations a
+large-scale training-data pipeline would need"):
+
+* :func:`split_assign_batch` — hash-based split assignment: a pure
+  function of the id (Knuth multiplicative hash mod 2^32 against a
+  fraction threshold), so the split is stable across runs, partitionings
+  and cluster sizes, and is reproducible in SQL for the oracle.
+* :func:`decontaminate` — mark documents sharing any word n-gram with a
+  (small) benchmark set: the benchmark's n-gram hash set is built once,
+  broadcast via ``ray.put``, and each batch checks membership with one
+  vectorized ``np.isin`` over its own n-gram hashes.  The classic
+  eval-set decontamination shape: benchmark ≪ corpus, corpus streams.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import word_ngram_hashes
+
+_KNUTH = np.uint64(2654435761)
+_M32 = np.uint64(0xFFFFFFFF)
+
+
+def split_hash32(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash of int64 ids → uint32 (as uint64 values);
+    matches the oracle SQL ``(doc_id * 2654435761) % 4294967296``."""
+    with np.errstate(over="ignore"):
+        return (ids.astype(np.uint64) * _KNUTH) & _M32
+
+
+def split_assign_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", val_fraction: float = 0.1
+) -> pa.Table:
+    """map_batches stage: adds ``split`` ("train" | "val") — val iff
+    hash32(id) < val_fraction · 2^32.  Deterministic, order-independent,
+    and exactly reproducible in integer SQL."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = split_hash32(ids)
+    thresh = np.uint64(int(val_fraction * float(1 << 32)))
+    is_val = h < thresh
+    split = np.where(is_val, "val", "train")
+    return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+
+def train_val_split(
+    ds, *, id_col: str = "doc_id", val_fraction: float = 0.1
+):
+    """→ Dataset with a ``split`` column.  Filter downstream with
+    ``ds.filter`` / per-batch masks; no shuffle, no materialization."""
+    return ds.map_batches(
+        split_assign_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "val_fraction": val_fraction},
+    )
+
+
+def benchmark_ngram_hashes(texts: pa.Array | pa.ChunkedArray, n: int) -> np.ndarray:
+    """The benchmark side's distinct word n-gram hashes (driver-side; the
+    benchmark set is small by definition)."""
+    h, _ = word_ngram_hashes(texts, n)
+    return np.unique(h)
+
+
+def decontaminate(
+    ds,
+    benchmark_hashes: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+):
+    """→ Dataset(id, contaminated bool): True iff the document shares any
+    word ``n``-gram with the benchmark.  The hash set ships once via
+    ``ray.put`` (zero-copy plasma reads per task); each batch computes its
+    own n-gram hashes vectorized and one ``np.isin`` per batch decides."""
+    import ray
+
+    bench = np.unique(np.asarray(benchmark_hashes, dtype=np.uint64))
+    bench_ref = ray.put(bench) if ray.is_initialized() else bench
+
+    def check(b: pa.Table) -> pa.Table:
+        bh = bench_ref if isinstance(bench_ref, np.ndarray) else ray.get(bench_ref)
+        h, d = word_ngram_hashes(b[text_col], n)
+        hits = np.isin(h, bh)
+        contaminated = np.zeros(len(b), dtype=bool)
+        if hits.any():
+            np.logical_or.at(contaminated, d[hits], True)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "contaminated": pa.array(contaminated),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        check, batch_format="pyarrow"
+    )
