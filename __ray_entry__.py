@@ -788,6 +788,20 @@ def q_knn_ivf_cert(sf_dir: str):
     return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic downsampling (class rebalancing): keep
+    10% of English docs and 50% of every other language — kept set is a
+    pure function of (doc_id, lang), hash-checked row-for-row in SQL."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = stratified_sample(
+        ds, {"en": 0.1}, strata_col="lang", default_fraction=0.5
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_train_val_split(sf_dir: str):
     """Deterministic hash-based train/val split (training-data set op):
     split is a pure function of doc_id (Knuth multiplicative hash), stable
@@ -1071,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_cert": q_dedup_ngram_cert,
         "zone_knn_cert": q_zone_knn_cert,
         "knn_ivf_cert": q_knn_ivf_cert,
+        "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
         "decontaminate": q_decontaminate,
         "lang_id": q_lang_id,
@@ -1120,6 +1135,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 <
+                  CASE WHEN lang = 'en' THEN 429496729 ELSE 2147483648 END
+            ORDER BY doc_id
+        """,
         "train_val_split": """
             SELECT doc_id,
                    CASE WHEN (doc_id * 2654435761) % 4294967296 < 429496729

@@ -101,3 +101,33 @@ def decontaminate(
     return ds.select_columns([id_col, text_col]).map_batches(
         check, batch_format="pyarrow"
     )
+
+
+def stratified_sample(
+    ds,
+    fractions: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_fraction: float = 0.0,
+):
+    """Deterministic per-stratum downsampling (class rebalancing): keep a
+    row iff hash32(id) < fraction[stratum] · 2^32.  No shuffle, no
+    randomness — the kept set is a pure function of (id, stratum), so
+    reruns and different partitionings sample identically and the oracle
+    reproduces it with integer SQL.  ``fractions`` is tiny (one entry per
+    stratum) and travels in the task closure."""
+    fr = {str(k): float(v) for k, v in fractions.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = split_hash32(ids)
+        strata = np.asarray(b[strata_col].to_pylist(), dtype=object)
+        uniq, codes = np.unique(strata, return_inverse=True)
+        per_stratum = np.array(
+            [int(fr.get(s, default_fraction) * float(1 << 32)) for s in uniq.tolist()],
+            dtype=np.uint64,
+        )  # O(#strata) Python, O(rows) vectorized gather
+        return b.filter(pa.array(h < per_stratum[codes]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
