@@ -763,6 +763,39 @@ def q_zone_knn_cert(sf_dir: str):
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_embedding_cert(sf_dir: str):
+    """Embedding near-dup recall certificate: plant exact copies of the 10
+    lowest-id vectors (vec_id + 1e6) into the corpus — identical vectors
+    share every multi-probe LSH bucket and have cosine 1, so each copy
+    MUST co-cluster with its source; a bucketing/verify/union regression
+    flips rows FALSE and breaks the value hash."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = ds.limit(10).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    planted = pa.table(
+        {
+            "vec_id": pa.array(head["vec_id"].to_numpy(np.int64) + 1_000_000),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in head["embedding"]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    both = ds.select_columns(["vec_id", "embedding"]).union(rd.from_arrow(planted))
+    comp = embedding_dedup(both, threshold=0.99).to_pandas()
+    cl = dict(zip(comp["vec_id"].astype(np.int64), comp["cluster_id"].astype(np.int64)))
+    rows = [
+        {
+            "planted_id": int(v) + 1_000_000,
+            "cocluster_ok": bool(cl[int(v) + 1_000_000] == cl[int(v)]),
+        }
+        for v in head["vec_id"]
+    ]
+    return pd.DataFrame(rows).sort_values("planted_id").reset_index(drop=True)
+
+
 def q_knn_ivf_cert(sf_dir: str):
     """IVF recall certificate: recall@10 vs exact brute force must be
     ≥ 0.5 per query with nprobe=4 of nlist=8 (measured 0.6-0.9 across all
@@ -1084,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_cert": q_dedup_simhash_cert,
         "dedup_ngram_cert": q_dedup_ngram_cert,
         "zone_knn_cert": q_zone_knn_cert,
+        "dedup_embedding_cert": q_dedup_embedding_cert,
         "knn_ivf_cert": q_knn_ivf_cert,
         "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
@@ -1135,6 +1169,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "dedup_embedding_cert": """
+            SELECT vec_id + 1000000 AS planted_id, TRUE AS cocluster_ok
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
+            ORDER BY planted_id
+        """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 <
