@@ -222,3 +222,30 @@ def test_distributed_percentiles_many_fallback_windows(ray_session):
         tiles, GRID, zs, percentiles=pl, percentile_driver_threshold=0
     )
     _stats_equal(got, want)
+
+
+def test_directory_raster_matches_single_file(ray_session, tmp_path):
+    """Round-2: a raster stored as a directory of Parquet shards (the
+    100-TB layout) produces identical zonal stats to the single-file form,
+    end-to-end through the config-driven job runner."""
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.sources.raster import (
+        read_grid_spec,
+        write_tiles,
+        write_tiles_dir,
+    )
+
+    single = tmp_path / "r_single.parquet"
+    sharded = tmp_path / "r_dir"
+    write_tiles(str(single), GRID, seed=42)
+    write_tiles_dir(str(sharded), GRID, seed=42, shards=5)
+
+    gs = read_grid_spec(str(sharded))
+    assert gs == read_grid_spec(str(single))
+
+    zt = synth_zones(seed=42, n_zones=16)
+    zs = ZoneSet(zt)
+    a = zonal_stats_raster(rd.read_parquet(str(single)), GRID, zs, percentiles=[5.0])
+    b = zonal_stats_raster(rd.read_parquet(str(sharded)), GRID, zs, percentiles=[5.0])
+    _stats_equal(b, a)

@@ -144,7 +144,40 @@ def write_tiles(path: str, grid: GridSpec, seed: int = 42) -> None:
     pq.write_table(t, path)
 
 
+def write_tiles_dir(
+    path: str, grid: GridSpec, seed: int = 42, *, shards: int = 4
+) -> None:
+    """Write the raster as a DIRECTORY of Parquet shards (the 100-TB
+    layout: one file per tile-range shard; ``ray.data.read_parquet`` on
+    the directory streams shards as independent read tasks and a resumable
+    writer can skip finished shards).  Every shard carries the grid spec
+    in its key-value metadata, so :func:`read_grid_spec` works on the
+    directory too.  Tiles are row-major round-robin across shards —
+    re-sharding the same grid yields identical data (values are a pure
+    function of global pixel coords)."""
+    import os
+
+    t = synth_tiles_table(grid, seed)
+    t = t.replace_schema_metadata({b"grid_spec": grid_meta_json(grid).encode()})
+    os.makedirs(path, exist_ok=True)
+    n = len(t)
+    shards = max(1, min(shards, n))
+    for s in range(shards):
+        idx = list(range(s, n, shards))
+        pq.write_table(t.take(idx), f"{path}/part-{s:04d}.parquet")
+
+
 def read_grid_spec(path: str) -> GridSpec:
-    md = pq.read_schema(path).metadata or {}
+    """Grid spec from Parquet key-value metadata — a single tiles file or
+    a directory of shards (first shard's metadata; all shards carry it)."""
+    import os
+
+    p = path
+    if os.path.isdir(path):
+        names = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not names:
+            raise FileNotFoundError(f"no parquet shards in raster dir {path!r}")
+        p = os.path.join(path, names[0])
+    md = pq.read_schema(p).metadata or {}
     spec = json.loads(md[b"grid_spec"].decode())
     return GridSpec(**spec)
