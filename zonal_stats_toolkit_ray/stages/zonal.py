@@ -199,17 +199,52 @@ def finalize_group_stats(
 # distributed drivers
 # ---------------------------------------------------------------------------
 
-def reduce_partials(partials_ds) -> pd.DataFrame:
+def partials_from_partials(batch: pa.Table) -> pa.Table:
+    """Combine partial rows WITHIN a batch (associative merge — same
+    output schema).  Feeding repartitioned partials through this stage
+    forms a reduction tree: each level shrinks the frame toward one row
+    per (group, block-of-blocks)."""
+    key_col = batch["group_key"]
+    int_keys = pa.types.is_integer(key_col.type)
+    if len(batch) == 0:
+        return (PARTIAL_SCHEMA_INT if int_keys else PARTIAL_SCHEMA).empty_table()
+    df = batch.to_pandas()
+    g = (
+        df.groupby("group_key", sort=False)
+        .agg(
+            count=("count", "sum"),
+            nodata_count=("nodata_count", "sum"),
+            sum=("sum", "sum"),
+            sumsq=("sumsq", "sum"),
+            min=("min", "min"),
+            max=("max", "max"),
+        )
+        .reset_index()
+    )
+    return pa.Table.from_pandas(g, preserve_index=False).cast(
+        PARTIAL_SCHEMA_INT if int_keys else PARTIAL_SCHEMA
+    )
+
+
+def reduce_partials(partials_ds, *, tree_threshold: int = 1_000_000) -> pd.DataFrame:
     """Final merge of the partials dataset (O(#groups × #blocks) rows —
     orders of magnitude smaller than the data).
 
     The partials stream to the driver and merge in one vectorized pandas
     groupby: a distributed ``groupby().map_groups`` here would pay a full
-    sort-shuffle's fixed cost (~seconds) to merge kilobytes.  If the
-    partial count is ever large (millions of blocks × many groups), the
-    same frame can be pre-combined by feeding partials through a second
-    ``map_batches(partials_from_partials)`` tree before collection."""
-    df = partials_ds.to_pandas()
+    sort-shuffle's fixed cost (~seconds) to merge kilobytes.  Above
+    ``tree_threshold`` rows (millions of blocks × many groups) a
+    pre-combine level runs first: repartition to fewer blocks and merge
+    within each block (``partials_from_partials``) so the driver frame
+    shrinks by ~the fan-in factor before collection."""
+    mat = partials_ds.materialize()
+    if mat.count() > tree_threshold:
+        mat = (
+            mat.repartition(32)
+            .map_batches(partials_from_partials, batch_format="pyarrow")
+            .materialize()
+        )
+    df = mat.to_pandas()
     if len(df) == 0:
         return df
     return (
