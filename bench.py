@@ -567,9 +567,39 @@ def _scaling():
     print(json.dumps(result))
 
 
+def _stats_audit():
+    """`bench.py --stats`: run the flagship pipeline with materialization
+    and print Ray Data's per-operator stats (wall time, CPU, rows, object
+    store traffic per stage) — the audit loop used to verify wall-time is
+    dominated by useful compute rather than framework overhead."""
+    import ray
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.pipelines.zonal import join_points
+    from zonal_stats_toolkit_ray.sources.zones import synth_zones
+    from zonal_stats_toolkit_ray.stages.text import quality_score_batch
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    corpus = _pages_corpus_dir(sf_dir, REPLICATE)
+    zones = synth_zones(seed=42, n_zones=48, n_groups=12)
+    zones_ref = ray.put(zones)
+    ds = rd.read_parquet(corpus, columns=["url", "text"])
+    scored = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    slim = scored.map_batches(
+        lambda t: t.select(["url", "quality_score"]), batch_format="pyarrow"
+    )
+    joined = join_points(slim, zones_ref).materialize()
+    print(joined.stats())
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
+        return
+    if "--stats" in sys.argv:
+        _stats_audit()
         return
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
