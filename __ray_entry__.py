@@ -506,11 +506,25 @@ def q_union_distinct(sf_dir: str):
     distinct = combined.groupby("o_orderkey").aggregate(
         Min("o_orderstatus", alias_name="o_orderstatus")
     )
+
+    # second-level rollup via per-batch partials + driver merge — the
+    # distinct step already paid the only necessary shuffle; counting a
+    # handful of statuses doesn't warrant another
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.groupby("o_orderstatus", sort=False)
+            .size()
+            .rename("n_orders")
+            .reset_index()
+        )
+
+    p = distinct.map_batches(partial, batch_format="pandas").to_pandas()
     out = (
-        distinct.groupby("o_orderstatus")
-        .aggregate(Count(alias_name="n_orders"))
-        .to_pandas()
+        p.groupby("o_orderstatus", sort=False)
+        .agg(n_orders=("n_orders", "sum"))
+        .reset_index()
     )
+    out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
