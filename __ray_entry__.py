@@ -849,6 +849,25 @@ def q_stratified_sample(sf_dir: str):
     return out.select_columns(["doc_id", "lang"])
 
 
+def q_deterministic_shuffle(sf_dir: str):
+    """Reproducible training-data shuffle: global Dataset.sort on the
+    Knuth id hash — same order every run on any partitioning (the standard
+    seeded-shuffle for training exports).  Emits (doc_id, shuffle_key);
+    the oracle reproduces the key in integer SQL, pinning the order."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import split_hash32
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "shuffle_key", pa.array(split_hash32(ids).astype(np.int64))
+        )
+
+    return ds.map_batches(key, batch_format="pyarrow").sort("shuffle_key")
+
+
 def q_train_val_split(sf_dir: str):
     """Deterministic hash-based train/val split (training-data set op):
     split is a pure function of doc_id (Knuth multiplicative hash), stable
@@ -1154,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cert": q_dedup_embedding_cert,
         "knn_ivf_cert": q_knn_ivf_cert,
         "stratified_sample": q_stratified_sample,
+        "deterministic_shuffle": q_deterministic_shuffle,
         "train_val_split": q_train_val_split,
         "decontaminate": q_decontaminate,
         "html_extract": q_html_extract,
@@ -1204,6 +1224,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,
         "fingerprint": _FINGERPRINT_SQL,
+        "deterministic_shuffle": """
+            SELECT doc_id,
+                   (doc_id * 2654435761) % 4294967296 AS shuffle_key
+            FROM documents ORDER BY shuffle_key
+        """,
         "html_extract": """
             SELECT 'https://' || source || '.example/doc/'
                    || CAST(doc_id AS VARCHAR) AS url,
