@@ -445,3 +445,31 @@ class TestSplitOps:
             .reset_index(drop=True)
         )
         assert out["contaminated"].tolist() == [True, False, True, False, False, True]
+
+
+def test_distributed_pair_verify_matches_driver(ray_session):
+    """Forcing pair_driver_threshold=0 routes Jaccard verification through
+    the distributed pair Dataset; clusters must equal the driver loop's."""
+    import ray.data as rd
+
+    pages = synth_pages_table(300, seed=8, dup_fraction=0.25).to_pandas()
+    pages["doc_id"] = np.arange(len(pages))
+    ds = rd.from_pandas(pages[["doc_id", "text"]]).repartition(3)
+    import zonal_stats_toolkit_ray.stages.dedup as dd
+
+    orig = dd.jaccard_verify
+
+    def forced(texts, pairs, **kw):
+        kw["pair_driver_threshold"] = 0
+        return orig(texts, pairs, **kw)
+
+    dd.jaccard_verify = forced
+    try:
+        a = dd.minhash_dedup(ds, threshold=0.8).to_pandas()
+    finally:
+        dd.jaccard_verify = orig
+    b = dd.minhash_dedup(ds, threshold=0.8).to_pandas()
+    assert np.array_equal(
+        a.sort_values("doc_id")["cluster_id"].to_numpy(),
+        b.sort_values("doc_id")["cluster_id"].to_numpy(),
+    )

@@ -314,15 +314,79 @@ def lsh_candidate_pairs(
     return df.drop_duplicates().astype(np.int64)
 
 
+def _pairs_verify_distributed(
+    texts_by_id: dict[int, str],
+    pairs: pd.DataFrame,
+    pair_fn,
+    *,
+    batch_rows: int = 8192,
+) -> pd.DataFrame:
+    """Distribute pair verification: the candidate-text map broadcasts once
+    (candidate-sized by LSH construction) and the PAIR list streams as a
+    Dataset — ``pair_fn(texts, a, b) -> keep_bool`` runs per pair inside
+    ``map_batches``, so a heavy candidate load parallelizes instead of
+    looping on the driver.  Exactly equivalent to the driver loop."""
+    import ray
+    import ray.data as rd
+
+    tref = ray.put(texts_by_id)
+
+    def verify(b: pa.Table) -> pa.Table:
+        texts = ray.get(tref)
+        cache: dict = {}  # per-batch feature cache: docs appear in many pairs
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (pair_fn(texts, cache, int(x), int(y)) for x, y in zip(a, bb)),
+            dtype=bool,
+            count=len(b),
+        )
+        return b.filter(pa.array(keep))
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(pairs["a"].to_numpy(np.int64)),
+                "b": pa.array(pairs["b"].to_numpy(np.int64)),
+            }
+        )
+    ).repartition(max(1, len(pairs) // batch_rows))
+    return ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+
+
 def jaccard_verify(
     texts_by_id: dict[int, str],
     pairs: pd.DataFrame,
     *,
     threshold: float,
     shingle_k: int = 5,
+    pair_driver_threshold: int = 200_000,
 ) -> pd.DataFrame:
-    """Exact Jaccard over char-shingle sets for each candidate pair (driver
-    side; candidate set is small by construction)."""
+    """Exact Jaccard over char-shingle sets for each candidate pair.
+    Small pair sets verify in a driver loop (with a shingle cache); above
+    ``pair_driver_threshold`` pairs the verification distributes
+    (broadcast text map + pair Dataset) — same predicate, same result."""
+    if len(pairs) > pair_driver_threshold:
+
+        def pair_ok(texts: dict, cache: dict, a: int, b: int) -> bool:
+            def sh(i: int) -> set:
+                s_ = cache.get(i)
+                if s_ is None:
+                    t_ = texts[i].encode()
+                    s_ = {
+                        t_[j : j + shingle_k]
+                        for j in range(max(0, len(t_) - shingle_k + 1))
+                    }
+                    cache[i] = s_
+                return s_
+
+            sa, sb = sh(a), sh(b)
+            union = len(sa | sb)
+            return ((len(sa & sb) / union) if union else 1.0) >= threshold
+
+        out = _pairs_verify_distributed(texts_by_id, pairs, pair_ok)
+        out["jaccard"] = 1.0  # retained pairs only; score unused downstream
+        return out
     cache: dict[int, set] = {}
 
     def sh(i: int) -> set:
