@@ -659,18 +659,33 @@ def ngram_jaccard_dedup(
             return {" ".join(ws)} if ws else set()
         return {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
 
-    keep = {"a": [], "b": [], "jaccard": []}
-    cache: dict[int, set] = {}
-    for a, b in zip(cand["a"], cand["b"]):
-        sa = cache.setdefault(int(a), grams(texts[int(a)]))
-        sb = cache.setdefault(int(b), grams(texts[int(b)]))
-        union = len(sa | sb)
-        jac = (len(sa & sb) / union) if union else 1.0
-        if jac >= threshold:
-            keep["a"].append(int(a))
-            keep["b"].append(int(b))
-            keep["jaccard"].append(jac)
-    comp = connected_components(pd.DataFrame(keep), id_col=id_col)
+    if len(cand) > 200_000:
+        # distribute verification above the pair threshold (same adaptive
+        # escape hatch as jaccard_verify): pairs stream, texts broadcast
+        def pair_ok(tmap: dict, cache: dict, a: int, b: int) -> bool:
+            sa = cache.get(a)
+            if sa is None:
+                sa = cache[a] = grams(tmap[a])
+            sb = cache.get(b)
+            if sb is None:
+                sb = cache[b] = grams(tmap[b])
+            union = len(sa | sb)
+            return ((len(sa & sb) / union) if union else 1.0) >= threshold
+
+        verified = _pairs_verify_distributed(texts, cand, pair_ok)
+    else:
+        keep = {"a": [], "b": []}
+        cache: dict[int, set] = {}
+        for a, b in zip(cand["a"], cand["b"]):
+            sa = cache.setdefault(int(a), grams(texts[int(a)]))
+            sb = cache.setdefault(int(b), grams(texts[int(b)]))
+            union = len(sa | sb)
+            jac = (len(sa & sb) / union) if union else 1.0
+            if jac >= threshold:
+                keep["a"].append(int(a))
+                keep["b"].append(int(b))
+        verified = pd.DataFrame(keep)
+    comp = connected_components(verified, id_col=id_col)
     return _attach_clusters(ds, id_col, comp)
 
 
