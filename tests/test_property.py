@@ -136,3 +136,82 @@ def test_partials_invariants(seed, n, k, nodata):
             one["min"].to_numpy(dtype=float),
             equal_nan=True,
         )
+
+
+# ---- round-2 kernels ------------------------------------------------------
+
+from zonal_stats_toolkit_ray.geom.crs import (  # noqa: E402
+    CRS,
+    LONLAT,
+    WEBMERC,
+    transform_points,
+)
+from zonal_stats_toolkit_ray.stages.dedup import word_ngram_hashes  # noqa: E402
+from zonal_stats_toolkit_ray.stages.split import split_hash32  # noqa: E402
+
+import pyarrow as pa  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    lon=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+    lat=st.floats(min_value=-84.9, max_value=84.9, allow_nan=False),
+    a=st.floats(min_value=0.5, max_value=3.0),
+    e=st.floats(min_value=0.5, max_value=3.0),
+    c=st.floats(min_value=-100.0, max_value=100.0),
+    f=st.floats(min_value=-100.0, max_value=100.0),
+)
+def test_crs_roundtrip_property(lon, lat, a, e, c, f):
+    """src→dst→src recovers the point for every CRS pair (webmerc within
+    its latitude domain; affine with nonsingular diagonal)."""
+    aff = CRS(kind="affine", affine=(a, 0.1, c, -0.2, e, f))
+    pt = (np.array([lon]), np.array([lat]))
+    for dst in (WEBMERC, aff, CRS(axis_order="yx")):
+        x, y = transform_points(LONLAT, dst, *pt)
+        lon2, lat2 = transform_points(dst, LONLAT, x, y)
+        assert np.isclose(lon2[0], lon, atol=1e-8)
+        assert np.isclose(lat2[0], lat, atol=1e-8)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+                min_size=1,
+                max_size=6,
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 4),
+)
+def test_word_ngram_counts_property(docs, n):
+    """Per-doc n-gram count == max(tokens-n+1, 1 if any tokens else 0); and
+    identical docs yield identical hash multisets (the dedup invariant)."""
+    texts = [" ".join(ws) for ws in docs]
+    arr = pa.array(texts + texts, pa.string())  # duplicate every doc
+    h, d = word_ngram_hashes(arr, n)
+    m = len(texts)
+    for i, ws in enumerate(docs):
+        k = len([w for w in ws if w])
+        want = (k - n + 1) if k >= n else (1 if k > 0 else 0)
+        mine = np.sort(h[d == i])
+        twin = np.sort(h[d == i + m])
+        assert mine.size == want
+        assert np.array_equal(mine, twin)
+
+
+@settings(max_examples=50, deadline=None)
+@given(ids=st.lists(st.integers(0, 2**40), min_size=1, max_size=50))
+def test_split_hash_matches_sql_arithmetic(ids):
+    """split_hash32 must equal the oracle's (id * 2654435761) % 2^32 for
+    any id — the contract the SQL oracles rely on."""
+    arr = np.asarray(ids, dtype=np.int64)
+    got = split_hash32(arr)
+    want = np.array([(i * 2654435761) % (1 << 32) for i in ids], dtype=np.uint64)
+    assert np.array_equal(got, want)

@@ -62,6 +62,10 @@ def hash64_utf8(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if len(starts) == 0:
         return np.empty(0, dtype=np.uint64)
     total_lo, total_hi = int(starts[0]), int(ends[-1])
+    if total_hi == total_lo:
+        # every string in this slice is empty → all hashes are 0 (the
+        # index arithmetic below would otherwise hit an empty cumsum)
+        return np.zeros(len(starts), dtype=np.uint64)
     # exponent of each byte = (its string's end-1) - (its global position);
     # int32 suffices (strings < 2 GiB) and halves the traffic of this, the
     # widest temp.  Everything below minimizes full-width allocations — on
