@@ -4,13 +4,18 @@ Ray is initialised by the driver BEFORE this module is imported; nothing
 here (or in the library) calls ray.init()/ray.shutdown().
 
 ``queries()`` exposes one callable per implemented operator/pipeline from
-SURVEY.md §2 plus the training-data operators (dedup family, similarity
-search, text analysis, windowed aggregates, multimodal plumbing).
-``oracle_sql()`` provides the DuckDB-equivalent SQL for every
-SQL-expressible query — column names match 1:1.  Non-SQL-expressible
-pipelines (spatial PIP join with convex polygons, LSH dedup, IVF ANN,
-language ID, multimodal) ship without an oracle entry → rows-only check;
-their correctness gates live in tests/ (golden-oracle conformance).
+SURVEY.md §2 plus the training-data operators (dedup family with
+certificates, similarity search, text analysis, HTML extraction,
+tumbling/hopping/session windows, split/sample/shuffle/decontaminate set
+ops, multimodal plumbing).  ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for every SQL-expressible query — column names
+match 1:1.  Approximate/heuristic operators additionally ship CERTIFICATE
+queries: deterministic pass/fail rows (accuracy bound, recall on
+guaranteed-recall inputs, structural properties) against all-TRUE SQL, so
+a quality regression breaks the value hash.  The remaining rows-only
+entries (LSH dedup row output, IVF top-k, language ID, multimodal,
+config/resume jobs) are gated by golden-oracle/pytest conformance in
+tests/.
 """
 
 from __future__ import annotations
