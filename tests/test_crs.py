@@ -112,3 +112,43 @@ def test_join_points_with_crs_matches_untransformed(ray_session):
         .reset_index(drop=True)
     )
     assert np.array_equal(golden["zone_fid"].to_numpy(), got["zone_fid"].to_numpy())
+
+
+def test_raster_pipeline_with_reprojected_zones(ray_session):
+    """CRS stage composed with the FULL raster path: zones shipped in
+    Web-Mercator, reprojected via prepare_zones, then complete zonal stats
+    (incl. percentiles) must equal the untransformed golden oracle."""
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.geom.window import GridSpec
+    from zonal_stats_toolkit_ray.pipelines.zonal import zonal_stats_raster
+    from zonal_stats_toolkit_ray.sources.raster import dense_array, synth_tiles_table
+
+    import sys as _sys
+    _sys.path.insert(0, "/root/repo/tests")
+    from golden_oracle import oracle_zonal_statistics
+
+    grid = GridSpec(
+        x0=-180.0, y0=90.0, dx=3.75, dy=-3.75, width=96, height=48,
+        nodata=-9999.0, tile_size=32,
+    )
+    zt = synth_zones(seed=42, n_zones=20)
+    merc = reproject_zones_table(zt, LONLAT, WEBMERC)
+    back = prepare_zones(merc, WEBMERC, LONLAT)
+    tiles = rd.from_arrow(synth_tiles_table(grid, seed=42))
+    got = zonal_stats_raster(
+        tiles, grid, ZoneSet(back), percentiles=[5.0, 95.0]
+    )
+    want = oracle_zonal_statistics(
+        dense_array(grid, seed=42), grid, zt, [5.0, 95.0]
+    )
+    assert set(got) == set(want)
+    for gv in want:
+        for k, wv in want[gv].items():
+            g = got[gv][k]
+            if wv is None:
+                assert g is None, (gv, k)
+            elif isinstance(wv, int):
+                assert int(g) == wv, (gv, k)
+            else:
+                assert np.isclose(float(g), float(wv), rtol=1e-6, atol=1e-9), (gv, k)
