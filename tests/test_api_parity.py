@@ -118,3 +118,17 @@ def test_layer_selection(ray_session, env):
         api.fast_zonal_statistics(
             (str(root / "r1.parquet"), 1), str(path), aggregate_layer_name="nope"
         )
+
+
+def test_layer_name_on_layerless_file_raises(ray_session, env):
+    """Round-3 (advisor): a zones file WITHOUT a `layer` column has no named
+    layers, so any aggregate_layer_name must raise like the reference's
+    GetLayerByName (runner.py:318-329) — not silently aggregate the whole
+    file."""
+    root, _ = env
+    with pytest.raises(RuntimeError, match="Could not open layer"):
+        api.fast_zonal_statistics(
+            (str(root / "r1.parquet"), 1),
+            str(root / "zones.parquet"),
+            aggregate_layer_name="typo",
+        )

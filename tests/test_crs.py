@@ -23,6 +23,15 @@ class TestCRSCore:
     def test_same_crs_axis_normalization(self):
         assert same_crs(LONLAT, CRS(axis_order="yx"))
         assert not same_crs(LONLAT, WEBMERC)
+
+    def test_same_crs_affine_exact_equality(self):
+        """Round-3 (advisor): IsSame is not magnitude-relative — two affine
+        frames differing below np.allclose's rtol must NOT compare equal
+        (skipping reprojection would silently misplace every zone)."""
+        a = CRS(kind="affine", affine=(100000.0, 0.0, 0.0, 0.0, 100000.0, 0.0))
+        b = CRS(kind="affine", affine=(100000.5, 0.0, 0.0, 0.0, 100000.0, 0.0))
+        assert not same_crs(a, b)  # 5e-6 relative — inside allclose rtol
+        assert same_crs(a, CRS(kind="affine", affine=a.affine))
         # missing SRS is never "same" — forces the reproject path
         assert not same_crs(None, LONLAT)
 

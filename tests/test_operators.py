@@ -232,6 +232,38 @@ class TestKNN:
         recall /= 3
         assert recall >= 0.6  # nprobe=4/8 lists: most neighbors recovered
 
+    def test_hash_sample_unbiased_on_clustered_input(self, ray_session):
+        """Round-3: IVF training sampling must be unbiased on input sorted
+        by cluster — ds.limit() reads only the first blocks and would train
+        every centroid on cluster A."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        n, d = 2000, 8
+        a = rng.normal(loc=0.0, scale=0.05, size=(n // 2, d)) + np.eye(d)[0]
+        b = rng.normal(loc=0.0, scale=0.05, size=(n // 2, d)) + np.eye(d)[1]
+        mat = np.concatenate([a, b])  # file order: all of A, then all of B
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(list(mat.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(8)
+        sample = K.hash_sample(ds, 256)
+        assert sample.shape == (256, d)
+        # an unbiased sample must draw from BOTH halves (limit() would not)
+        from_a = (sample[:, 0] > 0.5).sum()
+        from_b = (sample[:, 1] > 0.5).sum()
+        assert from_a >= 64 and from_b >= 64
+        # and IVF trained on it must recover cluster-B neighbors
+        queries = {"query_id": [0], "matrix": mat[-1:].astype(np.float64)}
+        brute = K.knn_brute(ds, queries, k=10)
+        ivf = K.knn_ivf(ds, queries, k=10, nlist=4, nprobe=1, sample_size=256)
+        bset = set(brute["vec_id"])
+        aset = set(ivf["vec_id"])
+        assert len(aset & bset) / len(bset) >= 0.8
+
 
 class TestWindow:
     def test_tumbling_vs_pandas(self, ray_session):

@@ -87,6 +87,27 @@ def test_rerun_with_different_zones_invalidates_checkpoint(ray_session, tmp_path
     assert run_b2["report"]["skipped"] == ["mod000", "mod001"]
 
 
+def test_rerun_with_fewer_partitions_ignores_orphan_parts(ray_session, tmp_path):
+    """Round-3 (advisor): rerunning into the same out_dir with a SMALLER
+    n_partitions leaves orphan part=modXXX dirs from the old partitioning;
+    the final reduce must glob only the CURRENT run's partition ids, not
+    silently merge stale partials (double-counting every row)."""
+    out = tmp_path / "job"
+    zones = synth_zones(seed=42, n_zones=12)
+    pages_job.run_pages_job(DOCS, zones, out, n_partitions=3)
+    assert (out / "part=mod002").exists()
+
+    rerun = pages_job.run_pages_job(DOCS, zones, out, n_partitions=2)
+    # the orphan part=mod002 dir is still on disk…
+    assert (out / "part=mod002" / "partials").exists()
+    # …but the stats equal a fresh 2-partition run (no double counting)
+    fresh = pages_job.run_pages_job(DOCS, zones, tmp_path / "fresh", n_partitions=2)
+    pd.testing.assert_frame_equal(
+        rerun["stats"].fillna(-1).reset_index(drop=True),
+        fresh["stats"].fillna(-1).reset_index(drop=True),
+    )
+
+
 def test_concurrent_partitions_match_serial(ray_session, tmp_path):
     """Round-2: partition_concurrency>1 overlaps partitions (threads);
     results and manifest must match the serial run, and resume semantics

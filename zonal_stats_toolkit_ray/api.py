@@ -65,7 +65,16 @@ def fast_zonal_statistics(
         raise ValueError("tiles tables are single-band; use one table per band")
     grid = read_grid_spec(raster_path)
     ztable = pq.read_table(aggregate_vector_path)
-    if aggregate_layer_name is not None and "layer" in ztable.column_names:
+    if aggregate_layer_name is not None:
+        if "layer" not in ztable.column_names:
+            # the reference's GetLayerByName raises for ANY unknown name
+            # (runner.py:318-329); a zones file without a `layer` column has
+            # no named layers, so a requested name can never match — raising
+            # here instead of silently aggregating the whole file
+            raise RuntimeError(
+                "Could not open layer %s on %s (no `layer` column)"
+                % (aggregate_layer_name, aggregate_vector_path)
+            )
         import pyarrow.compute as pc
 
         ztable = ztable.filter(pc.equal(ztable["layer"], aggregate_layer_name))

@@ -59,8 +59,13 @@ def same_crs(a: CRS | None, b: CRS | None) -> bool:
     if a is None or b is None:
         return False
     a, b = a.normalized(), b.normalized()
+    # exact parameter equality: GDAL's IsSame is not magnitude-relative, and
+    # a relative tolerance would silently skip reprojection between two
+    # genuinely different affine frames that happen to be numerically close
+    # (``transform_points``'s src == dst short-circuit already handles true
+    # identity)
     return a.kind == b.kind and (
-        a.kind != "affine" or np.allclose(a.affine, b.affine)
+        a.kind != "affine" or tuple(a.affine) == tuple(b.affine)
     )
 
 

@@ -123,10 +123,17 @@ def run_pages_job(
         parts, _run_partition, out, max_concurrent=partition_concurrency
     )
 
-    # final reduce over the (tiny) per-partition partials only
+    # final reduce over the (tiny) per-partition partials only — restricted
+    # to THIS run's partition ids: a rerun into the same out_dir with a
+    # smaller n_partitions must not silently merge orphan part=* dirs left
+    # by the previous partitioning (double-counting rows)
     import ray.data as rd
 
-    partial_paths = sorted(str(p) for p in out.glob("part=*/partials/*.parquet"))
+    partial_paths = sorted(
+        str(p)
+        for pid, _ in parts
+        for p in out.glob(f"part={pid}/partials/*.parquet")
+    )
     partials = rd.read_parquet(partial_paths)
     merged = Z.reduce_partials(partials)
     zs = ZoneSet(zones_table)

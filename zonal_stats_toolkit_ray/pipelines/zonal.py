@@ -860,11 +860,11 @@ def zonal_stats_raster(
 
         from ..functions.scalars import encode_group_key as _enc
 
-        lut_fids = np.asarray(zs.all_fids, dtype=np.int64)
-        lut_keys = np.array(
-            [_enc(pa.array([zs.fid_to_group[int(f)]], pa.string()))[0] for f in lut_fids],
-            dtype=object,
-        )
+        # one vectorized encode over the ZoneSet's precomputed fid-sorted
+        # group LUT (not a per-fid single-element loop — O(#zones) Python
+        # overhead on exactly the large runs this path exists for)
+        lut_fids = zs._lut_fids
+        lut_keys = _enc(zs._lut_groups)
         lut_ref = (
             _ray.put((lut_fids, lut_keys))
             if _ray.is_initialized()

@@ -38,8 +38,19 @@ from .geocode import hash64_utf8
 _MERS = np.uint64((1 << 61) - 1)
 
 # accounting hook: rows the last candidate-verify pass pulled to the driver
-# (tests assert this stays ≪ corpus size)
-LAST_DRIVER_FETCH = {"rows": 0}
+# (tests assert this stays ≪ corpus size).  ``pair_rows`` counts candidate
+# PAIRS materialized on the driver (0 when the pipeline stays distributed).
+LAST_DRIVER_FETCH = {"rows": 0, "pair_rows": 0}
+
+# hot-bucket accounting for the last in-process pairing pass (driver path;
+# workers in the distributed bucket groupby update their own process copy,
+# so at scale treat this as best-effort telemetry, not an exact census)
+LAST_PAIR_STATS = {"hot_buckets": 0, "star_pairs": 0, "dropped_reps": 0}
+
+# a bucket larger than this generates star + capped-representative pairs
+# instead of all-pairs (boilerplate/empty web pages make one degenerate
+# bucket hold ~the whole corpus — all-pairs there is O(n²))
+DEFAULT_BUCKET_CAP = 512
 
 
 def _fetch_rows_by_id(ds, id_col: str, cols: list[str], ids: np.ndarray) -> pd.DataFrame:
@@ -716,8 +727,12 @@ def embedding_dedup(
     planes = rng.standard_normal((n_planes, dim))
 
     def bucket_rows(b: pa.Table) -> pa.Table:
+        from .knn import _stack_vectors
+
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        mat = np.stack(b[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        # zero-copy flat-buffer reshape (same kernel as knn) — not a per-row
+        # to_pandas + np.stack object path
+        mat = _stack_vectors(b[vec_col])
         signs = (mat @ planes.T) > 0
         base = np.zeros(len(b), dtype=np.int64)
         for p in range(n_planes):

@@ -133,6 +133,35 @@ def knn_brute(
 # IVF (inverted-file) approximate search — the 100-TB-scale path
 # ---------------------------------------------------------------------------
 
+def hash_sample(
+    ds, sample_size: int, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic UNBIASED sample of ``sample_size`` vectors: the rows
+    with the globally smallest ``hash(id)`` values.  A Knuth-multiplied id
+    hash is pseudorandom, so the global bottom-k by hash is a uniform random
+    sample regardless of row order — unlike ``ds.limit(n)``, which reads the
+    FIRST blocks only and trains centroids on whatever cluster happens to be
+    at the head of the file.  Each batch emits only its local bottom-k, so
+    driver traffic is ≤ blocks × sample_size slim rows."""
+
+    def local_bottom(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)  # Knuth/Fibonacci
+        kk = min(sample_size, h.size)
+        if kk == 0:
+            return pa.table({"h": pa.array([], pa.uint64()), vec_col: b[vec_col].slice(0, 0)})
+        top = np.argpartition(h, kk - 1)[:kk] if kk < h.size else np.arange(h.size)
+        return pa.table(
+            {"h": pa.array(h[top], pa.uint64()), vec_col: b[vec_col].take(pa.array(top))}
+        )
+
+    local = ds.select_columns([id_col, vec_col]).map_batches(
+        local_bottom, batch_format="pyarrow"
+    ).to_pandas()
+    order = np.argsort(local["h"].to_numpy())[:sample_size]
+    return np.stack(local[vec_col].to_numpy()[order]).astype(np.float64)
+
+
 def train_centroids(sample: np.ndarray, nlist: int, seed: int = 42, iters: int = 10) -> np.ndarray:
     """Small seeded k-means (Lloyd) on a driver-side sample — the classic
     IVF coarse quantizer training step."""
@@ -227,8 +256,9 @@ def knn_ivf(
 ) -> pd.DataFrame:
     """IVF-style ANN: train coarse centroids on a sample, assign lists,
     scan only the ``nprobe`` closest lists per query."""
-    sample_rows = ds.limit(sample_size).to_pandas()
-    sample = np.stack(sample_rows[vec_col].to_numpy())
+    # unbiased hash-based sample (NOT limit(): that reads only the first
+    # blocks and biases centroids toward file order on clustered input)
+    sample = hash_sample(ds, sample_size, id_col=id_col, vec_col=vec_col)
     cent = train_centroids(sample, nlist, seed)
     try:
         import ray

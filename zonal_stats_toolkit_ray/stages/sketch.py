@@ -103,14 +103,20 @@ def sketch_batch(
 ) -> pa.Table:
     """map_batches stage: (key, value) rows → one serialized sketch row per
     key per batch (constant output size regardless of batch rows)."""
-    keys = np.asarray(batch[key_col].to_pylist(), dtype=object)
+    # dictionary-encode the key column: the per-group masking below then
+    # runs on machine int codes, never per-batch Python-object arrays
+    kcol = batch[key_col]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    enc = kcol.dictionary_encode()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    kdict = enc.dictionary.to_pylist()  # tiny: one entry per distinct key
     vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-    uniq = np.unique(keys)
     out_k, out_c, out_w = [], [], []
-    for k in uniq.tolist():
-        sk = HistSketch.from_values(vals[keys == k], b)
+    for ci in np.unique(codes).tolist():
+        sk = HistSketch.from_values(vals[codes == ci], b)
         c, w = sk.to_arrays()
-        out_k.append(k)
+        out_k.append(kdict[ci])
         out_c.append(c)
         out_w.append(w)
     return pa.table(

@@ -96,27 +96,41 @@ def hopping_aggregate(
     k = length_s // hop_s
 
     def partials(b: pa.Table) -> pa.Table:
+        # normalize the timestamp unit explicitly (same rule as
+        # session_windows): an Arrow version surfacing timestamp[ns] would
+        # otherwise shift every window start by 1000×
         es = (
-            pa.compute.cast(b[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+            pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
             // 1_000_000
-        )  # timestamps are us-resolution → floor to epoch seconds
+        )  # → epoch seconds
         base = (es // hop_s) * hop_s
         ws = np.repeat(base, k) - np.tile(
             np.arange(k, dtype=np.int64) * hop_s, es.size
         )
-        keys = np.repeat(
-            np.asarray(b[key_col].to_pylist(), dtype=object), k
+        # dictionary-encode the (low-cardinality) key so the hot groupby
+        # runs on machine ints, not per-batch Python-object arrays
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.repeat(
+            np.asarray(enc.indices, dtype=np.int64), k
         )
         vals = np.repeat(
             b[value_col].to_numpy(zero_copy_only=False).astype(np.float64), k
         )
-        df = pd.DataFrame({"key": keys, "ws": ws, "v": vals})
+        df = pd.DataFrame({"kc": codes, "ws": ws, "v": vals})
         g = (
-            df.groupby(["key", "ws"], sort=False)
+            df.groupby(["kc", "ws"], sort=False)
             .agg(n_events=("v", "size"), sum_value=("v", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        kdict = enc.dictionary.to_pylist()  # tiny: one entry per distinct key
+        g["key"] = [kdict[i] for i in g.pop("kc")]
+        return pa.Table.from_pandas(
+            g[["key", "ws", "n_events", "sum_value"]], preserve_index=False
+        )
 
     p = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
     out = (
