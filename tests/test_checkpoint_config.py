@@ -177,8 +177,13 @@ def test_run_config_end_to_end(ray_session, config_env):
     assert out.name == "biomes_2026_01_01_00_00_00.csv"
     with out.open() as f:
         rows = list(csv.DictReader(f))
-    # cross-check one cell against the oracle
-    zones = pq.read_table(root / "zones.parquet")
+    # cross-check one cell against the oracle (run_job applies the Q6
+    # half-pixel simplify by default, so the oracle gets the same zones)
+    from zonal_stats_toolkit_ray.geom.simplify import simplify_zones_table
+
+    zones = simplify_zones_table(
+        pq.read_table(root / "zones.parquet"), 0.5 * abs(GRID.dx)
+    )
     want = oracle_zonal_statistics(dense_array(GRID, seed=1), GRID, zones, [5.0, 95.0, 2.5])
     groups = sorted(want, key=lambda v: (v is None, str(v)))
     assert [r["group_value"] for r in rows] == [

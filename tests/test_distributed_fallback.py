@@ -99,3 +99,42 @@ def test_fallback_paths_agree(ray_session):
                 assert a is b, (g, k, a, b)
             else:
                 assert np.isclose(float(a), float(b), rtol=1e-9), (g, k, a, b)
+
+
+def test_window_stats_tree_merge_matches_flat(ray_session):
+    """Round-3 (VERDICT #4): with tree_threshold=0 the Q4 fallback merge
+    runs through the partials reduction tree instead of one driver groupby
+    over every (window, tile) row — results must be identical, and a ~10³
+    window sweep completes without a driver blowup."""
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.pipelines.zonal import _window_stats_distributed
+
+    rng = np.random.default_rng(3)
+    n_win = 1000
+    specs = []
+    for i in range(n_win):
+        xoff = int(rng.integers(0, GRID.width - 4))
+        yoff = int(rng.integers(0, GRID.height - 4))
+        specs.append((i, xoff, yoff, int(rng.integers(1, 5)), int(rng.integers(1, 5))))
+    tiles = rd.from_arrow(synth_tiles_table(GRID, seed=13)).repartition(6)
+
+    flat = _window_stats_distributed(tiles, GRID, specs)
+    tree = _window_stats_distributed(tiles, GRID, specs, tree_threshold=0)
+    assert set(flat) == set(tree) == set(range(n_win))
+    for w in flat:
+        for k in ("count", "nodata_count", "sum", "sumsq", "min", "max"):
+            a, b = flat[w][k], tree[w][k]
+            assert np.isclose(float(a), float(b), rtol=1e-12), (w, k, a, b)
+
+    # spot-check a handful of windows against the dense array
+    arr = dense_array(GRID, seed=13)
+    for w in (0, 17, 555, 999):
+        _, xoff, yoff, wx, wy = specs[w]
+        block = arr[yoff : yoff + wy, xoff : xoff + wx]
+        nd = np.isclose(block, GRID.nodata)
+        valid = block[~nd]
+        assert flat[w]["count"] == block.size
+        assert flat[w]["nodata_count"] == int(nd.sum())
+        if valid.size:
+            assert np.isclose(flat[w]["sum"], float(valid.sum(dtype=np.float64)))

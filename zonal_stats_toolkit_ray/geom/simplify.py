@@ -4,10 +4,12 @@ The reference simplifies the aggregate vector with
 ``simplifyTolerance = 0.5 × pixel_width`` before rasterizing
 (``/root/reference/runner.py:297-298, 349-365`` via gdal.VectorTranslate)
 — quirk Q6: simplification changes which pixels fall inside.  The engine
-exposes the same knob (``simplify_tolerance`` on the raster pipeline,
-default off because the conformance fixtures are simplification-stable);
-when enabled, engine and oracle apply this same kernel so outputs stay
-row-identical.
+wires the same default through the reference-parity API layer
+(``fast_zonal_statistics(simplify_tolerance="auto")`` and ``run_job``
+both apply 0.5 × |dx|, round-3); the lower-level ``zonal_stats_raster``
+keeps the knob explicit (default off) for callers composing their own
+pipelines.  Engine and golden oracle apply this same kernel so outputs
+stay row-identical even on simplification-UNstable fixtures.
 """
 
 from __future__ import annotations

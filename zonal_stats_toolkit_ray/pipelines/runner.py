@@ -48,6 +48,10 @@ def run_job(job: dict, *, timestamp: str | None = None, metrics: StageMetrics | 
                 zs,
                 percentiles=job["percentile_list"],
                 zones_ref=zones_ref,
+                # quirk Q6: the reference always simplifies the vector at
+                # half a pixel before rasterizing (runner.py:297-298,
+                # 349-365) — per raster, since the tolerance is grid-bound
+                simplify_tolerance=0.5 * abs(grid.dx),
             )
 
     header, rows = pivot_stats(

@@ -466,12 +466,24 @@ def _window_values_batch(
 
 
 def _window_stats_distributed(
-    tiles_ds, grid: GridSpec, win_specs, *, ignore_nodata: bool = True
+    tiles_ds,
+    grid: GridSpec,
+    win_specs,
+    *,
+    ignore_nodata: bool = True,
+    tree_threshold: int = 200_000,
 ) -> dict[int, dict]:
     """Distributed full-window stats for the Q4 fallback windows: one pass
-    over the tiles, merged per window on the driver.  Returns
-    {win_id: {count, nodata_count, sum, sumsq, min, max}} with the
-    reference's empty-valid zeros."""
+    over the tiles → per-(window, tile) partial rows → associative merge.
+    Returns {win_id: {count, nodata_count, sum, sumsq, min, max}} with the
+    reference's empty-valid zeros.
+
+    The merge reuses the ``reduce_partials`` reduction tree (round-3,
+    VERDICT #4): the partial rows are keyed by ``group_key`` (= win_id, an
+    int — same schema as the zonal partials) and above ``tree_threshold``
+    rows a distributed pre-combine level shrinks the frame before the
+    driver groupby, so 10^5 fallback windows × 10^5 tiles no longer
+    funnel one row each through the driver."""
     import ray
 
     wid = np.array([w[0] for w in win_specs], dtype=np.int64)
@@ -492,11 +504,17 @@ def _window_stats_distributed(
             "ignore_nodata": ignore_nodata,
         },
         batch_format="pyarrow",
-    ).to_pandas()
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["group_key", *t.column_names[1:]]
+        ),  # win_id → the partials schema key
+        batch_format="pyarrow",
+    )
+    merged = Z.reduce_partials(parts, tree_threshold=tree_threshold)
     out: dict[int, dict] = {}
-    for w, g in parts.groupby("win_id", sort=False):
-        count = int(g["count"].sum())
-        ndc = int(g["nodata_count"].sum())
+    for _, r in merged.iterrows():
+        count = int(r["count"])
+        ndc = int(r["nodata_count"])
         # zeros apply when the VALUE BAG is empty: with ignore_nodata=False
         # every pixel is in the bag (reference runner.py:778-793)
         valid = count - ndc if ignore_nodata else count
@@ -506,13 +524,13 @@ def _window_stats_distributed(
         else:
             st.update(
                 {
-                    "min": float(g["min"].min()),
-                    "max": float(g["max"].max()),
-                    "sum": float(g["sum"].sum()),
-                    "sumsq": float(g["sumsq"].sum()),
+                    "min": float(r["min"]),
+                    "max": float(r["max"]),
+                    "sum": float(r["sum"]),
+                    "sumsq": float(r["sumsq"]),
                 }
             )
-        out[int(w)] = st
+        out[int(r["group_key"])] = st
     return out
 
 
@@ -545,11 +563,15 @@ def zonal_stats_raster(
 
     if concurrency is None:
         concurrency = default_pool_size()
-    if simplify_tolerance is not None:
+    if simplify_tolerance is not None and simplify_tolerance > 0:
+        import ray
+
         from ..geom.simplify import simplify_zones_table
 
         zs = ZoneSet(simplify_zones_table(zs.table, simplify_tolerance))
-        zones_ref = None  # broadcast handle refers to unsimplified zones
+        # the incoming broadcast handle refers to the UNsimplified zones;
+        # re-broadcast the simplified table so tasks still read from plasma
+        zones_ref = ray.put(zs.table) if ray.is_initialized() else None
     plist = sorted(set(float(p) for p in percentiles))
     pkeys = percentile_keys(plist)
 

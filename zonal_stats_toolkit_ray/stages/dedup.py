@@ -245,6 +245,11 @@ def minhash_band_batch(
     rows_per_band = num_perm // bands
     out_band, out_hash, out_id = [], [], []
     with np.errstate(over="ignore"):
+        # full-signature hash: the hot-bucket sub-split key (identical docs
+        # share it, so a degenerate bucket stars instead of all-pairs)
+        full_h = np.zeros(len(batch), dtype=np.uint64)
+        for c in range(num_perm):
+            full_h = full_h * np.uint64(1099511628211) + sig[:, c]
         for bi in range(bands):
             block = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
             bh = np.zeros(len(batch), dtype=np.uint64)
@@ -257,15 +262,31 @@ def minhash_band_batch(
         {
             "band": pa.array(np.concatenate(out_band), pa.int32()),
             "band_hash": pa.array(np.concatenate(out_hash), pa.uint64()),
+            "sig_hash": pa.array(np.tile(full_h, bands), pa.uint64()),
             id_col: pa.array(np.concatenate(out_id)),
         }
     )
 
 
-def _pairs_from_bands_df(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
-    """(band, band_hash, id) frame → unique candidate pairs, vectorized:
-    sort by bucket, emit all-pairs per bucket with NumPy index arithmetic
-    (no per-group Python callback)."""
+def _pairs_from_bands_df(
+    df: pd.DataFrame, id_col: str, *, bucket_cap: int = DEFAULT_BUCKET_CAP
+) -> pd.DataFrame:
+    """(band, band_hash[, sig_hash], id) frame → unique candidate pairs,
+    vectorized: sort by bucket, emit all-pairs per bucket with NumPy index
+    arithmetic (no per-group Python callback).
+
+    HOT buckets (> ``bucket_cap`` members — the boilerplate/near-empty-page
+    shape that otherwise generates O(n²) pairs) are sub-split by the full
+    signature hash carried in ``sig_hash``:
+
+    * members with IDENTICAL signatures pair as a star to the group's min
+      id (they are verbatim-level duplicates; the star plus pairwise verify
+      connects exactly the members the all-pairs graph would);
+    * across distinct signatures, only the per-signature representative
+      (min id) joins a capped all-pairs pass — representatives beyond
+      ``bucket_cap`` are dropped and counted in ``LAST_PAIR_STATS``.
+
+    Pair count per bucket is then ≤ n + bucket_cap², never C(n, 2)."""
     empty = pd.DataFrame(
         {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
     )
@@ -276,6 +297,11 @@ def _pairs_from_bands_df(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
     key = key ^ df["band_hash"].to_numpy(np.uint64).astype(np.int64)
     order = np.argsort(key, kind="stable")
     ids = df[id_col].to_numpy(np.int64)[order]
+    sig = (
+        df["sig_hash"].to_numpy(np.uint64)[order]
+        if "sig_hash" in df.columns
+        else None
+    )
     k = key[order]
     # bucket boundaries
     starts = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
@@ -285,10 +311,37 @@ def _pairs_from_bands_df(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
         n = e - s
         if n < 2:
             continue
-        bucket = np.sort(ids[s:e])
-        ia, ib = np.triu_indices(n, k=1)
-        out_a.append(bucket[ia])
-        out_b.append(bucket[ib])
+        if n <= bucket_cap or sig is None:
+            bucket = np.sort(ids[s:e])
+            ia, ib = np.triu_indices(n, k=1)
+            out_a.append(bucket[ia])
+            out_b.append(bucket[ib])
+            continue
+        # ---- hot bucket: sub-split by full-signature hash ----
+        LAST_PAIR_STATS["hot_buckets"] += 1
+        bsig = sig[s:e]
+        bids = ids[s:e]
+        o2 = np.lexsort((bids, bsig))  # group by sig, ids ascending within
+        bsig, bids = bsig[o2], bids[o2]
+        gs = np.flatnonzero(np.concatenate([[True], bsig[1:] != bsig[:-1]]))
+        gmin = bids[gs]  # min id per sig group (ids ascending within group)
+        # star: every non-min member pairs with its group min
+        grp_of = np.searchsorted(gs, np.arange(bsig.size), side="right") - 1
+        mins_per_elem = gmin[grp_of]
+        m = bids != mins_per_elem
+        if m.any():
+            out_a.append(mins_per_elem[m])
+            out_b.append(bids[m])
+            LAST_PAIR_STATS["star_pairs"] += int(m.sum())
+        # capped all-pairs among the (distinct-signature) representatives
+        reps = np.sort(gmin)
+        if reps.size > bucket_cap:
+            LAST_PAIR_STATS["dropped_reps"] += int(reps.size - bucket_cap)
+            reps = reps[:bucket_cap]
+        if reps.size > 1:
+            ia, ib = np.triu_indices(reps.size, k=1)
+            out_a.append(reps[ia])
+            out_b.append(reps[ib])
     if not out_a:
         return empty
     pairs = pd.DataFrame(
@@ -298,45 +351,177 @@ def _pairs_from_bands_df(df: pd.DataFrame, id_col: str) -> pd.DataFrame:
 
 
 def lsh_candidate_pairs(
-    band_ds, id_col: str = "doc_id", *, driver_threshold: int = 5_000_000
-) -> pd.DataFrame:
-    """(band, band_hash, id) rows → unique candidate id pairs (small frame).
+    band_ds,
+    id_col: str = "doc_id",
+    *,
+    driver_threshold: int = 5_000_000,
+    pair_driver_threshold: int = 2_000_000,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
+):
+    """(band, band_hash[, sig_hash], id) rows → unique candidate id pairs.
 
-    Adaptive: small band tables stream to the driver and pair up with
-    vectorized NumPy (a distributed groupby costs seconds of fixed shuffle
-    overhead per call); large ones pre-bucket with a distributed groupby
-    and pair within buckets.  The band dataset is materialized once so the
-    count probe and the pairing pass don't re-execute the signature
-    pipeline (band rows are slim: 3 columns × bands/doc)."""
+    Adaptive three-regime shape:
+
+    * band rows ≤ ``driver_threshold``: stream to the driver, pair with
+      vectorized NumPy (a distributed groupby costs seconds of fixed
+      shuffle overhead per call) → ``pd.DataFrame``;
+    * larger: pre-bucket with a distributed groupby, pair within buckets;
+      if the resulting pair count ≤ ``pair_driver_threshold`` the frame
+      collects to the driver (DataFrame) for the cheap verify loop;
+    * above that the pairs stay a **Dataset** — verification and connected
+      components then also run distributed (``verify →
+      distributed_connected_components``) and the driver never holds a
+      pair-sized frame (``LAST_DRIVER_FETCH['pair_rows']`` stays 0).
+
+    Cross-band duplicate pairs in the Dataset regime are NOT globally
+    deduplicated (that would cost one more all-to-all); both the verify
+    predicate and min-label components are idempotent under repeated
+    edges, so only some verify work (≤ bands×) is duplicated."""
+    LAST_PAIR_STATS.update(hot_buckets=0, star_pairs=0, dropped_reps=0)
     band_ds = band_ds.materialize()
     n = band_ds.count()
     if n <= driver_threshold:
-        return _pairs_from_bands_df(band_ds.to_pandas(), id_col)
+        df = _pairs_from_bands_df(band_ds.to_pandas(), id_col, bucket_cap=bucket_cap)
+        LAST_DRIVER_FETCH["pair_rows"] = len(df)
+        return df
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        return _pairs_from_bands_df(g, id_col)
+        return _pairs_from_bands_df(g, id_col, bucket_cap=bucket_cap)
 
     res = band_ds.groupby(["band", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
-    )
+    ).materialize()
+    n_pairs = res.count()
+    if n_pairs > pair_driver_threshold:
+        LAST_DRIVER_FETCH["pair_rows"] = 0
+        return res  # Dataset — caller stays distributed end-to-end
     df = res.to_pandas()
+    LAST_DRIVER_FETCH["pair_rows"] = len(df)
     if len(df) == 0:
         return pd.DataFrame({"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)})
     return df.drop_duplicates().astype(np.int64)
 
 
+def _pair_node_ids(pairs) -> np.ndarray:
+    """Distinct ids appearing in a pair set (DataFrame or Dataset) — the
+    driver-side frame this produces is id-sized, never pair-sized."""
+    if isinstance(pairs, pd.DataFrame):
+        if not len(pairs):
+            return np.empty(0, np.int64)
+        return np.unique(
+            np.concatenate([pairs["a"].to_numpy(np.int64), pairs["b"].to_numpy(np.int64)])
+        )
+
+    def uniq(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["a"].to_numpy(zero_copy_only=False),
+                    b["b"].to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        return pa.table({"n": pa.array(ids)})
+
+    # per-batch unique → distributed distinct (groupby count) → id-sized pull
+    from ray.data.aggregate import Count
+
+    nodes = (
+        pairs.map_batches(uniq, batch_format="pyarrow")
+        .groupby("n")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    if not len(nodes):
+        return np.empty(0, np.int64)
+    return np.sort(nodes["n"].to_numpy(np.int64))
+
+
+def distributed_connected_components(
+    pairs_ds, id_col: str = "doc_id", *, max_iters: int = 50
+) -> pd.DataFrame:
+    """Min-label propagation over a verified-pair **Dataset** →
+    (id_col, cluster_id), cluster_id = min id of the component.
+
+    The edge list never reaches the driver: each round broadcasts the
+    current id→label array (id-sized — the same budget ``_attach_clusters``
+    already needs), a ``map_batches`` pass over the edges emits per-batch
+    (node, min incident label) partials, and a native groupby-Min merges
+    them.  Between rounds the driver pointer-jumps the label array
+    (label[x] ← label[label[x]], pure NumPy), so convergence is
+    O(log(component diameter)) rounds, 2 passes + 1 small shuffle each."""
+    import ray
+    from ray.data.aggregate import Min
+
+    nodes = _pair_node_ids(pairs_ds)
+    labels = nodes.copy()
+    if nodes.size == 0:
+        return pd.DataFrame(
+            {id_col: pd.Series(dtype=np.int64), "cluster_id": pd.Series(dtype=np.int64)}
+        )
+    pairs_ds = pairs_ds if not hasattr(pairs_ds, "materialize") else pairs_ds.materialize()
+
+    for _ in range(max_iters):
+        lab_ref = ray.put((nodes, labels))
+
+        def msgs(b: pa.Table) -> pa.Table:
+            k, v = ray.get(lab_ref)
+            a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            la = v[np.searchsorted(k, a)]
+            lb = v[np.searchsorted(k, bb)]
+            m = np.minimum(la, lb)
+            nn = np.concatenate([a, bb])
+            ll = np.concatenate([m, m])
+            u, inv = np.unique(nn, return_inverse=True)
+            mn = np.full(u.size, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(mn, inv, ll)
+            return pa.table({"n": pa.array(u), "lab": pa.array(mn)})
+
+        agg = (
+            pairs_ds.map_batches(msgs, batch_format="pyarrow")
+            .groupby("n")
+            .aggregate(Min("lab", alias_name="lab"))
+            .to_pandas()
+        )
+        new_labels = labels.copy()
+        pos = np.searchsorted(nodes, agg["n"].to_numpy(np.int64))
+        np.minimum.at(new_labels, pos, agg["lab"].to_numpy(np.int64))
+        # pointer jumping: labels are node ids, so chase label→label on the
+        # driver until stable (id-sized NumPy, no cluster traffic)
+        while True:
+            jumped = new_labels[np.searchsorted(nodes, new_labels)]
+            if np.array_equal(jumped, new_labels):
+                break
+            new_labels = jumped
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iters} rounds"
+        )
+    return pd.DataFrame({id_col: nodes, "cluster_id": labels})
+
+
 def _pairs_verify_distributed(
     texts_by_id: dict[int, str],
-    pairs: pd.DataFrame,
+    pairs,
     pair_fn,
     *,
     batch_rows: int = 8192,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+):
     """Distribute pair verification: the candidate-text map broadcasts once
     (candidate-sized by LSH construction) and the PAIR list streams as a
     Dataset — ``pair_fn(texts, a, b) -> keep_bool`` runs per pair inside
     ``map_batches``, so a heavy candidate load parallelizes instead of
-    looping on the driver.  Exactly equivalent to the driver loop."""
+    looping on the driver.  Exactly equivalent to the driver loop.
+
+    ``pairs`` may be a DataFrame (converted to a Dataset here) or already a
+    Dataset (the fully-distributed regime).  ``as_dataset=True`` returns
+    the surviving-pair **Dataset** without collecting — feed it straight to
+    :func:`distributed_connected_components`."""
     import ray
     import ray.data as rd
 
@@ -352,17 +537,44 @@ def _pairs_verify_distributed(
             dtype=bool,
             count=len(b),
         )
-        return b.filter(pa.array(keep))
+        return b.select(["a", "b"]).filter(pa.array(keep))
 
-    ds = rd.from_arrow(
-        pa.table(
-            {
-                "a": pa.array(pairs["a"].to_numpy(np.int64)),
-                "b": pa.array(pairs["b"].to_numpy(np.int64)),
-            }
-        )
-    ).repartition(max(1, len(pairs) // batch_rows))
-    return ds.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if isinstance(pairs, pd.DataFrame):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array(pairs["a"].to_numpy(np.int64)),
+                    "b": pa.array(pairs["b"].to_numpy(np.int64)),
+                }
+            )
+        ).repartition(max(1, len(pairs) // batch_rows))
+    else:
+        ds = pairs
+    out = ds.map_batches(verify, batch_format="pyarrow")
+    return out if as_dataset else out.to_pandas()
+
+
+def _char_jaccard_pair_fn(threshold: float, shingle_k: int):
+    """Closure: exact char-shingle Jaccard predicate for the distributed
+    pair verify (per-batch shingle cache in ``cache``)."""
+
+    def pair_ok(texts: dict, cache: dict, a: int, b: int) -> bool:
+        def sh(i: int) -> set:
+            s_ = cache.get(i)
+            if s_ is None:
+                t_ = texts[i].encode()
+                s_ = {
+                    t_[j : j + shingle_k]
+                    for j in range(max(0, len(t_) - shingle_k + 1))
+                }
+                cache[i] = s_
+            return s_
+
+        sa, sb = sh(a), sh(b)
+        union = len(sa | sb)
+        return ((len(sa & sb) / union) if union else 1.0) >= threshold
+
+    return pair_ok
 
 
 def jaccard_verify(
@@ -378,24 +590,9 @@ def jaccard_verify(
     ``pair_driver_threshold`` pairs the verification distributes
     (broadcast text map + pair Dataset) — same predicate, same result."""
     if len(pairs) > pair_driver_threshold:
-
-        def pair_ok(texts: dict, cache: dict, a: int, b: int) -> bool:
-            def sh(i: int) -> set:
-                s_ = cache.get(i)
-                if s_ is None:
-                    t_ = texts[i].encode()
-                    s_ = {
-                        t_[j : j + shingle_k]
-                        for j in range(max(0, len(t_) - shingle_k + 1))
-                    }
-                    cache[i] = s_
-                return s_
-
-            sa, sb = sh(a), sh(b)
-            union = len(sa | sb)
-            return ((len(sa & sb) / union) if union else 1.0) >= threshold
-
-        out = _pairs_verify_distributed(texts_by_id, pairs, pair_ok)
+        out = _pairs_verify_distributed(
+            texts_by_id, pairs, _char_jaccard_pair_fn(threshold, shingle_k)
+        )
         out["jaccard"] = 1.0  # retained pairs only; score unused downstream
         return out
     cache: dict[int, set] = {}
@@ -462,12 +659,16 @@ def minhash_dedup(
     shingle_k: int = 5,
     seed: int = 42,
     driver_threshold: int = 5_000_000,
+    pair_driver_threshold: int = 2_000_000,
 ):
     """Full near-dup pipeline → Dataset(doc_id, cluster_id, is_duplicate).
 
     is_duplicate marks rows that are NOT their cluster's min id.  Only
     candidate-pair texts are fetched to the driver for the exact-Jaccard
-    verify; all other documents never leave the workers."""
+    verify; all other documents never leave the workers.  Above
+    ``pair_driver_threshold`` candidate pairs the whole tail — verify AND
+    connected components — runs distributed over the pair Dataset, so the
+    driver never holds more than O(candidate ids) rows."""
     band_ds = ds.map_batches(
         minhash_band_batch,
         batch_format="pyarrow",
@@ -480,16 +681,27 @@ def minhash_dedup(
             seed=seed,
         ),
     )
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
-    cand_ids = (
-        np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-        if len(cand)
-        else np.empty(0, np.int64)
+    cand = lsh_candidate_pairs(
+        band_ds,
+        id_col=id_col,
+        driver_threshold=driver_threshold,
+        pair_driver_threshold=pair_driver_threshold,
     )
-    small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
-    texts = dict(zip(small[id_col].astype(int), small[text_col]))
-    verified = jaccard_verify(texts, cand, threshold=threshold, shingle_k=shingle_k)
-    comp = connected_components(verified, id_col=id_col)
+    if isinstance(cand, pd.DataFrame):
+        cand_ids = _pair_node_ids(cand)
+        small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
+        texts = dict(zip(small[id_col].astype(int), small[text_col]))
+        verified = jaccard_verify(texts, cand, threshold=threshold, shingle_k=shingle_k)
+        comp = connected_components(verified, id_col=id_col)
+    else:
+        # fully-distributed regime: pairs never reach the driver
+        cand_ids = _pair_node_ids(cand)
+        small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
+        texts = dict(zip(small[id_col].astype(int), small[text_col]))
+        verified_ds = _pairs_verify_distributed(
+            texts, cand, _char_jaccard_pair_fn(threshold, shingle_k), as_dataset=True
+        )
+        comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(ds, id_col, comp)
 
 
@@ -504,6 +716,7 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     driver_threshold: int = 5_000_000,
+    pair_driver_threshold: int = 2_000_000,
 ):
     """SimHash near-dup → Dataset(doc_id, cluster_id, is_duplicate):
     4×16-bit band buckets → Hamming-distance verify → components.  Any pair
@@ -512,7 +725,9 @@ def simhash_dedup(
     generation.  Band rows above ``driver_threshold`` pair up via the
     distributed bucket groupby (same escape hatch as minhash); the verify
     recomputes simhash for the CANDIDATE texts only — O(candidates), not a
-    second corpus pass."""
+    second corpus pass.  Above ``pair_driver_threshold`` pairs, the
+    Hamming filter and connected components run distributed over the pair
+    Dataset (broadcast id→simhash arrays; driver holds O(candidate ids))."""
     from .text import simhash_batch
 
     def band_rows(b: pa.Table) -> pa.Table:
@@ -528,16 +743,25 @@ def simhash_dedup(
             {
                 "band": pa.array(np.concatenate(bands), pa.int32()),
                 "band_hash": pa.array(np.concatenate(hashes), pa.uint64()),
+                # hot-bucket sub-split key = the full 64-bit simhash
+                "sig_hash": pa.array(
+                    np.tile(s.astype(np.uint64), 4), pa.uint64()
+                ),
                 id_col: pa.array(np.concatenate(out_ids)),
             }
         )
 
     band_ds = ds.map_batches(band_rows, batch_format="pyarrow")
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
-    if len(cand):
-        cand_ids = np.unique(
-            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
-        )
+    cand = lsh_candidate_pairs(
+        band_ds,
+        id_col=id_col,
+        driver_threshold=driver_threshold,
+        pair_driver_threshold=pair_driver_threshold,
+    )
+    cand_ids = _pair_node_ids(cand)
+    keys = np.empty(0, np.int64)
+    sims = np.empty(0, np.uint64)
+    if cand_ids.size:
         small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
         sim_tbl = simhash_batch(
             pa.table(
@@ -551,12 +775,32 @@ def simhash_dedup(
         keys = sim_tbl[id_col].to_numpy(zero_copy_only=False)
         sims = sim_tbl["simhash"].to_numpy(zero_copy_only=False)
         order = np.argsort(keys)
-        keys, sims = keys[order], sims[order]
-        xa = sims[np.searchsorted(keys, cand["a"].to_numpy(np.int64))]
-        xb = sims[np.searchsorted(keys, cand["b"].to_numpy(np.int64))]
-        ham = _popcount64(xa.astype(np.uint64) ^ xb.astype(np.uint64))
-        cand = cand[ham <= max_hamming]
-    comp = connected_components(cand, id_col=id_col)
+        keys, sims = keys[order], sims[order].astype(np.uint64)
+    if isinstance(cand, pd.DataFrame):
+        if len(cand):
+            xa = sims[np.searchsorted(keys, cand["a"].to_numpy(np.int64))]
+            xb = sims[np.searchsorted(keys, cand["b"].to_numpy(np.int64))]
+            ham = _popcount64(xa ^ xb)
+            cand = cand[ham <= max_hamming]
+        comp = connected_components(cand, id_col=id_col)
+    else:
+        # distributed Hamming filter: broadcast the id→simhash arrays
+        # (candidate-sized), filter each pair batch, then distributed CC
+        import ray
+
+        sim_ref = ray.put((keys, sims))
+
+        def ham_filter(b: pa.Table) -> pa.Table:
+            k, v = ray.get(sim_ref)
+            a = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            xa = v[np.searchsorted(k, a)]
+            xb = v[np.searchsorted(k, bb)]
+            ham = _popcount64(xa ^ xb)
+            return b.select(["a", "b"]).filter(pa.array(ham <= max_hamming))
+
+        verified_ds = cand.map_batches(ham_filter, batch_format="pyarrow")
+        comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(ds, id_col, comp)
 
 
@@ -626,10 +870,13 @@ def ngram_jaccard_dedup(
     bands: int = 16,
     seed: int = 7,
     driver_threshold: int = 5_000_000,
+    pair_driver_threshold: int = 2_000_000,
 ):
     """Near-dup on word n-gram sets → Dataset(doc_id, cluster_id,
     is_duplicate): word-shingle MinHash bands for candidates, exact
-    word-n-gram Jaccard verify over the candidate texts only."""
+    word-n-gram Jaccard verify over the candidate texts only; above
+    ``pair_driver_threshold`` pairs, verify + components run distributed
+    over the pair Dataset."""
 
     def word_band_batch(batch: pa.Table) -> pa.Table:
         h, d = word_ngram_hashes(batch[text_col], n)
@@ -638,6 +885,9 @@ def ngram_jaccard_dedup(
         rows_per_band = num_perm // bands
         ob, oh, oi = [], [], []
         with np.errstate(over="ignore"):
+            full_h = np.zeros(len(batch), dtype=np.uint64)
+            for c in range(num_perm):
+                full_h = full_h * np.uint64(1099511628211) + sig[:, c]
             for bi in range(bands):
                 block = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
                 bh = np.zeros(len(batch), dtype=np.uint64)
@@ -650,17 +900,19 @@ def ngram_jaccard_dedup(
             {
                 "band": pa.array(np.concatenate(ob), pa.int32()),
                 "band_hash": pa.array(np.concatenate(oh), pa.uint64()),
+                "sig_hash": pa.array(np.tile(full_h, bands), pa.uint64()),
                 id_col: pa.array(np.concatenate(oi)),
             }
         )
 
     band_ds = ds.map_batches(word_band_batch, batch_format="pyarrow")
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
-    cand_ids = (
-        np.unique(np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()]))
-        if len(cand)
-        else np.empty(0, np.int64)
+    cand = lsh_candidate_pairs(
+        band_ds,
+        id_col=id_col,
+        driver_threshold=driver_threshold,
+        pair_driver_threshold=pair_driver_threshold,
     )
+    cand_ids = _pair_node_ids(cand)
     small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
     texts = dict(zip(small[id_col].astype(int), small[text_col]))
 
@@ -670,19 +922,24 @@ def ngram_jaccard_dedup(
             return {" ".join(ws)} if ws else set()
         return {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
 
+    def pair_ok(tmap: dict, cache: dict, a: int, b: int) -> bool:
+        sa = cache.get(a)
+        if sa is None:
+            sa = cache[a] = grams(tmap[a])
+        sb = cache.get(b)
+        if sb is None:
+            sb = cache[b] = grams(tmap[b])
+        union = len(sa | sb)
+        return ((len(sa & sb) / union) if union else 1.0) >= threshold
+
+    if not isinstance(cand, pd.DataFrame):
+        # fully-distributed regime: verify + components over the pair Dataset
+        verified_ds = _pairs_verify_distributed(texts, cand, pair_ok, as_dataset=True)
+        comp = distributed_connected_components(verified_ds, id_col=id_col)
+        return _attach_clusters(ds, id_col, comp)
     if len(cand) > 200_000:
         # distribute verification above the pair threshold (same adaptive
         # escape hatch as jaccard_verify): pairs stream, texts broadcast
-        def pair_ok(tmap: dict, cache: dict, a: int, b: int) -> bool:
-            sa = cache.get(a)
-            if sa is None:
-                sa = cache[a] = grams(tmap[a])
-            sb = cache.get(b)
-            if sb is None:
-                sb = cache[b] = grams(tmap[b])
-            union = len(sa | sb)
-            return ((len(sa & sb) / union) if union else 1.0) >= threshold
-
         verified = _pairs_verify_distributed(texts, cand, pair_ok)
     else:
         keep = {"a": [], "b": []}
@@ -704,6 +961,25 @@ def ngram_jaccard_dedup(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _cosine_keep_mask(
+    keys: np.ndarray,
+    mat: np.ndarray,
+    norms: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    threshold: float,
+) -> np.ndarray:
+    """cosine(mat[a], mat[b]) ≥ threshold for id pairs (vectorized lookup
+    via searchsorted over the sorted candidate-id keys)."""
+    ia = np.searchsorted(keys, a)
+    ib = np.searchsorted(keys, b)
+    dot = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    denom = norms[ia] * norms[ib]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = np.where(denom > 0, dot / denom, 0.0)
+    return cos >= threshold
+
+
 def embedding_dedup(
     ds,
     *,
@@ -713,6 +989,7 @@ def embedding_dedup(
     n_planes: int = 12,
     seed: int = 42,
     driver_threshold: int = 5_000_000,
+    pair_driver_threshold: int = 2_000_000,
 ):
     """Random-hyperplane LSH buckets → in-bucket pairwise cosine ≥ τ →
     components → Dataset(vec_id, cluster_id, is_duplicate).  Multi-probe:
@@ -720,7 +997,9 @@ def embedding_dedup(
     neighbors, so near-identical vectors that straddle one hyperplane still
     collide.  Bucket rows above ``driver_threshold`` pair via the
     distributed groupby; only CANDIDATE vectors are fetched for the
-    vectorized cosine verify."""
+    vectorized cosine verify.  Above ``pair_driver_threshold`` pairs, the
+    cosine filter + connected components run distributed over the pair
+    Dataset (broadcast candidate matrix)."""
     first = ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
@@ -747,29 +1026,65 @@ def embedding_dedup(
                 "band_hash": pa.array(
                     np.concatenate(buckets).astype(np.uint64), pa.uint64()
                 ),
+                # sub-split key = the exact (un-probed) bucket code:
+                # identical vectors share it
+                "sig_hash": pa.array(
+                    np.tile(base.astype(np.uint64), nb), pa.uint64()
+                ),
                 id_col: pa.array(np.tile(ids, nb)),
             }
         )
 
     band_ds = ds.map_batches(bucket_rows, batch_format="pyarrow")
-    cand = lsh_candidate_pairs(band_ds, id_col=id_col, driver_threshold=driver_threshold)
-    verified = pd.DataFrame({"a": [], "b": []})
-    if len(cand):
-        cand_ids = np.unique(
-            np.concatenate([cand["a"].to_numpy(), cand["b"].to_numpy()])
-        )
+    cand = lsh_candidate_pairs(
+        band_ds,
+        id_col=id_col,
+        driver_threshold=driver_threshold,
+        pair_driver_threshold=pair_driver_threshold,
+    )
+    cand_ids = _pair_node_ids(cand)
+    keys = np.empty(0, np.int64)
+    mat = np.empty((0, dim))
+    norms = np.empty(0)
+    if cand_ids.size:
         small = _fetch_rows_by_id(ds, id_col, [vec_col], cand_ids)
         keys = small[id_col].to_numpy(np.int64)
         order = np.argsort(keys)
         keys = keys[order]
         mat = np.stack(small[vec_col].to_numpy()[order]).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
-        ia = np.searchsorted(keys, cand["a"].to_numpy(np.int64))
-        ib = np.searchsorted(keys, cand["b"].to_numpy(np.int64))
-        dot = np.einsum("ij,ij->i", mat[ia], mat[ib])
-        denom = norms[ia] * norms[ib]
-        with np.errstate(invalid="ignore", divide="ignore"):
-            cos = np.where(denom > 0, dot / denom, 0.0)
-        verified = cand[cos >= threshold]
-    comp = connected_components(verified, id_col=id_col)
+
+    if isinstance(cand, pd.DataFrame):
+        verified = (
+            cand[
+                _cosine_keep_mask(
+                    keys,
+                    mat,
+                    norms,
+                    cand["a"].to_numpy(np.int64),
+                    cand["b"].to_numpy(np.int64),
+                    threshold,
+                )
+            ]
+            if len(cand)
+            else pd.DataFrame({"a": [], "b": []})
+        )
+        comp = connected_components(verified, id_col=id_col)
+    else:
+        import ray
+
+        # broadcast the candidate matrix ONCE; the filter closure carries
+        # only the ObjectRef + threshold, never the arrays themselves
+        payload_ref = ray.put((keys, mat, norms))
+
+        def cos_filter(b: pa.Table, *, _ref=payload_ref, _t=threshold) -> pa.Table:
+            k, m, nr = ray.get(_ref)
+            a_ = b["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b_ = b["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.select(["a", "b"]).filter(
+                pa.array(_cosine_keep_mask(k, m, nr, a_, b_, _t))
+            )
+
+        verified_ds = cand.map_batches(cos_filter, batch_format="pyarrow")
+        comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(ds, id_col, comp)

@@ -164,11 +164,26 @@ def hash_sample(
 
 def train_centroids(sample: np.ndarray, nlist: int, seed: int = 42, iters: int = 10) -> np.ndarray:
     """Small seeded k-means (Lloyd) on a driver-side sample — the classic
-    IVF coarse quantizer training step."""
+    IVF coarse quantizer training step.  Seeds with k-means++ (Arthur &
+    Vassilvitskii 2007): each next center is drawn proportional to squared
+    distance from the existing centers, so the init spreads across the
+    data instead of depending on sample row order."""
     rng = np.random.default_rng(seed)
     sample = _normalize(np.asarray(sample, dtype=np.float64))
-    idx = rng.choice(sample.shape[0], size=min(nlist, sample.shape[0]), replace=False)
-    cent = sample[idx].copy()
+    k = min(nlist, sample.shape[0])
+    # --- k-means++ seeding (cosine distance = 1 - dot on unit vectors) ---
+    first = int(rng.integers(sample.shape[0]))
+    chosen = [first]
+    d2 = np.maximum(1.0 - sample @ sample[first], 0.0) ** 2
+    for _ in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            nxt = int(rng.integers(sample.shape[0]))
+        else:
+            nxt = int(rng.choice(sample.shape[0], p=d2 / total))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, np.maximum(1.0 - sample @ sample[nxt], 0.0) ** 2)
+    cent = sample[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(sample @ cent.T, axis=1)
         for c in range(cent.shape[0]):
