@@ -1105,6 +1105,100 @@ def q_media_pipeline(sf_dir: str):
     return out.select_columns(["media_id", "kind", "features", "frame_offsets_ms"])
 
 
+def q_media_pipeline_cert(sf_dir: str):
+    """Media-pipeline determinism certificate (round-3, VERDICT #8): the
+    feature/frame plumbing must be a pure function of the input — two
+    independently-constructed runs over the same synthetic media table
+    (different partitioning) must agree row-for-row, AND the features must
+    match an independent pure-Python reimplementation of the deterministic
+    fake kernel (Horner base-31 prefix hash ⊕ len<<32 → nibble-shifted
+    bytes / 255).  Emits (media_id, features_ok, frames_ok); the oracle is
+    the all-TRUE expectation over the same 256 ids."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.multimodal import (
+        media_pipeline,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(256, seed=42)
+    run1 = (
+        media_pipeline(rd.from_arrow(tbl), dim=16, n_frames=4)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    run2 = (
+        media_pipeline(rd.from_arrow(tbl).repartition(7), dim=16, n_frames=4)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    M64 = (1 << 64) - 1
+    payloads = tbl["payload"].to_pylist()
+    durs = tbl["duration_ms"].to_pylist()
+    feats_ok, frames_ok = [], []
+    for i in range(len(tbl)):
+        # independent reference: pure-Python ints, no shared kernel code
+        h = 0
+        for b in payloads[i][:64]:
+            h = (h * 31 + b) & M64
+        h ^= (len(payloads[i]) << 32) & M64
+        want_feats = [((h >> (4 * j)) & 0xFF) / 255.0 for j in range(16)]
+        want_frames = [int(durs[i] * (j + 0.5) / 4) for j in range(4)]
+        f1 = np.asarray(run1.loc[i, "features"], dtype=np.float64)
+        f2 = np.asarray(run2.loc[i, "features"], dtype=np.float64)
+        feats_ok.append(
+            bool(
+                np.allclose(f1, want_feats, atol=1e-6)
+                and np.array_equal(f1, f2)
+            )
+        )
+        o1 = list(run1.loc[i, "frame_offsets_ms"])
+        o2 = list(run2.loc[i, "frame_offsets_ms"])
+        frames_ok.append(bool(o1 == want_frames and o1 == o2))
+    return pd.DataFrame(
+        {
+            "media_id": np.arange(256, dtype=np.int64),
+            "features_ok": feats_ok,
+            "frames_ok": frames_ok,
+        }
+    )
+
+
+def q_simhash_sigs_cert(sf_dir: str):
+    """SimHash signature certificate (round-3, VERDICT #8): the vectorized
+    batch kernel must equal a second, independent pure-Python SimHash
+    (whitespace tokens → Java-31 token hash → per-bit majority vote) on a
+    SQL-expressible subset (doc_id < 100).  Emits (doc_id, sig_ok); the
+    oracle is the all-TRUE expectation over the same ids."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+    from zonal_stats_toolkit_ray.stages.text import simhash_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sub = ds.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 100)), batch_format="pyarrow"
+    ).map_batches(simhash_batch, batch_format="pyarrow")
+    got = sub.select_columns(["doc_id", "text", "simhash"]).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    M64 = (1 << 64) - 1
+    ok = []
+    for _, r in got.iterrows():
+        votes = [0] * 64
+        for tok in r["text"].lower().split():
+            h = 0
+            for b in tok.encode():
+                h = (h * 31 + b) & M64
+            for bit in range(64):
+                votes[bit] += 1 if (h >> bit) & 1 else -1
+        want = 0
+        for bit in range(64):
+            if votes[bit] > 0:
+                want |= 1 << bit
+        ok.append(bool(int(r["simhash"]) == want))
+    return pd.DataFrame({"doc_id": got["doc_id"].to_numpy(np.int64), "sig_ok": ok})
+
+
 def q_zonal_raster(sf_dir: str):
     """Raster-path zonal statistics (the reference's native flow) over a
     synthetic tiled raster — grouped stats table in reference row order."""
@@ -1185,7 +1279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "simhash_sigs": q_simhash_sigs,
+        "simhash_sigs_cert": q_simhash_sigs_cert,
         "media_pipeline": q_media_pipeline,
+        "media_pipeline_cert": q_media_pipeline_cert,
         "config_job": q_config_job,
         "pages_job_resume": q_pages_job_resume,
     }
@@ -1244,6 +1340,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id + 1000000 AS planted_id, TRUE AS cocluster_ok
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
             ORDER BY planted_id
+        """,
+        "media_pipeline_cert": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   TRUE AS features_ok, TRUE AS frames_ok
+            FROM generate_series(0, 255) t(i) ORDER BY media_id
+        """,
+        "simhash_sigs_cert": """
+            SELECT doc_id, TRUE AS sig_ok FROM documents
+            WHERE doc_id < 100 ORDER BY doc_id
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents
