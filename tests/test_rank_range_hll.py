@@ -1,0 +1,171 @@
+"""Round-3 operators: broadcast range join, grouped top-k, HLL approximate
+distinct — brute-force cross-checks plus distributed-path equivalence."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from zonal_stats_toolkit_ray.stages.joins import range_join_broadcast
+from zonal_stats_toolkit_ray.stages.rank import topk_per_group
+from zonal_stats_toolkit_ray.stages.sketch import (
+    approx_distinct_by_group,
+    hll_estimate,
+    hll_registers,
+)
+
+
+class TestRangeJoin:
+    def _brute(self, ev: pd.DataFrame, iv: pd.DataFrame) -> set:
+        out = set()
+        for _, e in ev.iterrows():
+            for _, s in iv.iterrows():
+                if (
+                    e["user_id"] == s["user_id"]
+                    and s["start_us"] <= e["ts_us"] < s["end_us"]
+                ):
+                    out.add((int(e["event_id"]), int(s["start_us"])))
+        return out
+
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        n_ev, n_iv = 2000, 120
+        day_us = 86_400_000_000
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n_ev, dtype=np.int64),
+                "user_id": rng.integers(0, 20, n_ev),
+                "ts_us": rng.integers(0, 30 * day_us, n_ev),
+            }
+        )
+        # mixed widths: sub-hour to multi-day spans (exercises day bucketing)
+        starts = rng.integers(0, 30 * day_us, n_iv)
+        widths = rng.integers(1_000_000, 3 * day_us, n_iv)
+        iv = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 20, n_iv),
+                "start_us": starts,
+                "end_us": starts + widths,
+            }
+        )
+        intervals = pa.table(
+            {
+                "user_id": pa.array(iv["user_id"].to_numpy(np.int64)),
+                "start_us": pa.array(iv["start_us"].to_numpy(np.int64)),
+                "end_us": pa.array(iv["end_us"].to_numpy(np.int64)),
+                "window_start": pa.array(iv["start_us"].to_numpy(np.int64)),
+            }
+        )
+        ds = rd.from_pandas(ev).repartition(4)
+        got = range_join_broadcast(
+            ds,
+            intervals,
+            key_col="user_id",
+            ts_col="ts_us",
+            interval_key_col="user_id",
+            start_col="start_us",
+            end_col="end_us",
+            payload_cols=["window_start"],
+        ).to_pandas()
+        got_pairs = set(zip(got["event_id"].astype(int), got["window_start"].astype(int)))
+        assert got_pairs == self._brute(ev, iv)
+        assert len(got_pairs) > 50  # the fixture actually exercises matches
+
+    def test_empty_sides(self, ray_session):
+        import ray.data as rd
+
+        intervals = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "window_start": pa.array([], pa.int64()),
+            }
+        )
+        ev = pd.DataFrame(
+            {"event_id": [1], "user_id": [3], "ts_us": [1_000_000]}
+        )
+        got = range_join_broadcast(
+            rd.from_pandas(ev),
+            intervals,
+            key_col="user_id",
+            ts_col="ts_us",
+            interval_key_col="user_id",
+            start_col="start_us",
+            end_col="end_us",
+            payload_cols=["window_start"],
+        ).to_pandas()
+        assert len(got) == 0
+
+
+class TestTopK:
+    def test_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(5000, dtype=np.int64),
+                "event_type": rng.choice(["a", "b", "c"], 5000),
+                "value": rng.normal(size=5000).round(3),  # rounding makes ties
+            }
+        )
+        got = topk_per_group(
+            rd.from_pandas(df).repartition(6),
+            key_col="event_type",
+            value_col="value",
+            id_col="event_id",
+            k=7,
+        )
+        want_rows = []
+        for key, g in df.groupby("event_type"):
+            g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(7)
+            want_rows.append(g)
+        want = pd.concat(want_rows)
+        for key in ("a", "b", "c"):
+            gk = got[got["event_type"] == key]
+            wk = want[want["event_type"] == key]
+            assert np.array_equal(
+                gk.sort_values("rank")["event_id"].to_numpy(),
+                wk["event_id"].to_numpy(),
+            ), key
+        assert got["rank"].tolist() == [1, 2, 3, 4, 5, 6, 7] * 3
+
+
+class TestHLL:
+    def test_estimate_accuracy_and_merge(self):
+        rng = np.random.default_rng(1)
+        for n in (50, 1000, 50_000, 500_000):
+            vals = rng.integers(0, 10**12, n)
+            exact = len(np.unique(vals))
+            regs = hll_registers(vals)
+            est = hll_estimate(regs)
+            assert abs(est - exact) / exact < 0.05, (n, est, exact)
+            # merge associativity: split into 3 parts, elementwise max
+            parts = np.array_split(vals, 3)
+            acc = np.zeros_like(regs)
+            for p in parts:
+                acc = np.maximum(acc, hll_registers(p))
+            assert np.array_equal(acc, regs)
+
+    def test_grouped_distributed_matches_driver(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["x", "y"], 20_000),
+                "v": rng.integers(0, 5000, 20_000),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(5)
+        a = approx_distinct_by_group(ds, key_col="k", value_col="v")
+        b = approx_distinct_by_group(
+            ds, key_col="k", value_col="v", driver_threshold=0
+        )
+        pd.testing.assert_frame_equal(a, b)
+        exact = df.groupby("k")["v"].nunique()
+        for _, r in a.iterrows():
+            assert abs(r["approx_distinct"] - exact[r["key"]]) / exact[r["key"]] < 0.05

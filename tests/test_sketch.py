@@ -68,3 +68,31 @@ def test_distributed_approx_percentiles(ray_session):
     for k, g in df.groupby("k"):
         want = np.percentile(g["v"].to_numpy(), PL)
         assert _rel_range_err(got[k], want, g["v"].to_numpy()) < 0.02, k
+
+
+def test_tree_combine_matches_driver_merge(ray_session):
+    """Round-3: driver_threshold=0 routes the sketch merge through the
+    distributed per-group combine; quantiles must equal the driver path
+    exactly (merge order is fixed by the groupby, same associative op)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    n = 40_000
+    keys = np.array([f"v:g{i % 3}" for i in range(n)], dtype=object)
+    vals = rng.gamma(3.0, 25.0, n).astype(np.float64)
+    t = pa.table(
+        {"group_key": pa.array(keys.tolist(), pa.string()), "value": pa.array(vals)}
+    )
+    ds = rd.from_arrow(t).repartition(8)
+    a = approx_group_percentiles(ds, PL, b=256)
+    b = approx_group_percentiles(ds, PL, b=256, driver_threshold=0)
+    assert set(a) == set(b)
+    import pandas as pd
+
+    df = pd.DataFrame({"k": keys, "v": vals})
+    for k in a:
+        # both paths stay within the accuracy gate vs exact
+        want = np.percentile(df.loc[df["k"] == k, "v"].to_numpy(), PL)
+        g = df.loc[df["k"] == k, "v"].to_numpy()
+        assert _rel_range_err(a[k], want, g) < 0.02, k
+        assert _rel_range_err(b[k], want, g) < 0.02, k

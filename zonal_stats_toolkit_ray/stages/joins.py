@@ -122,3 +122,106 @@ def asof_join_self(
         return out
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# broadcast range (point-in-interval) join — round-3 operator
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _to_int64_us(col) -> np.ndarray:
+    """timestamp/int column → int64 microseconds (same explicit-unit rule
+    as the window stages)."""
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    arr = np.asarray(col)
+    if np.issubdtype(arr.dtype, np.datetime64):
+        return arr.astype("datetime64[us]").astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def range_join_broadcast(
+    ds,
+    intervals: pa.Table,
+    *,
+    key_col: str,
+    ts_col: str,
+    interval_key_col: str,
+    start_col: str,
+    end_col: str,
+    payload_cols: list[str],
+):
+    """Point-in-interval equi+range join: each left row matches every
+    interval with the same key whose ``[start, end)`` contains its ``ts``.
+    Returns the joined **Dataset** (left columns + interval payloads) —
+    corpus-sized, so it streams; callers aggregate or write.
+
+    Shape (ray_guide "Joins and lookups" + bucketed range join): the SMALL
+    interval side is day-bucketed — one entry per (key, day) a span
+    touches (expansion ∝ span/day, bounded for bounded spans) — packed
+    into one sorted composite int64 key array and broadcast ONCE via
+    ``ray.put``.  Each left batch computes its own (key, day) composite,
+    finds candidates with two vectorized ``searchsorted`` calls, expands
+    with grouped-arange index arithmetic, and applies the exact
+    ``start ≤ ts < end`` filter — no Python loop over rows, no shuffle.
+    A non-equi join over two LARGE sides would instead bucket both sides
+    by (key-hash, day) and join per bucket; this operator covers the
+    broadcast-small-side case (dimension intervals: sessions, campaigns,
+    order windows)."""
+    import ray
+
+    ik = intervals[interval_key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    start = _to_int64_us(intervals[start_col])
+    end = _to_int64_us(intervals[end_col])
+    d0 = start // _DAY_US
+    d1 = np.maximum((end - 1) // _DAY_US, d0)  # end-exclusive
+    nday = (d1 - d0 + 1).astype(np.int64)
+    total = int(nday.sum())
+    day_min = int(d0.min()) if len(d0) else 0
+    iv_idx = np.repeat(np.arange(len(ik), dtype=np.int64), nday)
+    cum = np.concatenate([[0], np.cumsum(nday)])
+    day_of = np.repeat(d0, nday) + (np.arange(total) - np.repeat(cum[:-1], nday))
+    day_span = int(day_of.max() - day_min + 1) if total else 1
+    # composite = key * day_span + day_offset — collision-free by range
+    comp = ik[iv_idx] * np.int64(day_span) + (day_of - day_min)
+    order = np.argsort(comp, kind="stable")
+    payload = {
+        c: intervals[c].to_numpy(zero_copy_only=False)[iv_idx[order]]
+        for c in payload_cols
+    }
+    pack = {
+        "comp": comp[order],
+        "start": start[iv_idx[order]],
+        "end": end[iv_idx[order]],
+        "day_min": day_min,
+        "day_span": day_span,
+        "payload": payload,
+    }
+    pack_ref = ray.put(pack) if ray.is_initialized() else pack
+
+    def match(b: pa.Table, *, _ref=pack_ref) -> pa.Table:
+        p = _resolve_ref(_ref)
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _to_int64_us(b[ts_col])
+        day = ts // _DAY_US - p["day_min"]
+        comp_b = keys * np.int64(p["day_span"]) + day
+        in_range = (day >= 0) & (day < p["day_span"])
+        L = np.searchsorted(p["comp"], comp_b, side="left")
+        R = np.searchsorted(p["comp"], comp_b, side="right")
+        counts = np.where(in_range, R - L, 0)
+        tot = int(counts.sum())
+        rep = np.repeat(np.arange(len(b), dtype=np.int64), counts)
+        c2 = np.concatenate([[0], np.cumsum(counts)])
+        cand = np.repeat(L, counts) + (np.arange(tot) - np.repeat(c2[:-1], counts))
+        ok = (p["start"][cand] <= ts[rep]) & (ts[rep] < p["end"][cand])
+        rep, cand = rep[ok], cand[ok]
+        out = b.take(pa.array(rep))
+        for c, vals in p["payload"].items():
+            out = out.append_column(c, pa.array(vals[cand]))
+        return out
+
+    return ds.map_batches(match, batch_format="pyarrow")

@@ -128,30 +128,163 @@ def sketch_batch(
     )
 
 
+def _merge_sketch_rows(g: pd.DataFrame, b: int) -> pd.DataFrame:
+    """(group, centroids, weights) rows of ONE group → one merged row."""
+    acc = HistSketch(b)
+    for c, w in zip(g["centroids"], g["weights"]):
+        acc = acc.merge(HistSketch(b, c, w))
+    c, w = acc.to_arrays()
+    return pd.DataFrame(
+        {"group_key": [g["group_key"].iloc[0]], "centroids": [c], "weights": [w]}
+    )
+
+
 def approx_group_percentiles(
-    values_ds, plist: list[float], *, b: int = 256
+    values_ds, plist: list[float], *, b: int = 256, driver_threshold: int = 100_000
 ) -> dict[str, list[float]]:
     """Distributed approximate grouped percentiles: per-batch sketches →
     groupby merge (sketches are tiny and mergeable, so the shuffle moves
-    O(groups × blocks × b) floats — never the raw values)."""
+    O(groups × blocks × b) floats — never the raw values).
+
+    Above ``driver_threshold`` sketch rows (many groups × many blocks) a
+    distributed per-group combine runs first (round-3: the tree-combine
+    VERDICT suggested), so the driver always merges ≤ one row per group."""
     plist = sorted(set(float(p) for p in plist))
     sketches = values_ds.map_batches(
         sketch_batch, batch_format="pyarrow", fn_kwargs={"b": b}
-    )
-
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        acc = HistSketch(b)
-        for c, w in zip(g["centroids"], g["weights"]):
-            acc = acc.merge(HistSketch(b, c, w))
-        return pd.DataFrame(
-            {
-                "group_key": [g["group_key"].iloc[0]],
-                "pcts": [acc.quantile(plist).tolist()],
-            }
+    ).materialize()
+    if sketches.count() > driver_threshold:
+        sketches = sketches.groupby("group_key").map_groups(
+            lambda g: _merge_sketch_rows(g, b), batch_format="pandas"
         )
 
     df = sketches.to_pandas()
     out: dict[str, list[float]] = {}
     for k, g in df.groupby("group_key", sort=False):
-        out[k] = merge_group(g)["pcts"].iloc[0]
+        merged = _merge_sketch_rows(g, b)
+        acc = HistSketch(
+            b, merged["centroids"].iloc[0], merged["weights"].iloc[0]
+        )
+        out[k] = acc.quantile(plist).tolist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count — the 100-TB COUNT(DISTINCT) path
+# ---------------------------------------------------------------------------
+
+HLL_B = 12  # 2^12 = 4096 registers → σ ≈ 1.04/√m ≈ 1.6 % standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain, Steele et al.) — a strong
+    64-bit mixer so register index and rank bits are independent."""
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def hll_registers(values: np.ndarray, b: int = HLL_B) -> np.ndarray:
+    """Values (int64) → HLL register array (uint8, size 2^b): register =
+    max rank of the (64-b)-bit suffix, rank = leading-zeros + 1.
+    Vectorized; merge across batches is an elementwise max."""
+    m = 1 << b
+    regs = np.zeros(m, dtype=np.uint8)
+    if values.size == 0:
+        return regs
+    h = _splitmix64(np.asarray(values, dtype=np.int64).view(np.uint64))
+    idx = (h >> np.uint64(64 - b)).astype(np.int64)
+    suffix = h << np.uint64(b)  # remaining 64-b bits at the top
+    # leading zeros of the suffix within 64-b bits, via bit-length
+    nz = suffix != 0
+    ranks = np.empty(h.size, dtype=np.uint8)
+    ranks[~nz] = 64 - b + 1  # all-zero suffix → max rank
+    if nz.any():
+        s = suffix[nz]
+        # log2 via float conversion is exact for the top bit position
+        top = np.floor(np.log2(s.astype(np.float64))).astype(np.int64)
+        top = np.minimum(top, 63)  # guard float rounding at 2^63
+        lz = 63 - top
+        ranks[nz] = (lz + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, ranks)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate (Flajolet et al. 2007), with the
+    small-range linear-counting correction."""
+    m = float(regs.size)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return float(est)
+
+
+def approx_distinct_by_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    b: int = HLL_B,
+    driver_threshold: int = 100_000,
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value) per key → (key, approx_distinct).
+
+    Per-batch HLL registers per key (constant size regardless of rows) →
+    elementwise-max merge.  The shuffle moves O(groups × blocks × 2^b)
+    bytes, never the values; above ``driver_threshold`` register rows the
+    merge runs as a distributed per-group ``map_groups`` first."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kcol = batch[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        kdict = enc.dictionary.to_pylist()
+        vals = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_k, out_r = [], []
+        for ci in np.unique(codes).tolist():
+            out_k.append(kdict[ci])
+            out_r.append(hll_registers(vals[codes == ci], b))
+        off = pa.array(
+            np.arange(0, (len(out_k) + 1) * (1 << b), 1 << b, dtype=np.int32)
+        )
+        return pa.table(
+            {
+                "key": pa.array(out_k, pa.string()),
+                "regs": pa.ListArray.from_arrays(
+                    off, pa.array(np.concatenate(out_r) if out_r else
+                                  np.empty(0, np.uint8), pa.uint8())
+                ),
+            }
+        )
+
+    def merge_rows(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << b, dtype=np.uint8)
+        for r in g["regs"]:
+            acc = np.maximum(acc, np.asarray(r, dtype=np.uint8))
+        return pd.DataFrame({"key": [g["key"].iloc[0]], "regs": [acc.tolist()]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if parts.count() > driver_threshold:
+        parts = parts.groupby("key").map_groups(merge_rows, batch_format="pandas")
+    df = parts.to_pandas()
+    rows = []
+    for k, g in df.groupby("key", sort=False):
+        acc = np.zeros(1 << b, dtype=np.uint8)
+        for r in g["regs"]:
+            acc = np.maximum(acc, np.asarray(r, dtype=np.uint8))
+        rows.append({"key": k, "approx_distinct": hll_estimate(acc)})
+    return (
+        pd.DataFrame(rows).sort_values("key").reset_index(drop=True)
+        if rows
+        else pd.DataFrame({"key": pd.Series(dtype=str),
+                           "approx_distinct": pd.Series(dtype=float)})
+    )
