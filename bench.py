@@ -387,6 +387,40 @@ def bench_hash_join(sf_dir: str) -> dict:
     return {"sec": time.perf_counter() - t0, "groups": len(out)}
 
 
+def bench_range_join(sf_dir: str) -> dict:
+    """Broadcast point-in-interval join (round-3 operator): clicks vs the
+    1-hour windows opened by same-user signups."""
+    t0 = time.perf_counter()
+    from __ray_entry__ import q_range_join
+
+    out = q_range_join(sf_dir)
+    n = out.count()
+    return {"sec": time.perf_counter() - t0, "matches": n}
+
+
+def bench_topk_events(sf_dir: str) -> dict:
+    """Grouped top-k (round-3 operator): local top-k per batch → tiny merge."""
+    t0 = time.perf_counter()
+    from __ray_entry__ import q_topk_events
+
+    out = q_topk_events(sf_dir)
+    return {"sec": time.perf_counter() - t0, "rows": len(out)}
+
+
+def bench_approx_distinct(sf_dir: str) -> dict:
+    """HLL approximate distinct per group (round-3 operator)."""
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.sketch import approx_distinct_by_group
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = approx_distinct_by_group(ds, key_col="event_type", value_col="user_id")
+    return {"sec": time.perf_counter() - t0, "groups": len(out)}
+
+
 # ordered: token_stats runs before the dedup family so text buffers and
 # worker heaps are already faulted when the hash-heavy stages run (the
 # kernel zero-fill warmup effect documented in BASELINE.md).  The two
@@ -402,13 +436,16 @@ BENCHES = {
     "knn_brute": bench_knn,
     "window_events": bench_window,
     "hash_join": bench_hash_join,
+    "range_join": bench_range_join,
+    "topk_events": bench_topk_events,
+    "approx_distinct": bench_approx_distinct,
     "zonal_scaling": bench_zonal_scaling,
     "join_stage": bench_join_stage,
 }
 DEFAULT_SUITE = [
     "zonal_pages", "zonal_raster", "groupby_lineitem", "token_stats",
     "dedup_exact", "dedup_minhash", "knn_brute", "window_events",
-    "hash_join",
+    "hash_join", "range_join", "topk_events", "approx_distinct",
 ]
 
 
