@@ -73,6 +73,41 @@ class TestRangeJoin:
         assert got_pairs == self._brute(ev, iv)
         assert len(got_pairs) > 50  # the fixture actually exercises matches
 
+    def test_string_payload_with_empty_batches(self, ray_session):
+        """String payloads must keep their Arrow type even when some
+        batches produce zero matches (a numpy-object path would emit a
+        null-typed column and break schema unification)."""
+        import ray.data as rd
+
+        intervals = pa.table(
+            {
+                "user_id": pa.array([1], pa.int64()),
+                "start_us": pa.array([100], pa.int64()),
+                "end_us": pa.array([200], pa.int64()),
+                "label": pa.array(["win-A"], pa.string()),
+            }
+        )
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(100, dtype=np.int64),
+                # only event 0 matches; most batches after repartition are empty-match
+                "user_id": np.where(np.arange(100) == 0, 1, 999),
+                "ts_us": np.full(100, 150, dtype=np.int64),
+            }
+        )
+        got = range_join_broadcast(
+            rd.from_pandas(ev).repartition(8),
+            intervals,
+            key_col="user_id",
+            ts_col="ts_us",
+            interval_key_col="user_id",
+            start_col="start_us",
+            end_col="end_us",
+            payload_cols=["label"],
+        ).to_pandas()
+        assert len(got) == 1
+        assert got["label"].iloc[0] == "win-A"
+
     def test_empty_sides(self, ray_session):
         import ray.data as rd
 

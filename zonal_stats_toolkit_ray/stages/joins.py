@@ -189,8 +189,15 @@ def range_join_broadcast(
     # composite = key * day_span + day_offset — collision-free by range
     comp = ik[iv_idx] * np.int64(day_span) + (day_of - day_min)
     order = np.argsort(comp, kind="stable")
+    # payloads stay Arrow arrays (taken, not converted to numpy): an
+    # all-empty match batch would otherwise emit a null-typed column for
+    # string payloads and break schema unification across batches
     payload = {
-        c: intervals[c].to_numpy(zero_copy_only=False)[iv_idx[order]]
+        c: (
+            intervals[c].combine_chunks()
+            if isinstance(intervals[c], pa.ChunkedArray)
+            else intervals[c]
+        ).take(pa.array(iv_idx[order]))
         for c in payload_cols
     }
     pack = {
@@ -221,7 +228,7 @@ def range_join_broadcast(
         rep, cand = rep[ok], cand[ok]
         out = b.take(pa.array(rep))
         for c, vals in p["payload"].items():
-            out = out.append_column(c, pa.array(vals[cand]))
+            out = out.append_column(c, vals.take(pa.array(cand)))
         return out
 
     return ds.map_batches(match, batch_format="pyarrow")
