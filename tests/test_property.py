@@ -215,3 +215,95 @@ def test_split_hash_matches_sql_arithmetic(ids):
     got = split_hash32(arr)
     want = np.array([(i * 2654435761) % (1 << 32) for i in ids], dtype=np.uint64)
     assert np.array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# round-3 kernels
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 400), nsig=st.integers(1, 20))
+def test_hot_bucket_pairs_properties(seed, n, nsig):
+    """Hot-bucket sub-split invariants: (a) emitted pairs are a SUBSET of
+    the uncapped all-pairs graph; (b) identical-signature members connect
+    to their group min (star); (c) permutation of input rows doesn't change
+    the pair set; (d) ordering a < b holds."""
+    import pandas as pd
+
+    from zonal_stats_toolkit_ray.stages import dedup as D
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(10_000, size=n, replace=False).astype(np.int64)
+    sig = rng.integers(0, nsig, n).astype(np.uint64)
+    df = pd.DataFrame(
+        {
+            "band": np.zeros(n, np.int32),
+            "band_hash": np.full(n, 5, np.uint64),
+            "sig_hash": sig,
+            "doc_id": ids,
+        }
+    )
+    cap = 16  # force the hot path for most draws
+    pairs = D._pairs_from_bands_df(df, "doc_id", bucket_cap=cap)
+    assert (pairs["a"] < pairs["b"]).all()
+    got = set(zip(pairs["a"], pairs["b"]))
+    allp = {(int(min(a, b)), int(max(a, b)))
+            for i, a in enumerate(ids) for b in ids[i + 1:]}
+    assert got <= allp
+    if n > cap:
+        # star property per signature group
+        for s in np.unique(sig):
+            grp = np.sort(ids[sig == s])
+            mn = int(grp[0])
+            for other in grp[1:]:
+                assert (mn, int(other)) in got
+    else:
+        assert got == allp  # small bucket: exact all-pairs
+    # permutation invariance
+    perm = rng.permutation(n)
+    pairs2 = D._pairs_from_bands_df(df.iloc[perm].reset_index(drop=True),
+                                    "doc_id", bucket_cap=cap)
+    assert got == set(zip(pairs2["a"], pairs2["b"]))
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(0, 500), k=st.integers(1, 8))
+def test_topk_batch_matches_pandas(seed, n, k):
+    import pandas as pd
+    import pyarrow as pa
+
+    from zonal_stats_toolkit_ray.stages.rank import topk_per_group_batch
+
+    rng = np.random.default_rng(seed)
+    df = pd.DataFrame(
+        {
+            "k": rng.choice(list("abc"), n) if n else pd.Series(dtype=str),
+            "id": rng.choice(100_000, size=n, replace=False).astype(np.int64)
+            if n
+            else pd.Series(dtype=np.int64),
+            "v": rng.integers(0, 5, n).astype(np.float64)
+            if n
+            else pd.Series(dtype=np.float64),  # small int values force ties
+        }
+    )
+    out = topk_per_group_batch(
+        pa.Table.from_pandas(df, preserve_index=False),
+        key_col="k", value_col="v", id_col="id", k=k,
+    ).to_pandas()
+    for key, g in df.groupby("k"):
+        want = g.sort_values(["v", "id"], ascending=[False, True]).head(k)
+        got = out[out["k"] == key].sort_values(["v", "id"], ascending=[False, True])
+        assert np.array_equal(got["id"].to_numpy(), want["id"].to_numpy()), key
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 30_000))
+def test_hll_error_bound_property(seed, n):
+    from zonal_stats_toolkit_ray.stages.sketch import hll_estimate, hll_registers
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(-(2**62), 2**62, n)
+    exact = len(np.unique(vals))
+    est = hll_estimate(hll_registers(vals))
+    assert abs(est - exact) / exact < 0.08  # 5σ of the m=4096 bound
