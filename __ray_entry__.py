@@ -1384,9 +1384,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract": q_html_extract,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
-        "simhash_sigs": q_simhash_sigs,
+        # round-3: the raw rows-only `simhash_sigs` / `media_pipeline`
+        # entries were SUBSUMED by their `_cert` twins (same pipelines,
+        # plus an independent reference check, hash-checked against an
+        # all-TRUE oracle) — q_simhash_sigs / q_media_pipeline remain
+        # importable for callers
         "simhash_sigs_cert": q_simhash_sigs_cert,
-        "media_pipeline": q_media_pipeline,
         "media_pipeline_cert": q_media_pipeline_cert,
         "config_job": q_config_job,
         "pages_job_resume": q_pages_job_resume,
