@@ -1065,6 +1065,19 @@ def q_fingerprint(sf_dir: str):
     return out
 
 
+def q_doc_frequency(sf_dir: str):
+    """Corpus document-frequency / vocabulary stats (round-3 operator):
+    top-50 tokens by the number of distinct documents containing them
+    (the IDF numerator).  In-batch distinct-doc partials → one vocabulary
+    hash aggregate → local top-n per block → tiny merge.  Oracle: unnest +
+    list_distinct + GROUP BY in SQL."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import document_frequency
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return document_frequency(ds, top_n=50)
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures per document (rows-only: token-level bit votes
     need modular exponentiation DuckDB lacks; gated by pytest + the
@@ -1350,6 +1363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": q_range_join,
         "topk_events": q_topk_events,
         "approx_distinct_cert": q_approx_distinct_cert,
+        "doc_frequency": q_doc_frequency,
         "pages": q_pages,
         "union_distinct": q_union_distinct,
         "anti_join": q_anti_join,
@@ -1485,6 +1499,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, TRUE AS distinct_ok
             FROM (SELECT DISTINCT event_type FROM events)
             ORDER BY event_type
+        """,
+        "doc_frequency": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'), x -> x <> ''
+                     ))) AS token
+              FROM documents
+            )
+            SELECT token, COUNT(*) AS df
+            FROM toks GROUP BY token
+            ORDER BY df DESC, token LIMIT 50
         """,
         "simhash_sigs_cert": """
             SELECT doc_id, TRUE AS sig_ok FROM documents

@@ -407,6 +407,25 @@ def bench_topk_events(sf_dir: str) -> dict:
     return {"sec": time.perf_counter() - t0, "rows": len(out)}
 
 
+def bench_doc_frequency(sf_dir: str, replicate: int = REPLICATE) -> dict:
+    """Corpus vocabulary / document-frequency pass (round-3 operator) over
+    the replicated corpus."""
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.text import document_frequency
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=32,
+    )
+    ds = ds.map_batches(
+        _replicate_batch_docs, batch_format="pyarrow", fn_kwargs={"k": replicate}
+    )
+    out = document_frequency(ds, top_n=50)
+    return {"sec": time.perf_counter() - t0, "tokens": len(out)}
+
+
 def bench_approx_distinct(sf_dir: str) -> dict:
     """HLL approximate distinct per group (round-3 operator)."""
     import ray.data as rd
@@ -439,6 +458,7 @@ BENCHES = {
     "range_join": bench_range_join,
     "topk_events": bench_topk_events,
     "approx_distinct": bench_approx_distinct,
+    "doc_frequency": bench_doc_frequency,
     "zonal_scaling": bench_zonal_scaling,
     "join_stage": bench_join_stage,
 }
@@ -446,6 +466,7 @@ DEFAULT_SUITE = [
     "zonal_pages", "zonal_raster", "groupby_lineitem", "token_stats",
     "dedup_exact", "dedup_minhash", "knn_brute", "window_events",
     "hash_join", "range_join", "topk_events", "approx_distinct",
+    "doc_frequency",
 ]
 
 

@@ -204,3 +204,32 @@ class TestHLL:
         exact = df.groupby("k")["v"].nunique()
         for _, r in a.iterrows():
             assert abs(r["approx_distinct"] - exact[r["key"]]) / exact[r["key"]] < 0.05
+
+
+class TestDocFrequency:
+    def test_matches_pandas_with_topn_ties(self, ray_session):
+        """Large vocabulary + ties at the top-n boundary: DF counts distinct
+        docs (repeats within a doc count once), ordering (df desc, token
+        asc) is deterministic, and the per-block local top-n path agrees
+        with the global answer."""
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.text import document_frequency
+
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i:03d}" for i in range(300)]
+        docs = []
+        for d in range(800):
+            words = rng.choice(vocab, size=rng.integers(3, 30))
+            words = np.concatenate([words, words[:2]])  # in-doc repeats
+            docs.append(" ".join(words))
+        df = pd.DataFrame({"doc_id": np.arange(800), "text": docs})
+        got = document_frequency(
+            rd.from_pandas(df).repartition(6), top_n=40
+        )
+        want_counts = {}
+        for text in docs:
+            for tok in set(text.lower().split()):
+                want_counts[tok] = want_counts.get(tok, 0) + 1
+        want = sorted(want_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
+        assert list(zip(got["token"], got["df"].astype(int))) == want

@@ -273,3 +273,68 @@ def html_extract_batch(
     html_str = pc.cast(batch[html_col], pa.string())
     stripped = pc.replace_substring_regex(html_str, "<[^>]*>", "")
     return batch.append_column(out_col, stripped)
+
+
+# ---------------------------------------------------------------------------
+# corpus document frequency (vocabulary / IDF stats) — round-3 operator
+# ---------------------------------------------------------------------------
+
+def doc_frequency_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """map_batches stage: documents → (token, df) partial rows, where df =
+    number of DISTINCT documents in this batch containing the token.
+
+    Because a document never spans batches, the per-batch distinct is
+    globally exact — partials sum associatively in the downstream groupby
+    (the same combiner-before-shuffle shape as exact_dedup).  Entirely
+    Arrow-kernel: lower → regex split → flatten with doc indices →
+    ``group_by`` distinct → ``group_by`` count.  No Python row loop."""
+    t = pc.utf8_lower(batch[text_col])
+    toks = pc.split_pattern_regex(t, r"\s+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_ids = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    doc_ids = doc_ids[nonempty.to_numpy(zero_copy_only=False)]
+    pairs = pa.table({"d": pa.array(doc_ids), "token": flat})
+    distinct = pairs.group_by(["d", "token"]).aggregate([])
+    df = distinct.group_by("token").aggregate([("d", "count")])
+    return pa.table(
+        {
+            "token": df["token"],
+            "df": pc.cast(df["d_count"], pa.int64()),
+        }
+    )
+
+
+def document_frequency(ds, *, text_col: str = "text", top_n: int = 50):
+    """Corpus document-frequency table → top ``top_n`` (token, df) rows,
+    df descending, token ascending on ties (deterministic).
+
+    Shape: in-batch distinct-doc partials → one hash aggregate over the
+    vocabulary (rows shuffled = distinct tokens per block, never token
+    instances) → local top-n per block → blocks×n driver merge.  This is
+    the standard IDF / vocabulary-statistics pass of a text-corpus
+    pipeline at any scale."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        doc_frequency_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+    agg = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if n <= top_n:
+            return b
+        dfv = b["df"].to_numpy(zero_copy_only=False)
+        toks = b["token"].to_pylist()
+        order = sorted(range(n), key=lambda i: (-int(dfv[i]), toks[i]))[:top_n]
+        return b.take(pa.array(order, pa.int64()))
+
+    local = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    local = local.sort_values(
+        ["df", "token"], ascending=[False, True], kind="stable"
+    ).head(top_n)
+    return local.reset_index(drop=True)[["token", "df"]]
