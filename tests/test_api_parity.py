@@ -171,6 +171,13 @@ def test_q6_simplify_default_on_unstable_fixture(ray_session, tmp_path):
     )
     assert got_raw["z1"]["count"] == want_raw["z1"]["count"]
 
+    # a typo'd string mode fails fast at the API boundary, not deep in the
+    # pipeline with a str-vs-int comparison error
+    with pytest.raises(ValueError, match="auto"):
+        api.fast_zonal_statistics(
+            (str(raster), 1), str(zpath), simplify_tolerance="Auto"
+        )
+
 
 def test_layer_name_on_layerless_file_raises(ray_session, env):
     """Round-3 (advisor): a zones file WITHOUT a `layer` column has no named

@@ -108,6 +108,53 @@ class TestRangeJoin:
         assert len(got) == 1
         assert got["label"].iloc[0] == "win-A"
 
+    def test_huge_keys_no_composite_collision(self, ray_session):
+        """Snowflake-scale keys overflow the int64 composite (key*day_span
+        + day); the exact filter re-checks key equality, so wrapped
+        collisions must never join a row to another key's interval —
+        verified against brute force."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        day_us = 86_400_000_000
+        n_ev, n_iv = 500, 60
+        keys_pool = rng.integers(2**60, 2**62, 8).astype(np.int64)
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n_ev, dtype=np.int64),
+                "user_id": rng.choice(keys_pool, n_ev),
+                "ts_us": rng.integers(0, 30 * day_us, n_ev),
+            }
+        )
+        starts = rng.integers(0, 30 * day_us, n_iv)
+        iv = pd.DataFrame(
+            {
+                "user_id": rng.choice(keys_pool, n_iv),
+                "start_us": starts,
+                "end_us": starts + rng.integers(1_000_000, 5 * day_us, n_iv),
+            }
+        )
+        intervals = pa.table(
+            {
+                "user_id": pa.array(iv["user_id"].to_numpy(np.int64)),
+                "start_us": pa.array(iv["start_us"].to_numpy(np.int64)),
+                "end_us": pa.array(iv["end_us"].to_numpy(np.int64)),
+                "window_start": pa.array(iv["start_us"].to_numpy(np.int64)),
+            }
+        )
+        got = range_join_broadcast(
+            rd.from_pandas(ev).repartition(3),
+            intervals,
+            key_col="user_id",
+            ts_col="ts_us",
+            interval_key_col="user_id",
+            start_col="start_us",
+            end_col="end_us",
+            payload_cols=["window_start"],
+        ).to_pandas()
+        got_pairs = set(zip(got["event_id"].astype(int), got["window_start"].astype(int)))
+        assert got_pairs == self._brute(ev, iv)
+
     def test_empty_sides(self, ray_session):
         import ray.data as rd
 
@@ -233,3 +280,19 @@ class TestDocFrequency:
                 want_counts[tok] = want_counts.get(tok, 0) + 1
         want = sorted(want_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:40]
         assert list(zip(got["token"], got["df"].astype(int))) == want
+
+    def test_null_text_contributes_no_tokens(self, ray_session):
+        """Null text rows must behave like the SQL oracle (unnest of a NULL
+        list emits no rows), not crash the batch kernel."""
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.text import document_frequency
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["a b a", None, "b c"], pa.string()),
+            }
+        )
+        got = document_frequency(rd.from_arrow(tbl), top_n=10)
+        assert dict(zip(got["token"], got["df"].astype(int))) == {"a": 1, "b": 2, "c": 1}

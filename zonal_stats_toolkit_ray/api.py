@@ -92,6 +92,11 @@ def fast_zonal_statistics(
         ztable = ztable.drop_columns(["layer"])
     zs = ZoneSet(ztable)
     tiles = rd.read_parquet(raster_path)
+    if isinstance(simplify_tolerance, str) and simplify_tolerance != "auto":
+        raise ValueError(
+            'simplify_tolerance must be "auto", a float tolerance, or None; '
+            f"got {simplify_tolerance!r}"
+        )
     tol = (
         0.5 * abs(grid.dx) if simplify_tolerance == "auto" else simplify_tolerance
     )

@@ -505,9 +505,12 @@ def _window_stats_distributed(
         },
         batch_format="pyarrow",
     ).map_batches(
+        # win_id → the partials schema key, renamed BY NAME (a positional
+        # rename would silently relabel a stats column if the partial
+        # table's column order ever changed)
         lambda t: t.rename_columns(
-            ["group_key", *t.column_names[1:]]
-        ),  # win_id → the partials schema key
+            ["group_key" if c == "win_id" else c for c in t.column_names]
+        ),
         batch_format="pyarrow",
     )
     merged = Z.reduce_partials(parts, tree_threshold=tree_threshold)

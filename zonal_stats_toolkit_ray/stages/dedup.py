@@ -167,6 +167,17 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _fnv_fold(sig: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """FNV-style uint64 fold of signature columns [lo, hi) — one shared
+    helper for band hashes AND the full-signature ``sig_hash`` sub-split
+    key, so the hot-bucket behavior of every variant stays in sync."""
+    out = np.zeros(sig.shape[0], dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in range(lo, hi):
+            out = out * np.uint64(1099511628211) + sig[:, c]
+    return out
+
+
 def _minhash_params(num_perm: int, seed: int):
     rng = np.random.default_rng(seed)
     a = rng.integers(1, int(_MERS), size=num_perm, dtype=np.uint64)
@@ -244,20 +255,14 @@ def minhash_band_batch(
     sig = minhash_signatures(h, d, len(batch), num_perm, seed)
     rows_per_band = num_perm // bands
     out_band, out_hash, out_id = [], [], []
-    with np.errstate(over="ignore"):
-        # full-signature hash: the hot-bucket sub-split key (identical docs
-        # share it, so a degenerate bucket stars instead of all-pairs)
-        full_h = np.zeros(len(batch), dtype=np.uint64)
-        for c in range(num_perm):
-            full_h = full_h * np.uint64(1099511628211) + sig[:, c]
-        for bi in range(bands):
-            block = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-            bh = np.zeros(len(batch), dtype=np.uint64)
-            for c in range(block.shape[1]):
-                bh = bh * np.uint64(1099511628211) + block[:, c]
-            out_band.append(np.full(len(batch), bi, dtype=np.int32))
-            out_hash.append(bh)
-            out_id.append(ids)
+    # full-signature hash: the hot-bucket sub-split key (identical docs
+    # share it, so a degenerate bucket stars instead of all-pairs)
+    full_h = _fnv_fold(sig, 0, num_perm)
+    for bi in range(bands):
+        bh = _fnv_fold(sig, bi * rows_per_band, (bi + 1) * rows_per_band)
+        out_band.append(np.full(len(batch), bi, dtype=np.int32))
+        out_hash.append(bh)
+        out_id.append(ids)
     return pa.table(
         {
             "band": pa.array(np.concatenate(out_band), pa.int32()),
@@ -280,8 +285,13 @@ def _pairs_from_bands_df(
     signature hash carried in ``sig_hash``:
 
     * members with IDENTICAL signatures pair as a star to the group's min
-      id (they are verbatim-level duplicates; the star plus pairwise verify
-      connects exactly the members the all-pairs graph would);
+      id.  For verbatim duplicates (the shape that creates hot buckets)
+      the star + pairwise verify connects the same members all-pairs
+      would; in the measure-tiny adversarial case where verify REJECTS a
+      star edge (J(min, x) < τ) but would accept a member-member edge
+      (J(x, y) ≥ τ under identical 64-perm signatures), the star misses
+      that edge — an accepted recall tradeoff of capping, like the
+      representative cap below;
     * across distinct signatures, only the per-signature representative
       (min id) joins a capped all-pairs pass — representatives beyond
       ``bucket_cap`` are dropped and counted in ``LAST_PAIR_STATS``.
@@ -453,13 +463,16 @@ def distributed_connected_components(
     import ray
     from ray.data.aggregate import Min
 
+    # materialize FIRST: _pair_node_ids and every propagation round iterate
+    # the edge Dataset — a lazy input would re-execute the (expensive)
+    # verify pipeline once per pass
+    pairs_ds = pairs_ds if not hasattr(pairs_ds, "materialize") else pairs_ds.materialize()
     nodes = _pair_node_ids(pairs_ds)
     labels = nodes.copy()
     if nodes.size == 0:
         return pd.DataFrame(
             {id_col: pd.Series(dtype=np.int64), "cluster_id": pd.Series(dtype=np.int64)}
         )
-    pairs_ds = pairs_ds if not hasattr(pairs_ds, "materialize") else pairs_ds.materialize()
 
     for _ in range(max_iters):
         lab_ref = ray.put((nodes, labels))
@@ -884,18 +897,12 @@ def ngram_jaccard_dedup(
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         rows_per_band = num_perm // bands
         ob, oh, oi = [], [], []
-        with np.errstate(over="ignore"):
-            full_h = np.zeros(len(batch), dtype=np.uint64)
-            for c in range(num_perm):
-                full_h = full_h * np.uint64(1099511628211) + sig[:, c]
-            for bi in range(bands):
-                block = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = np.zeros(len(batch), dtype=np.uint64)
-                for c in range(block.shape[1]):
-                    bh = bh * np.uint64(1099511628211) + block[:, c]
-                ob.append(np.full(len(batch), bi, dtype=np.int32))
-                oh.append(bh)
-                oi.append(ids)
+        full_h = _fnv_fold(sig, 0, num_perm)
+        for bi in range(bands):
+            bh = _fnv_fold(sig, bi * rows_per_band, (bi + 1) * rows_per_band)
+            ob.append(np.full(len(batch), bi, dtype=np.int32))
+            oh.append(bh)
+            oi.append(ids)
         return pa.table(
             {
                 "band": pa.array(np.concatenate(ob), pa.int32()),

@@ -202,6 +202,8 @@ def range_join_broadcast(
     }
     pack = {
         "comp": comp[order],
+        "key": ik[iv_idx[order]],  # exact key re-check: the composite can
+        # wrap for huge (snowflake-scale) keys; comp only NARROWS candidates
         "start": start[iv_idx[order]],
         "end": end[iv_idx[order]],
         "day_min": day_min,
@@ -224,7 +226,11 @@ def range_join_broadcast(
         rep = np.repeat(np.arange(len(b), dtype=np.int64), counts)
         c2 = np.concatenate([[0], np.cumsum(counts)])
         cand = np.repeat(L, counts) + (np.arange(tot) - np.repeat(c2[:-1], counts))
-        ok = (p["start"][cand] <= ts[rep]) & (ts[rep] < p["end"][cand])
+        ok = (
+            (p["key"][cand] == keys[rep])
+            & (p["start"][cand] <= ts[rep])
+            & (ts[rep] < p["end"][cand])
+        )
         rep, cand = rep[ok], cand[ok]
         out = b.take(pa.array(rep))
         for c, vals in p["payload"].items():

@@ -239,8 +239,9 @@ def fingerprint_batch(
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Adds ``simhash`` (uint64): 64-bit SimHash over whitespace tokens,
     token hashes via the engine's polynomial hash.  The bit-vote loop is
-    vectorized over all tokens of the batch at once."""
-    t = pc.utf8_lower(batch[text_col])
+    vectorized over all tokens of the batch at once.  Null text hashes
+    like the empty string (no tokens → signature 0)."""
+    t = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
     toks = pc.split_pattern_regex(t, r"\s+")
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     flat_all = pc.list_flatten(toks)
@@ -287,8 +288,11 @@ def doc_frequency_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     globally exact — partials sum associatively in the downstream groupby
     (the same combiner-before-shuffle shape as exact_dedup).  Entirely
     Arrow-kernel: lower → regex split → flatten with doc indices →
-    ``group_by`` distinct → ``group_by`` count.  No Python row loop."""
-    t = pc.utf8_lower(batch[text_col])
+    ``group_by`` distinct → ``group_by`` count.  No Python row loop.
+
+    Null text contributes no tokens (fill_null("") — matching the SQL
+    oracle, where unnest of a NULL list emits no rows)."""
+    t = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
     toks = pc.split_pattern_regex(t, r"\s+")
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(toks)
@@ -325,13 +329,14 @@ def document_frequency(ds, *, text_col: str = "text", top_n: int = 50):
     agg = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
 
     def local_top(b: pa.Table) -> pa.Table:
-        n = len(b)
-        if n <= top_n:
+        if len(b) <= top_n:
             return b
-        dfv = b["df"].to_numpy(zero_copy_only=False)
-        toks = b["token"].to_pylist()
-        order = sorted(range(n), key=lambda i: (-int(dfv[i]), toks[i]))[:top_n]
-        return b.take(pa.array(order, pa.int64()))
+        # vectorized multi-key sort (a vocabulary-sized block would make a
+        # Python key-function sort the operator's hot spot)
+        order = pc.sort_indices(
+            b, sort_keys=[("df", "descending"), ("token", "ascending")]
+        )
+        return b.take(order.slice(0, top_n))
 
     local = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
     local = local.sort_values(
