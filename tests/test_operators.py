@@ -438,6 +438,53 @@ class TestDedupScale:
             e_dist.sort_values("vec_id")["cluster_id"].to_numpy(),
         )
 
+    def test_join_verify_regime_matches_broadcast(self, ray_session):
+        """Round-3 (100-TB hardening): with broadcast_id_threshold=0 the
+        verify hash-joins per-doc payloads onto the pair Dataset — no text
+        fetch, no broadcast dict — and clusters equal the default path for
+        all four variants."""
+        import ray.data as rd
+
+        pages = synth_pages_table(250, seed=21, dup_fraction=0.3).to_pandas()
+        pages["doc_id"] = np.arange(len(pages))
+        ds = rd.from_pandas(pages[["doc_id", "text"]]).repartition(3)
+        forced = dict(
+            driver_threshold=0, pair_driver_threshold=0, broadcast_id_threshold=0
+        )
+        for fn, kw in [
+            (D.minhash_dedup, dict(threshold=0.8)),
+            (D.simhash_dedup, dict(max_hamming=3)),
+            (D.ngram_jaccard_dedup, dict(threshold=0.9)),
+        ]:
+            base = fn(ds, **kw).to_pandas().sort_values("doc_id")
+            joined = fn(ds, **forced, **kw).to_pandas().sort_values("doc_id")
+            assert D.LAST_DRIVER_FETCH["rows"] == 0, fn.__name__
+            assert D.LAST_DRIVER_FETCH["pair_rows"] == 0, fn.__name__
+            assert np.array_equal(
+                base["cluster_id"].to_numpy(), joined["cluster_id"].to_numpy()
+            ), fn.__name__
+
+        rng = np.random.default_rng(2)
+        basem = rng.standard_normal((50, 8))
+        mat = np.vstack([basem, basem[:8] + rng.standard_normal((8, 8)) * 1e-3])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(58, dtype=np.int64)),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        e_base = D.embedding_dedup(rd.from_arrow(tbl), threshold=0.999).to_pandas()
+        e_join = D.embedding_dedup(
+            rd.from_arrow(tbl).repartition(2), threshold=0.999, **forced
+        ).to_pandas()
+        assert D.LAST_DRIVER_FETCH["rows"] == 0
+        assert np.array_equal(
+            e_base.sort_values("vec_id")["cluster_id"].to_numpy(),
+            e_join.sort_values("vec_id")["cluster_id"].to_numpy(),
+        )
+
     def test_distributed_connected_components_chain(self, ray_session):
         """Label propagation + pointer jumping converges on a long chain
         (worst diameter) and on disjoint components."""

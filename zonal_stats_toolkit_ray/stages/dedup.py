@@ -517,6 +517,83 @@ def distributed_connected_components(
     return pd.DataFrame({id_col: nodes, "cluster_id": labels})
 
 
+def _verify_pairs_via_join(
+    pairs_ds,
+    side_ds,
+    id_col: str,
+    val_col: str,
+    keep_fn,
+    *,
+    num_partitions: int | None = None,
+):
+    """Verify candidate pairs WITHOUT broadcasting any per-doc payload:
+    the pair Dataset hash-joins the slim (id, value) side twice (once per
+    endpoint), then ``keep_fn(batch)`` filters each joined batch using the
+    ``__va`` / ``__vb`` columns.  This is the corpus-duplication-proof
+    regime: under heavy duplication candidate ids ≈ corpus ids, where a
+    ``ray.put`` dict of texts would deserialize a corpus-sized heap copy
+    into EVERY worker — the join instead co-partitions pairs and values by
+    key hash and streams.  Returns the surviving (a, b) Dataset."""
+    from .joins import auto_join_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
+    LAST_DRIVER_FETCH["rows"] = 0  # accounting: nothing fetched in this regime
+
+    def rn(suffix: str, key: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [key if c == id_col else f"__v{suffix}" for c in t.column_names]
+            )
+
+        return f
+
+    side_a = side_ds.select_columns([id_col, val_col]).map_batches(
+        rn("a", "a"), batch_format="pyarrow"
+    )
+    side_b = side_ds.select_columns([id_col, val_col]).map_batches(
+        rn("b", "b"), batch_format="pyarrow"
+    )
+    # materialize between the two joins: two JoinOperators in ONE streaming
+    # plan deadlock on small CPU budgets (both reserve aggregator actors up
+    # front; observed hang at 4 CPUs regardless of num_partitions) — the
+    # intermediate is pair-sized + one value column and spills if large
+    j1 = pairs_ds.join(
+        side_a, join_type="inner", num_partitions=num_partitions, on=("a",)
+    ).materialize()
+    j = j1.join(side_b, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def verify(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(keep_fn(b))).select(["a", "b"])
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def _text_pair_keep_fn(pair_ok, id_cache_cols=("a", "b")):
+    """Adapt a ``pair_ok(texts, cache, a, b)`` predicate to the join-verify
+    batch layout: texts come from the joined ``__va``/``__vb`` columns and
+    the per-batch feature cache is keyed by doc id (docs recur across the
+    pairs of a batch)."""
+
+    def keep(b: pa.Table) -> np.ndarray:
+        a = b["a"].to_numpy(zero_copy_only=False)
+        bb = b["b"].to_numpy(zero_copy_only=False)
+        va = b["__va"].to_pylist()
+        vb = b["__vb"].to_pylist()
+        texts: dict = {}
+        for i in range(len(b)):
+            texts[int(a[i])] = va[i]
+            texts[int(bb[i])] = vb[i]
+        cache: dict = {}
+        return np.fromiter(
+            (pair_ok(texts, cache, int(x), int(y)) for x, y in zip(a, bb)),
+            dtype=bool,
+            count=len(b),
+        )
+
+    return keep
+
+
 def _pairs_verify_distributed(
     texts_by_id: dict[int, str],
     pairs,
@@ -673,6 +750,7 @@ def minhash_dedup(
     seed: int = 42,
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
+    broadcast_id_threshold: int = 1_000_000,
 ):
     """Full near-dup pipeline → Dataset(doc_id, cluster_id, is_duplicate).
 
@@ -681,7 +759,11 @@ def minhash_dedup(
     verify; all other documents never leave the workers.  Above
     ``pair_driver_threshold`` candidate pairs the whole tail — verify AND
     connected components — runs distributed over the pair Dataset, so the
-    driver never holds more than O(candidate ids) rows."""
+    driver never holds more than O(candidate ids) rows.  And above
+    ``broadcast_id_threshold`` candidate IDS (heavy-duplication corpora,
+    where candidates ≈ corpus) even the candidate-text broadcast is
+    replaced by a hash-join verify (``_verify_pairs_via_join``) — nothing
+    corpus-sized is ever put in the object store or fetched."""
     band_ds = ds.map_batches(
         minhash_band_batch,
         batch_format="pyarrow",
@@ -709,11 +791,23 @@ def minhash_dedup(
     else:
         # fully-distributed regime: pairs never reach the driver
         cand_ids = _pair_node_ids(cand)
-        small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
-        texts = dict(zip(small[id_col].astype(int), small[text_col]))
-        verified_ds = _pairs_verify_distributed(
-            texts, cand, _char_jaccard_pair_fn(threshold, shingle_k), as_dataset=True
-        )
+        pair_ok = _char_jaccard_pair_fn(threshold, shingle_k)
+        if cand_ids.size > broadcast_id_threshold:
+            # heavy duplication: candidates ≈ corpus — verify by hash join,
+            # no text broadcast/fetch at all
+            verified_ds = _verify_pairs_via_join(
+                cand,
+                ds,
+                id_col,
+                text_col,
+                _text_pair_keep_fn(pair_ok),
+            )
+        else:
+            small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
+            texts = dict(zip(small[id_col].astype(int), small[text_col]))
+            verified_ds = _pairs_verify_distributed(
+                texts, cand, pair_ok, as_dataset=True
+            )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(ds, id_col, comp)
 
@@ -730,6 +824,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
+    broadcast_id_threshold: int = 1_000_000,
 ):
     """SimHash near-dup → Dataset(doc_id, cluster_id, is_duplicate):
     4×16-bit band buckets → Hamming-distance verify → components.  Any pair
@@ -772,6 +867,26 @@ def simhash_dedup(
         pair_driver_threshold=pair_driver_threshold,
     )
     cand_ids = _pair_node_ids(cand)
+    join_verify = (
+        not isinstance(cand, pd.DataFrame)
+        and cand_ids.size > broadcast_id_threshold
+    )
+    if join_verify:
+        # heavy duplication (candidates ≈ corpus): recompute simhash in ONE
+        # distributed corpus pass and hash-join the slim (id, simhash) side
+        # onto the pairs — no candidate fetch, no numeric broadcast
+
+        def keep(b: pa.Table) -> np.ndarray:
+            xa = b["__va"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            xb = b["__vb"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return _popcount64(xa ^ xb) <= max_hamming
+
+        sig_ds = ds.map_batches(
+            simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+        ).select_columns([id_col, "simhash"])
+        verified_ds = _verify_pairs_via_join(cand, sig_ds, id_col, "simhash", keep)
+        comp = distributed_connected_components(verified_ds, id_col=id_col)
+        return _attach_clusters(ds, id_col, comp)
     keys = np.empty(0, np.int64)
     sims = np.empty(0, np.uint64)
     if cand_ids.size:
@@ -884,12 +999,15 @@ def ngram_jaccard_dedup(
     seed: int = 7,
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
+    broadcast_id_threshold: int = 1_000_000,
 ):
     """Near-dup on word n-gram sets → Dataset(doc_id, cluster_id,
     is_duplicate): word-shingle MinHash bands for candidates, exact
     word-n-gram Jaccard verify over the candidate texts only; above
     ``pair_driver_threshold`` pairs, verify + components run distributed
-    over the pair Dataset."""
+    over the pair Dataset (and above ``broadcast_id_threshold`` ids the
+    verify hash-joins texts instead of broadcasting them — see
+    :func:`minhash_dedup`)."""
 
     def word_band_batch(batch: pa.Table) -> pa.Table:
         h, d = word_ngram_hashes(batch[text_col], n)
@@ -920,8 +1038,15 @@ def ngram_jaccard_dedup(
         pair_driver_threshold=pair_driver_threshold,
     )
     cand_ids = _pair_node_ids(cand)
-    small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
-    texts = dict(zip(small[id_col].astype(int), small[text_col]))
+    join_verify = (
+        not isinstance(cand, pd.DataFrame)
+        and cand_ids.size > broadcast_id_threshold
+    )
+    if join_verify:
+        texts: dict = {}  # texts stay distributed — joined, never fetched
+    else:
+        small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
+        texts = dict(zip(small[id_col].astype(int), small[text_col]))
 
     def grams(t: str) -> set:
         ws = [w for w in t.lower().split() if w]
@@ -941,7 +1066,14 @@ def ngram_jaccard_dedup(
 
     if not isinstance(cand, pd.DataFrame):
         # fully-distributed regime: verify + components over the pair Dataset
-        verified_ds = _pairs_verify_distributed(texts, cand, pair_ok, as_dataset=True)
+        if join_verify:
+            verified_ds = _verify_pairs_via_join(
+                cand, ds, id_col, text_col, _text_pair_keep_fn(pair_ok)
+            )
+        else:
+            verified_ds = _pairs_verify_distributed(
+                texts, cand, pair_ok, as_dataset=True
+            )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
         return _attach_clusters(ds, id_col, comp)
     if len(cand) > 200_000:
@@ -997,6 +1129,7 @@ def embedding_dedup(
     seed: int = 42,
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
+    broadcast_id_threshold: int = 1_000_000,
 ):
     """Random-hyperplane LSH buckets → in-bucket pairwise cosine ≥ τ →
     components → Dataset(vec_id, cluster_id, is_duplicate).  Multi-probe:
@@ -1050,6 +1183,43 @@ def embedding_dedup(
         pair_driver_threshold=pair_driver_threshold,
     )
     cand_ids = _pair_node_ids(cand)
+    if (
+        not isinstance(cand, pd.DataFrame)
+        and cand_ids.size > broadcast_id_threshold
+    ):
+        # heavy duplication: hash-join the vectors onto the pairs instead
+        # of broadcasting a candidate matrix (candidate ≈ corpus there).
+        # Arrow's hash join rejects list<float> payload columns, so the
+        # vectors ride as fixed-size binary (zero-copy pack/unpack).
+        from .knn import _stack_vectors
+
+        def pack(b: pa.Table) -> pa.Table:
+            mat = _stack_vectors(b[vec_col]).astype(np.float32)
+            bin_arr = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(4 * dim), len(b), [None, pa.py_buffer(mat.tobytes())]
+            )
+            return pa.table({id_col: b[id_col], "__vecbin": bin_arr})
+
+        def unpack(col) -> np.ndarray:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = np.frombuffer(col.buffers()[1], dtype=np.float32)
+            m = flat.reshape(-1, dim)[col.offset : col.offset + len(col)]
+            return m.astype(np.float64)
+
+        def keep(b: pa.Table) -> np.ndarray:
+            va = unpack(b["__va"])
+            vb = unpack(b["__vb"])
+            dot = np.einsum("ij,ij->i", va, vb)
+            denom = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom > 0, dot / denom, 0.0)
+            return cos >= threshold
+
+        side = ds.map_batches(pack, batch_format="pyarrow")
+        verified_ds = _verify_pairs_via_join(cand, side, id_col, "__vecbin", keep)
+        comp = distributed_connected_components(verified_ds, id_col=id_col)
+        return _attach_clusters(ds, id_col, comp)
     keys = np.empty(0, np.int64)
     mat = np.empty((0, dim))
     norms = np.empty(0)

@@ -58,6 +58,24 @@ def semi_join(ds, keys, key_col: str, *, anti: bool = False, broadcast: bool = T
     )
 
 
+def auto_join_partitions(cap: int = 64) -> int:
+    """Partition count for the native hash join sized to the CLUSTER: the
+    join's aggregator actors each reserve a CPU slot, and requesting many
+    more aggregators than CPUs stalls the scheduler outright (observed: a
+    single 32-partition join never completes on a 4-CPU session, while 8
+    partitions run fine).  ≈ one partition per CPU, capped."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            n = int(ray.cluster_resources().get("CPU", 4))
+        else:
+            n = 4
+    except ImportError:
+        n = 4
+    return max(2, min(cap, n))
+
+
 def hash_join(
     left,
     right,
@@ -65,7 +83,7 @@ def hash_join(
     on: str,
     right_on: str | None = None,
     how: str = "inner",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ):
     """Large-side × large-side HASH-PARTITIONED join (round-2: the missing
     path — everything else here is broadcast-small-side).  Both datasets
@@ -74,9 +92,13 @@ def hash_join(
     the streaming executor pipelines and spills the exchange.
 
     Scale note: ``num_partitions`` bounds per-bucket memory (rows/partition
-    ≈ N/num_partitions must fit a worker); size it to the cluster.  For
-    skewed keys prefer pre-aggregating the hot side or salting before this
-    join — a hash join cannot split one hot key across buckets."""
+    ≈ N/num_partitions must fit a worker); the default auto-sizes to the
+    cluster CPU count (see :func:`auto_join_partitions` — over-requesting
+    aggregators stalls small clusters).  For skewed keys prefer
+    pre-aggregating the hot side or salting before this join — a hash join
+    cannot split one hot key across buckets."""
+    if num_partitions is None:
+        num_partitions = auto_join_partitions()
     return left.join(
         right,
         join_type=how,
