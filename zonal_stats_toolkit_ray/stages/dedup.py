@@ -524,6 +524,7 @@ def _verify_pairs_via_join(
     val_col: str,
     keep_fn,
     *,
+    cand_ids: np.ndarray | None = None,
     num_partitions: int | None = None,
 ):
     """Verify candidate pairs WITHOUT broadcasting any per-doc payload:
@@ -533,11 +534,12 @@ def _verify_pairs_via_join(
     regime: under heavy duplication candidate ids ≈ corpus ids, where a
     ``ray.put`` dict of texts would deserialize a corpus-sized heap copy
     into EVERY worker — the join instead co-partitions pairs and values by
-    key hash and streams.  Returns the surviving (a, b) Dataset."""
-    from .joins import auto_join_partitions
+    key hash and streams.  The side is first SEMI-JOIN-PRUNED to candidate
+    ids (broadcast int set — 8 bytes/id), so a lightly-duplicated corpus
+    never shuffles its non-candidate payloads.  Returns the surviving
+    (a, b) Dataset."""
+    from .joins import hash_join, semi_join
 
-    if num_partitions is None:
-        num_partitions = auto_join_partitions()
     LAST_DRIVER_FETCH["rows"] = 0  # accounting: nothing fetched in this regime
 
     def rn(suffix: str, key: str):
@@ -548,20 +550,19 @@ def _verify_pairs_via_join(
 
         return f
 
-    side_a = side_ds.select_columns([id_col, val_col]).map_batches(
-        rn("a", "a"), batch_format="pyarrow"
-    )
-    side_b = side_ds.select_columns([id_col, val_col]).map_batches(
-        rn("b", "b"), batch_format="pyarrow"
-    )
+    side = side_ds.select_columns([id_col, val_col])
+    if cand_ids is not None and cand_ids.size:
+        side = semi_join(side, pa.array(cand_ids), id_col)
+    side_a = side.map_batches(rn("a", "a"), batch_format="pyarrow")
+    side_b = side.map_batches(rn("b", "b"), batch_format="pyarrow")
     # materialize between the two joins: two JoinOperators in ONE streaming
     # plan deadlock on small CPU budgets (both reserve aggregator actors up
     # front; observed hang at 4 CPUs regardless of num_partitions) — the
     # intermediate is pair-sized + one value column and spills if large
-    j1 = pairs_ds.join(
-        side_a, join_type="inner", num_partitions=num_partitions, on=("a",)
+    j1 = hash_join(
+        pairs_ds, side_a, on="a", num_partitions=num_partitions
     ).materialize()
-    j = j1.join(side_b, join_type="inner", num_partitions=num_partitions, on=("b",))
+    j = hash_join(j1, side_b, on="b", num_partitions=num_partitions)
 
     def verify(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(keep_fn(b))).select(["a", "b"])
@@ -569,7 +570,7 @@ def _verify_pairs_via_join(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
-def _text_pair_keep_fn(pair_ok, id_cache_cols=("a", "b")):
+def _text_pair_keep_fn(pair_ok):
     """Adapt a ``pair_ok(texts, cache, a, b)`` predicate to the join-verify
     batch layout: texts come from the joined ``__va``/``__vb`` columns and
     the per-batch feature cache is keyed by doc id (docs recur across the
@@ -751,6 +752,7 @@ def minhash_dedup(
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
     broadcast_id_threshold: int = 1_000_000,
+    join_num_partitions: int | None = None,
 ):
     """Full near-dup pipeline → Dataset(doc_id, cluster_id, is_duplicate).
 
@@ -801,6 +803,8 @@ def minhash_dedup(
                 id_col,
                 text_col,
                 _text_pair_keep_fn(pair_ok),
+                cand_ids=cand_ids,
+                num_partitions=join_num_partitions,
             )
         else:
             small = _fetch_rows_by_id(ds, id_col, [text_col], cand_ids)
@@ -825,6 +829,7 @@ def simhash_dedup(
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
     broadcast_id_threshold: int = 1_000_000,
+    join_num_partitions: int | None = None,
 ):
     """SimHash near-dup → Dataset(doc_id, cluster_id, is_duplicate):
     4×16-bit band buckets → Hamming-distance verify → components.  Any pair
@@ -884,7 +889,10 @@ def simhash_dedup(
         sig_ds = ds.map_batches(
             simhash_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
         ).select_columns([id_col, "simhash"])
-        verified_ds = _verify_pairs_via_join(cand, sig_ds, id_col, "simhash", keep)
+        verified_ds = _verify_pairs_via_join(
+            cand, sig_ds, id_col, "simhash", keep,
+            cand_ids=cand_ids, num_partitions=join_num_partitions,
+        )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
         return _attach_clusters(ds, id_col, comp)
     keys = np.empty(0, np.int64)
@@ -1000,6 +1008,7 @@ def ngram_jaccard_dedup(
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
     broadcast_id_threshold: int = 1_000_000,
+    join_num_partitions: int | None = None,
 ):
     """Near-dup on word n-gram sets → Dataset(doc_id, cluster_id,
     is_duplicate): word-shingle MinHash bands for candidates, exact
@@ -1068,7 +1077,8 @@ def ngram_jaccard_dedup(
         # fully-distributed regime: verify + components over the pair Dataset
         if join_verify:
             verified_ds = _verify_pairs_via_join(
-                cand, ds, id_col, text_col, _text_pair_keep_fn(pair_ok)
+                cand, ds, id_col, text_col, _text_pair_keep_fn(pair_ok),
+                cand_ids=cand_ids, num_partitions=join_num_partitions,
             )
         else:
             verified_ds = _pairs_verify_distributed(
@@ -1130,6 +1140,7 @@ def embedding_dedup(
     driver_threshold: int = 5_000_000,
     pair_driver_threshold: int = 2_000_000,
     broadcast_id_threshold: int = 1_000_000,
+    join_num_partitions: int | None = None,
 ):
     """Random-hyperplane LSH buckets → in-bucket pairwise cosine ≥ τ →
     components → Dataset(vec_id, cluster_id, is_duplicate).  Multi-probe:
@@ -1194,18 +1205,21 @@ def embedding_dedup(
         from .knn import _stack_vectors
 
         def pack(b: pa.Table) -> pa.Table:
-            mat = _stack_vectors(b[vec_col]).astype(np.float32)
+            # float64 transport: the broadcast regime computes cosine in
+            # float64, and a float32 round-trip could flip pairs whose
+            # cosine sits within ~1e-7 of the threshold (exactly the
+            # near-identical shape this dedup targets)
+            mat = _stack_vectors(b[vec_col]).astype(np.float64)
             bin_arr = pa.FixedSizeBinaryArray.from_buffers(
-                pa.binary(4 * dim), len(b), [None, pa.py_buffer(mat.tobytes())]
+                pa.binary(8 * dim), len(b), [None, pa.py_buffer(mat.tobytes())]
             )
             return pa.table({id_col: b[id_col], "__vecbin": bin_arr})
 
         def unpack(col) -> np.ndarray:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            flat = np.frombuffer(col.buffers()[1], dtype=np.float32)
-            m = flat.reshape(-1, dim)[col.offset : col.offset + len(col)]
-            return m.astype(np.float64)
+            flat = np.frombuffer(col.buffers()[1], dtype=np.float64)
+            return flat.reshape(-1, dim)[col.offset : col.offset + len(col)]
 
         def keep(b: pa.Table) -> np.ndarray:
             va = unpack(b["__va"])
@@ -1217,7 +1231,10 @@ def embedding_dedup(
             return cos >= threshold
 
         side = ds.map_batches(pack, batch_format="pyarrow")
-        verified_ds = _verify_pairs_via_join(cand, side, id_col, "__vecbin", keep)
+        verified_ds = _verify_pairs_via_join(
+            cand, side, id_col, "__vecbin", keep,
+            cand_ids=cand_ids, num_partitions=join_num_partitions,
+        )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
         return _attach_clusters(ds, id_col, comp)
     keys = np.empty(0, np.int64)
