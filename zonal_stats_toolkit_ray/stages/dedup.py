@@ -398,9 +398,28 @@ def lsh_candidate_pairs(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         return _pairs_from_bands_df(g, id_col, bucket_cap=bucket_cap)
 
-    res = band_ds.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    ).materialize()
+    def ensure_pair_schema(t: pa.Table) -> pa.Table:
+        # map_groups emits SCHEMALESS empty blocks for empty sort
+        # partitions (sandbox lesson #9); a downstream join's aggregator
+        # crashes assembling a partition from them ("No match ... for key
+        # field reference") — normalize every block to (a, b) int64
+        if "a" in t.column_names:
+            return pa.table(
+                {
+                    "a": pc.cast(t["a"], pa.int64()),
+                    "b": pc.cast(t["b"], pa.int64()),
+                }
+            )
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+
+    res = (
+        band_ds.groupby(["band", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(ensure_pair_schema, batch_format="pyarrow")
+        .materialize()
+    )
     n_pairs = res.count()
     if n_pairs > pair_driver_threshold:
         LAST_DRIVER_FETCH["pair_rows"] = 0
@@ -555,14 +574,28 @@ def _verify_pairs_via_join(
         side = semi_join(side, pa.array(cand_ids), id_col)
     side_a = side.map_batches(rn("a", "a"), batch_format="pyarrow")
     side_b = side.map_batches(rn("b", "b"), batch_format="pyarrow")
-    # materialize between the two joins: two JoinOperators in ONE streaming
-    # plan deadlock on small CPU budgets (both reserve aggregator actors up
-    # front; observed hang at 4 CPUs regardless of num_partitions) — the
-    # intermediate is pair-sized + one value column and spills if large
+    # Two Ray quirks shape this:
+    # * materialize between the two joins — two JoinOperators in ONE
+    #   streaming plan deadlock on small CPU budgets (observed hang at 4
+    #   CPUs regardless of num_partitions); the intermediate is pair-sized
+    #   + one value column and spills if large;
+    # * the UNIFORM-keyed side goes LEFT — star pairs out of a hot bucket
+    #   all share one `a` (the cluster min), and a join partition that
+    #   receives ZERO left blocks crashes Ray's aggregator finalize
+    #   ("No match ... FieldRef.Name(a) on left side"); the doc side's ids
+    #   are distinct, so every partition gets left rows.
+    # repartition the pair side first: a map_groups-produced Dataset can
+    # carry schemaless empty blocks (empty sort partitions), and a join
+    # partition assembled ONLY from those crashes the aggregator —
+    # repartition merges them into schema-ful blocks (slim 2-int rows)
+    from .joins import auto_join_partitions
+
+    np_ = num_partitions or auto_join_partitions()
+    pairs_rep = pairs_ds.repartition(np_).materialize()
     j1 = hash_join(
-        pairs_ds, side_a, on="a", num_partitions=num_partitions
+        side_a, pairs_rep, on="a", num_partitions=np_
     ).materialize()
-    j = hash_join(j1, side_b, on="b", num_partitions=num_partitions)
+    j = hash_join(side_b, j1, on="b", num_partitions=np_)
 
     def verify(b: pa.Table) -> pa.Table:
         return b.filter(pa.array(keep_fn(b))).select(["a", "b"])
