@@ -1065,6 +1065,52 @@ def q_fingerprint(sf_dir: str):
     return out
 
 
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style within-document repetition quality signal (round-3):
+    1 − distinct/total word 8-grams per doc.  Vectorized off the shared
+    word-n-gram kernel; oracle = the list_distinct/len SQL equivalent."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import repetition_ratio_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_ratio_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "rep_ratio"])
+
+
+def q_knn_ivf_partitioned_cert(sf_dir: str):
+    """Partitioned-IVF-index certificate (round-3): build the
+    hive-partitioned index on disk, query through partition-PRUNED reads
+    (only probed ivf_list directories are opened), and assert recall@10
+    ≥ 0.5 vs brute force per query — same bound as knn_ivf_cert.  Also
+    asserts the pruning actually happened (probed dirs < nlist)."""
+    import tempfile
+
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.knn import (
+        ivf_write_partitioned,
+        knn_brute,
+        knn_ivf_partitioned,
+    )
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = emb.limit(4).to_pandas()
+    qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    qids = head["vec_id"].to_numpy(np.int64)
+    queries = {"query_id": qids, "matrix": qm}
+    idx = tempfile.mkdtemp(prefix="graft_ivf_")
+    ivf_write_partitioned(emb, idx, nlist=8)
+    ivf = knn_ivf_partitioned(idx, queries, k=10, nprobe=4)
+    brute = knn_brute(emb, queries, k=10)
+    rows = []
+    for qid in qids:
+        b = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+        a = set(ivf.loc[ivf["query_id"] == qid, "vec_id"])
+        rows.append(
+            {"query_id": int(qid), "recall_ok": bool(len(a & b) / max(len(b), 1) >= 0.5)}
+        )
+    return pd.DataFrame(rows).sort_values("query_id").reset_index(drop=True)
+
+
 def q_doc_frequency(sf_dir: str):
     """Corpus document-frequency / vocabulary stats (round-3 operator):
     top-50 tokens by the number of distinct documents containing them
@@ -1364,6 +1410,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events": q_topk_events,
         "approx_distinct_cert": q_approx_distinct_cert,
         "doc_frequency": q_doc_frequency,
+        "repetition_ratio": q_repetition_ratio,
+        "knn_ivf_partitioned_cert": q_knn_ivf_partitioned_cert,
         "pages": q_pages,
         "union_distinct": q_union_distinct,
         "anti_join": q_anti_join,
@@ -1499,6 +1547,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, TRUE AS distinct_ok
             FROM (SELECT DISTINCT event_type FROM events)
             ORDER BY event_type
+        """,
+        "repetition_ratio": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 8 THEN
+                  [array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w)-7)]
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END AS g
+              FROM toks
+            )
+            SELECT doc_id,
+              CASE WHEN len(g) = 0 THEN 0.0
+                   ELSE 1.0 - len(list_distinct(g))::DOUBLE / len(g) END AS rep_ratio
+            FROM grams ORDER BY doc_id
+        """,
+        "knn_ivf_partitioned_cert": """
+            SELECT vec_id AS query_id, TRUE AS recall_ok
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+            ORDER BY query_id
         """,
         "doc_frequency": r"""
             WITH toks AS (

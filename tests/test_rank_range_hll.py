@@ -296,3 +296,80 @@ class TestDocFrequency:
         )
         got = document_frequency(rd.from_arrow(tbl), top_n=10)
         assert dict(zip(got["token"], got["df"].astype(int))) == {"a": 1, "b": 2, "c": 1}
+
+
+class TestRepetitionRatio:
+    def test_matches_python_reference(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.text import repetition_ratio_batch
+
+        docs = [
+            "a b c d e f g h i j",              # 10 tokens, all grams distinct
+            "x y " * 40,                          # heavy repetition
+            "one two three",                      # <8 tokens → single gram
+            "",                                   # empty
+            None,                                 # null
+            "w1 w2 w3 w4 w5 w6 w7 w8",           # exactly one 8-gram
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        got = (
+            rd.from_arrow(tbl)
+            .map_batches(repetition_ratio_batch, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+
+        def ref(t):
+            if t is None:
+                return 0.0
+            ws = [w for w in t.lower().split() if w]
+            if not ws:
+                return 0.0
+            if len(ws) < 8:
+                grams = [" ".join(ws)]
+            else:
+                grams = [" ".join(ws[i : i + 8]) for i in range(len(ws) - 7)]
+            return 1.0 - len(set(grams)) / len(grams)
+
+        for i, t in enumerate(docs):
+            assert np.isclose(got["rep_ratio"].iloc[i], ref(t)), (i, t)
+        assert got["rep_ratio"].iloc[1] > 0.9  # repetitive doc scores high
+        assert got["rep_ratio"].iloc[0] == 0.0
+
+
+class TestPartitionedIVF:
+    def test_build_query_recall_and_pruned_read(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.knn import (
+            ivf_write_partitioned,
+            knn_brute,
+            knn_ivf_partitioned,
+        )
+
+        emb = rd.read_parquet("/root/testdata/sf0.01/embeddings.parquet")
+        idx = str(tmp_path / "ivf")
+        cent = ivf_write_partitioned(emb, idx, nlist=8)
+        assert cent.shape[0] == 8
+        # hive layout: one dir per list + the centroid table
+        dirs = [d for d in os.listdir(idx) if d.startswith("ivf_list=")]
+        assert 1 <= len(dirs) <= 8
+        assert os.path.exists(os.path.join(idx, "_centroids.parquet"))
+
+        head = emb.limit(3).to_pandas()
+        qm = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+        queries = {"query_id": head["vec_id"].to_numpy(np.int64), "matrix": qm}
+        got = knn_ivf_partitioned(idx, queries, k=10, nprobe=4)
+        brute = knn_brute(emb, queries, k=10)
+        for qid in queries["query_id"]:
+            b = set(brute.loc[brute["query_id"] == qid, "vec_id"])
+            a = set(got.loc[got["query_id"] == qid, "vec_id"])
+            assert len(a & b) / len(b) >= 0.5, qid

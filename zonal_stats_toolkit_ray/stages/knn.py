@@ -316,3 +316,136 @@ def knn_ivf(
     return res[["query_id", "rank", id_col, "score"]].sort_values(
         ["query_id", "rank"]
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# partitioned IVF index — the ANN STORAGE path (build once, prune reads)
+# ---------------------------------------------------------------------------
+
+def ivf_write_partitioned(
+    ds,
+    index_dir: str,
+    *,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> np.ndarray:
+    """Build a DISK-partitioned IVF index: train centroids (unbiased hash
+    sample + k-means++), assign every vector a list, write hive-partitioned
+    Parquet (one directory per ``ivf_list``) plus the centroid table.
+
+    This is the 100-TB similarity-search layout: queries touch ONLY their
+    probed lists' partitions at the READ (``knn_ivf_partitioned``), so a
+    nprobe/nlist fraction of the corpus leaves storage — no index rebuild
+    and no full scan per query batch.  Partitioned output is also the
+    resume unit: a failed build re-runs only missing partitions."""
+    import pyarrow.parquet as pq
+
+    sample = hash_sample(ds, sample_size, id_col=id_col, vec_col=vec_col)
+    cent = train_centroids(sample, nlist, seed)
+    try:
+        import ray
+
+        cent_ref = ray.put(cent)
+    except ImportError:
+        cent_ref = cent
+    assigned = ds.map_batches(
+        ivf_assign_batch,
+        fn_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    assigned.write_parquet(index_dir, partition_cols=["ivf_list"])
+    pq.write_table(
+        pa.table(
+            {
+                "list_id": pa.array(np.arange(cent.shape[0], dtype=np.int32)),
+                "centroid": pa.array(
+                    [row.tolist() for row in cent], pa.list_(pa.float64())
+                ),
+            }
+        ),
+        f"{index_dir}/_centroids.parquet",
+    )
+    return cent
+
+
+def knn_ivf_partitioned(
+    index_dir: str,
+    queries: dict,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Query a partitioned IVF index: read ONLY the probed lists' partition
+    directories (pruning at the read — the non-probed corpus never leaves
+    storage), then the same per-batch local-top-k → tiny-merge shape as
+    ``knn_ivf``."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    cent_tbl = pq.read_table(f"{index_dir}/_centroids.parquet")
+    order = np.argsort(cent_tbl["list_id"].to_numpy())
+    cent = np.stack(
+        [np.asarray(v) for v in cent_tbl["centroid"].to_pylist()]
+    )[order]
+    qm = _normalize(np.asarray(queries["matrix"], dtype=np.float64))
+    qids = np.asarray(queries["query_id"], dtype=np.int64)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probed_lists = np.unique(probe)
+    # expand to files: a path LIST is treated as files by read_parquet
+    paths = [
+        os.path.join(d, f)
+        for li in probed_lists.tolist()
+        if os.path.isdir(d := os.path.join(index_dir, f"ivf_list={li}"))
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+
+    payload = {"query_id": qids, "matrix": qm, "probe": probe}
+
+    # reuse the existing probed-list top-k kernel: re-attach ivf_list with
+    # one matmul per batch (cheaper and dtype-stable vs re-reading the hive
+    # partition column), then per-batch local top-k over probed lists
+    try:
+        import ray
+
+        cent_ref2 = ray.put(cent)
+    except ImportError:
+        cent_ref2 = cent
+    assigned = ds.map_batches(
+        ivf_assign_batch,
+        fn_kwargs=dict(centroids_ref=cent_ref2, vec_col=vec_col),
+        batch_format="pyarrow",
+    )
+    try:
+        import ray
+
+        payload_ref = ray.put(payload)
+    except ImportError:
+        payload_ref = payload
+    local = assigned.map_batches(
+        ivf_topk_batch,
+        fn_kwargs=dict(queries_ref=payload_ref, k=k, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = []
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", id_col, "score"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)

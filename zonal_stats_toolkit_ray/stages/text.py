@@ -343,3 +343,35 @@ def document_frequency(ds, *, text_col: str = "text", top_n: int = 50):
         ["df", "token"], ascending=[False, True], kind="stable"
     ).head(top_n)
     return local.reset_index(drop=True)[["token", "df"]]
+
+
+def repetition_ratio_batch(
+    batch: pa.Table, text_col: str = "text", n: int = 8
+) -> pa.Table:
+    """Adds ``rep_ratio`` — the Gopher-style within-document repetition
+    signal: 1 − (distinct word n-grams / total word n-grams), 0 for docs
+    with ≤ one gram.  Boilerplate/spam pages repeat their own n-grams and
+    score high; clean prose scores near 0.
+
+    Fully vectorized off the shared word-n-gram kernel
+    (``dedup.word_ngram_hashes``): one lexsort over (doc, gram-hash) and
+    two bincounts — no per-row Python.  Null text scores 0."""
+    from .dedup import word_ngram_hashes
+
+    t = pc.fill_null(batch[text_col], "")
+    h, d = word_ngram_hashes(t, n)
+    total = np.bincount(d, minlength=len(batch)) if h.size else np.zeros(
+        len(batch), np.int64
+    )
+    if h.size:
+        order = np.lexsort((h, d))
+        ds_, hs_ = d[order], h[order]
+        new = np.concatenate(
+            [[True], (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])]
+        )
+        distinct = np.bincount(ds_[new], minlength=len(batch))
+    else:
+        distinct = total
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = np.where(total > 0, 1.0 - distinct / total, 0.0)
+    return batch.append_column("rep_ratio", pa.array(ratio, pa.float64()))
