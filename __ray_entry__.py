@@ -1065,6 +1065,18 @@ def q_fingerprint(sf_dir: str):
     return out
 
 
+def q_sample_per_group(sf_dir: str):
+    """Deterministic fixed-count per-group sampling (reproducible
+    'reservoir': 20 docs per language by smallest Knuth id hash, ranked).
+    Composes the grouped top-k kernel; oracle = ROW_NUMBER over the same
+    integer hash."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import sample_n_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return sample_n_per_group(ds, n=20, key_col="lang")
+
+
 def q_repetition_ratio(sf_dir: str):
     """Gopher-style within-document repetition quality signal (round-3):
     1 − distinct/total word 8-grams per doc.  Vectorized off the shared
@@ -1412,6 +1424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q_doc_frequency,
         "repetition_ratio": q_repetition_ratio,
         "knn_ivf_partitioned_cert": q_knn_ivf_partitioned_cert,
+        "sample_per_group": q_sample_per_group,
         "pages": q_pages,
         "union_distinct": q_union_distinct,
         "anti_join": q_anti_join,
@@ -1571,6 +1584,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
             ORDER BY query_id
+        """,
+        "sample_per_group": """
+            SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+            FROM (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                     ) AS sample_rank
+              FROM documents)
+            WHERE sample_rank <= 20
+            ORDER BY lang, sample_rank
         """,
         "doc_frequency": r"""
             WITH toks AS (

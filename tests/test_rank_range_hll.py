@@ -373,3 +373,32 @@ class TestPartitionedIVF:
             b = set(brute.loc[brute["query_id"] == qid, "vec_id"])
             a = set(got.loc[got["query_id"] == qid, "vec_id"])
             assert len(a & b) / len(b) >= 0.5, qid
+
+
+def test_sample_n_per_group_deterministic(ray_session):
+    """Fixed-count per-group sample: partition-independent, reproducible,
+    exactly n per group (or group size if smaller)."""
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.split import sample_n_per_group, split_hash32
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3000, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "zz"], 3000, p=[0.6, 0.39, 0.01]),
+        }
+    )
+    a = sample_n_per_group(rd.from_pandas(df).repartition(5), n=15, key_col="lang")
+    b = sample_n_per_group(rd.from_pandas(df).repartition(2), n=15, key_col="lang")
+    pd.testing.assert_frame_equal(a, b)  # partitioning never changes the sample
+    for lang, g in df.groupby("lang"):
+        want_n = min(15, len(g))
+        got = a[a["lang"] == lang]
+        assert len(got) == want_n, lang
+        h = split_hash32(g["doc_id"].to_numpy(np.int64))
+        order = np.lexsort((g["doc_id"].to_numpy(), h))[:want_n]
+        assert np.array_equal(
+            got.sort_values("sample_rank")["doc_id"].to_numpy(),
+            g["doc_id"].to_numpy()[order],
+        ), lang

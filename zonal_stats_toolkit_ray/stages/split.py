@@ -131,3 +131,39 @@ def stratified_sample(
         return b.filter(pa.array(h < per_stratum[codes]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_n_per_group(
+    ds,
+    *,
+    n: int,
+    key_col: str,
+    id_col: str = "doc_id",
+):
+    """Deterministic FIXED-COUNT per-group sample (the reservoir-sampling
+    use case, made reproducible): keep the ``n`` rows with the smallest
+    Knuth id hash in each group, ranked.  A pure function of (id, key) —
+    partition-independent, SQL-expressible (ROW_NUMBER over the same hash)
+    — unlike a true reservoir, reruns and backfills select identical rows.
+
+    Composes the grouped-top-k kernel: local per-batch top-n by negated
+    hash → blocks × groups × n driver merge.  Returns
+    (key, sample_rank, id) sorted."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from .rank import topk_per_group
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = split_hash32(ids).astype(np.float64)  # < 2^32: float64-exact
+        return b.append_column("__neg_hash", pa.array(-h, pa.float64()))
+
+    withk = ds.select_columns([key_col, id_col]).map_batches(
+        add_key, batch_format="pyarrow"
+    )
+    out = topk_per_group(
+        withk, key_col=key_col, value_col="__neg_hash", id_col=id_col, k=n
+    )
+    out = out.rename(columns={"rank": "sample_rank"}).drop(columns=["__neg_hash"])
+    return out[[key_col, "sample_rank", id_col]].reset_index(drop=True)
