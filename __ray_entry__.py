@@ -1092,9 +1092,11 @@ def q_repetition_ratio(sf_dir: str):
 def q_knn_ivf_partitioned_cert(sf_dir: str):
     """Partitioned-IVF-index certificate (round-3): build the
     hive-partitioned index on disk, query through partition-PRUNED reads
-    (only probed ivf_list directories are opened), and assert recall@10
-    ≥ 0.5 vs brute force per query — same bound as knn_ivf_cert.  Also
-    asserts the pruning actually happened (probed dirs < nlist)."""
+    (only probed ivf_list directories are opened; the read-pruning
+    mechanism itself is asserted via ``stats_out`` in
+    tests/TestPartitionedIVF), and assert recall@10 ≥ 0.5 vs brute force
+    per query — same bound as knn_ivf_cert."""
+    import shutil
     import tempfile
 
     import ray.data as rd
@@ -1110,8 +1112,11 @@ def q_knn_ivf_partitioned_cert(sf_dir: str):
     qids = head["vec_id"].to_numpy(np.int64)
     queries = {"query_id": qids, "matrix": qm}
     idx = tempfile.mkdtemp(prefix="graft_ivf_")
-    ivf_write_partitioned(emb, idx, nlist=8)
-    ivf = knn_ivf_partitioned(idx, queries, k=10, nprobe=4)
+    try:
+        ivf_write_partitioned(emb, idx, nlist=8)
+        ivf = knn_ivf_partitioned(idx, queries, k=10, nprobe=4)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)  # a full embeddings copy
     brute = knn_brute(emb, queries, k=10)
     rows = []
     for qid in qids:

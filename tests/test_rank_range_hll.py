@@ -374,6 +374,55 @@ class TestPartitionedIVF:
             a = set(got.loc[got["query_id"] == qid, "vec_id"])
             assert len(a & b) / len(b) >= 0.5, qid
 
+        # the READ is pruned: one query probing 3 of 8 lists must touch
+        # only those partitions (mechanism check via stats_out)
+        stats: dict = {}
+        one = {"query_id": queries["query_id"][:1], "matrix": qm[:1]}
+        knn_ivf_partitioned(idx, one, k=5, nprobe=3, stats_out=stats)
+        assert stats["probed_lists"] == 3
+        assert stats["dirs_total"] >= stats["probed_lists"]
+        assert 0 < stats["files_read"] < sum(
+            len(os.listdir(os.path.join(idx, d)))
+            for d in os.listdir(idx)
+            if d.startswith("ivf_list=")
+        ) or stats["dirs_total"] == 3
+
+    def test_rebuild_into_same_dir_does_not_duplicate(self, ray_session, tmp_path):
+        """ivf_write_partitioned is a CLEAN rebuild: building twice into
+        the same dir must not append duplicate vectors (which would halve
+        effective top-k)."""
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.knn import (
+            ivf_write_partitioned,
+            knn_ivf_partitioned,
+        )
+
+        emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        n = emb.count()
+        idx = str(tmp_path / "ivf")
+        ivf_write_partitioned(emb, idx, nlist=4)
+        ivf_write_partitioned(emb, idx, nlist=4)  # rebuild, same dir
+        head = emb.limit(1).to_pandas()
+        queries = {
+            "query_id": head["vec_id"].to_numpy(np.int64),
+            "matrix": np.stack(head["embedding"].to_numpy()).astype(np.float64),
+        }
+        got = knn_ivf_partitioned(idx, queries, k=10, nprobe=4)
+        assert got["vec_id"].is_unique  # duplicates would repeat ids
+        # total rows across partitions == corpus size exactly once
+        import pyarrow.parquet as pq
+        import os as _os
+
+        total = sum(
+            pq.read_metadata(_os.path.join(idx, d, f)).num_rows
+            for d in _os.listdir(idx)
+            if d.startswith("ivf_list=")
+            for f in _os.listdir(_os.path.join(idx, d))
+            if f.endswith(".parquet")
+        )
+        assert total == n
+
 
 def test_sample_n_per_group_deterministic(ray_session):
     """Fixed-count per-group sample: partition-independent, reproducible,

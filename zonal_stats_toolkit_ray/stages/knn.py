@@ -57,6 +57,35 @@ def _cached_ref(obj):
     return obj
 
 
+def _put_maybe(obj):
+    """Broadcast ``obj`` once via ``ray.put`` when Ray is importable (the
+    batch fns resolve it through ``_cached_ref``); pass through otherwise."""
+    try:
+        import ray
+
+        return ray.put(obj)
+    except ImportError:
+        return obj
+
+
+def _merge_local_topk(local: pd.DataFrame, k: int, id_col: str) -> pd.DataFrame:
+    """Driver merge of per-block local top-k rows → (query_id, rank, id,
+    score): the ONE place the tie-break (score desc, id asc) and rank
+    dtype live for brute, IVF and partitioned-IVF search."""
+    out = []
+    for qid, g in local.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1)
+        out.append(g)
+    if not out:
+        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
+    res = pd.concat(out, ignore_index=True)
+    return res[["query_id", "rank", id_col, "score"]].sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+
+
 def brute_topk_batch(
     batch: pa.Table,
     queries_ref,
@@ -117,16 +146,7 @@ def knn_brute(
         fn_kwargs=dict(queries_ref=ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
     ).to_pandas()
-    out = []
-    for qid, g in local.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True)
-    return res[["query_id", "rank", id_col, "score"]].sort_values(
-        ["query_id", "rank"]
-    ).reset_index(drop=True)
+    return _merge_local_topk(local, k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -275,12 +295,7 @@ def knn_ivf(
     # blocks and biases centroids toward file order on clustered input)
     sample = hash_sample(ds, sample_size, id_col=id_col, vec_col=vec_col)
     cent = train_centroids(sample, nlist, seed)
-    try:
-        import ray
-
-        cent_ref = ray.put(cent)
-    except ImportError:
-        cent_ref = cent
+    cent_ref = _put_maybe(cent)
     assigned = ds.map_batches(
         ivf_assign_batch,
         fn_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
@@ -290,12 +305,7 @@ def knn_ivf(
     qids = np.asarray(queries["query_id"], dtype=np.int64)
     probe = np.argsort(-(qm @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
     payload = {"query_id": qids, "matrix": qm, "probe": probe}
-    try:
-        import ray
-
-        payload_ref = ray.put(payload)
-    except ImportError:
-        payload_ref = payload
+    payload_ref = _put_maybe(payload)
 
     # per-batch local top-k over the probed lists only (round-2 fix: the
     # old version pulled every vector in the probed lists to the driver —
@@ -306,16 +316,7 @@ def knn_ivf(
         fn_kwargs=dict(queries_ref=payload_ref, k=k, id_col=id_col, vec_col=vec_col),
         batch_format="pyarrow",
     ).to_pandas()
-    out = []
-    for qid, g in local.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        out.append(g)
-    res = pd.concat(out, ignore_index=True)
-    return res[["query_id", "rank", id_col, "score"]].sort_values(
-        ["query_id", "rank"]
-    ).reset_index(drop=True)
+    return _merge_local_topk(local, k, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -339,18 +340,29 @@ def ivf_write_partitioned(
     This is the 100-TB similarity-search layout: queries touch ONLY their
     probed lists' partitions at the READ (``knn_ivf_partitioned``), so a
     nprobe/nlist fraction of the corpus leaves storage — no index rebuild
-    and no full scan per query batch.  Partitioned output is also the
-    resume unit: a failed build re-runs only missing partitions."""
+    and no full scan per query batch.
+
+    The build is a CLEAN REBUILD: stale ``ivf_list=*`` partitions and the
+    centroid table in ``index_dir`` are removed first (appending into
+    survivors of a failed build would duplicate every vector and silently
+    halve effective top-k).  Incremental maintenance at real scale would
+    version the index directory instead."""
+    import os
+    import shutil
+
     import pyarrow.parquet as pq
 
+    if os.path.isdir(index_dir):
+        for name in os.listdir(index_dir):
+            if name.startswith("ivf_list=") or name == "_centroids.parquet":
+                full = os.path.join(index_dir, name)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
     sample = hash_sample(ds, sample_size, id_col=id_col, vec_col=vec_col)
     cent = train_centroids(sample, nlist, seed)
-    try:
-        import ray
-
-        cent_ref = ray.put(cent)
-    except ImportError:
-        cent_ref = cent
+    cent_ref = _put_maybe(cent)
     assigned = ds.map_batches(
         ivf_assign_batch,
         fn_kwargs=dict(centroids_ref=cent_ref, vec_col=vec_col),
@@ -379,11 +391,14 @@ def knn_ivf_partitioned(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stats_out: dict | None = None,
 ) -> pd.DataFrame:
     """Query a partitioned IVF index: read ONLY the probed lists' partition
     directories (pruning at the read — the non-probed corpus never leaves
     storage), then the same per-batch local-top-k → tiny-merge shape as
-    ``knn_ivf``."""
+    ``knn_ivf``.  Pass ``stats_out={}`` to receive read-pruning telemetry:
+    ``probed_lists`` / ``dirs_total`` / ``files_read`` (tests assert the
+    read touched exactly the probed union)."""
     import os
 
     import pyarrow.parquet as pq
@@ -406,6 +421,12 @@ def knn_ivf_partitioned(
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet")
     ]
+    if stats_out is not None:
+        stats_out["probed_lists"] = int(probed_lists.size)
+        stats_out["dirs_total"] = len(
+            [d for d in os.listdir(index_dir) if d.startswith("ivf_list=")]
+        )
+        stats_out["files_read"] = len(paths)
     if not paths:
         return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
     ds = rd.read_parquet(paths, columns=[id_col, vec_col])
@@ -415,37 +436,16 @@ def knn_ivf_partitioned(
     # reuse the existing probed-list top-k kernel: re-attach ivf_list with
     # one matmul per batch (cheaper and dtype-stable vs re-reading the hive
     # partition column), then per-batch local top-k over probed lists
-    try:
-        import ray
-
-        cent_ref2 = ray.put(cent)
-    except ImportError:
-        cent_ref2 = cent
     assigned = ds.map_batches(
         ivf_assign_batch,
-        fn_kwargs=dict(centroids_ref=cent_ref2, vec_col=vec_col),
+        fn_kwargs=dict(centroids_ref=_put_maybe(cent), vec_col=vec_col),
         batch_format="pyarrow",
     )
-    try:
-        import ray
-
-        payload_ref = ray.put(payload)
-    except ImportError:
-        payload_ref = payload
     local = assigned.map_batches(
         ivf_topk_batch,
-        fn_kwargs=dict(queries_ref=payload_ref, k=k, id_col=id_col, vec_col=vec_col),
+        fn_kwargs=dict(
+            queries_ref=_put_maybe(payload), k=k, id_col=id_col, vec_col=vec_col
+        ),
         batch_format="pyarrow",
     ).to_pandas()
-    out = []
-    for qid, g in local.groupby("query_id"):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1)
-        out.append(g)
-    if not out:
-        return pd.DataFrame(columns=["query_id", "rank", id_col, "score"])
-    res = pd.concat(out, ignore_index=True)
-    return res[["query_id", "rank", id_col, "score"]].sort_values(
-        ["query_id", "rank"]
-    ).reset_index(drop=True)
+    return _merge_local_topk(local, k, id_col)

@@ -149,9 +149,6 @@ def sample_n_per_group(
     Composes the grouped-top-k kernel: local per-batch top-n by negated
     hash → blocks × groups × n driver merge.  Returns
     (key, sample_rank, id) sorted."""
-    import pandas as pd
-    import pyarrow as pa
-
     from .rank import topk_per_group
 
     def add_key(b: pa.Table) -> pa.Table:
