@@ -28,6 +28,81 @@ import pyarrow as pa
 
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "40"))
 
+# Fresh-boot reference values for the in-harness drift control (measured
+# 2026-08-17, round 4, first run of a fresh sandbox session).  The sandbox
+# kernel zero-fills fresh pages at a globally-shared rate that DEGRADES over
+# session lifetime (BASELINE.md, ROUND2_NOTES lesson 8), so identical code
+# drifts 1.4-2x slower between recordings.  The calibration measures that
+# shared resource in the SAME process as the suite; a recording whose
+# alloc_mb_per_sec is far below the reference indicts the sandbox, not the
+# engine.
+CALIB_REF = {
+    "cpu_sec": 0.40,
+    "alloc_mb_per_sec": 1480.0,
+    "par_alloc_mb_per_sec": 7500.0,
+}
+
+
+def calibrate() -> dict:
+    """In-harness drift control (VERDICT r3 #1).
+
+    Two fixed workloads, measured in-process right before the suite:
+
+    * ``cpu_sec`` — pure-CPU xorshift over a PREALLOCATED array (no fresh
+      pages): detects CPU contention / frequency drift.  Stable across
+      sessions on this box (round-1 control experiment, made permanent).
+    * ``alloc_mb_per_sec`` — mmap + first-touch of fresh anonymous pages:
+      measures the kernel's global page-zeroing throughput, the documented
+      drifting resource every allocation-heavy stage contends on.
+    """
+    import mmap
+
+    a = np.arange(1_000_000, dtype=np.uint64)
+    t0 = time.perf_counter()
+    for _ in range(100):
+        a ^= a << np.uint64(13)
+        a ^= a >> np.uint64(7)
+        a ^= a << np.uint64(17)
+    cpu = time.perf_counter() - t0
+
+    mb = 64
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        m = mmap.mmap(-1, mb << 20)
+        np.frombuffer(m, dtype=np.uint8)[:: mmap.PAGESIZE] = 1
+        m.close()  # unmap: next rep faults genuinely fresh pages
+    alloc = time.perf_counter() - t0
+
+    # concurrent first-touch: 8 processes faulting fresh pages at once —
+    # the page-zeroing path saturates GLOBALLY under concurrency on this
+    # box, so the parallel probe is the faithful control for suite drift
+    # (the suite runs 32 workers).
+    import multiprocessing as mp
+
+    nproc = 8
+    ctx = mp.get_context("fork")
+    t0 = time.perf_counter()
+    procs = [ctx.Process(target=_touch_pages, args=(mb,)) for _ in range(nproc)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    par = time.perf_counter() - t0
+    return {
+        "cpu_sec": round(cpu, 3),
+        "alloc_mb_per_sec": round(mb * reps / alloc, 1),
+        "par_alloc_mb_per_sec": round(mb * nproc / par, 1),
+    }
+
+
+def _touch_pages(mb: int) -> None:
+    import mmap
+
+    m = mmap.mmap(-1, mb << 20)
+    np.frombuffer(m, dtype=np.uint8)[:: mmap.PAGESIZE] = 1
+    m.close()
+
 
 def _replicate_batch(batch: pa.Table, k: int) -> pa.Table:
     """Deterministically expand the documents table k× in-stream: copies get
@@ -505,6 +580,7 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
     import ray
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    calib_pre = calibrate()
     _init_ray(ncpu)
     _warm_cache(sf_dir)
     # untimed compute warmup: spins up + pre-faults the shared task workers
@@ -533,6 +609,19 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
         q[name] = round(res.pop("sec"), 3)
         extra[name] = res
     total = round(sum(q.values()), 3)
+    calib_post = calibrate()
+    # normalization factor: how much slower the sandbox's shared
+    # page-zeroing path is than the fresh-boot reference.  >1 means the
+    # sandbox (not the engine) degraded; value_normalized = raw / factor
+    # estimates what a fresh boot would record.  Reported alongside raw —
+    # raw remains the headline number.
+    # parallel probe is primary (the zeroing path saturates under
+    # concurrency); fall back to the serial probe if it reads worse
+    drift = 1.0
+    for key in ("par_alloc_mb_per_sec", "alloc_mb_per_sec"):
+        now = min(calib_pre[key], calib_post[key])
+        drift = max(drift, CALIB_REF[key] / max(now, 1.0))
+    drift = round(drift, 3)
     out = {
         "metric": "e2e_pipeline_suite",
         "value": total,
@@ -542,6 +631,13 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
         "sf": sf_dir,
         "num_cpus": ncpu,
         "replicate": REPLICATE,
+        # drift control (VERDICT r3 #1): calibration measured in-process
+        # before/after the suite, vs the fresh-boot reference
+        "calib": {"pre": calib_pre, "post": calib_post, "ref": CALIB_REF},
+        "sandbox_drift_factor": drift,
+        "value_normalized": round(total / drift, 3),
+        # methodology flags (ADVICE r3): untimed warmups the suite performs
+        "warm": {"workers": True, "hash_join_aggregators": "hash_join" in names},
     }
     ray.shutdown()
     return out
