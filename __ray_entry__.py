@@ -314,10 +314,12 @@ def q_semi_join(sf_dir: str):
 
 
 def q_hash_join(sf_dir: str):
-    """Large×large hash-partitioned join (lineitem ⋈ orders on orderkey —
-    neither side broadcastable at scale) → distributed grouped rollup.
-    Both sides hash-shuffle into buckets; matching buckets join pairwise
-    (Ray Dataset.join)."""
+    """lineitem ⋈ orders on orderkey → distributed grouped rollup.  At real
+    scale neither side is broadcastable: both hash-shuffle into buckets and
+    matching buckets join pairwise (Ray Dataset.join).  At testdata scale
+    `hash_join`'s smallness probe (round 4) detects the small orders build
+    side and routes to the broadcast fallback — same rows either way
+    (tests/test_joins.py pins both paths to pandas merge)."""
     import ray.data as rd
     from zonal_stats_toolkit_ray.stages.joins import hash_join
 

@@ -432,8 +432,11 @@ def bench_window(sf_dir: str) -> dict:
 
 
 def bench_hash_join(sf_dir: str) -> dict:
-    """Large x large hash-partitioned join (round-2 operator): lineitem ⋈
-    orders on orderkey, grouped rollup."""
+    """lineitem ⋈ orders on orderkey, grouped rollup (round-2 operator).
+    Round 4: `hash_join` auto-detects the small build side (orders at bench
+    scale) and takes the broadcast fallback — no shuffle, no aggregator
+    actors; at real scale the probe sends it down the native
+    hash-partitioned path instead."""
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
@@ -587,21 +590,6 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
     # so timed runs measure compute, not first-touch page faults
     bench_zonal_pages(sf_dir, replicate=2)
     names = only or DEFAULT_SUITE
-    if "hash_join" in names:
-        # untimed: spawn the native join's hash-shuffle aggregator actors
-        # once (measured ~1 s of the first join on this box; a long-lived
-        # cluster pays it once, not per join)
-        import ray.data as rd
-
-        from zonal_stats_toolkit_ray.stages.joins import hash_join as _hj
-
-        a = rd.range(2000).map_batches(
-            lambda t: t.rename_columns(["l_orderkey"]), batch_format="pyarrow"
-        )
-        b = rd.range(2000).map_batches(
-            lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
-        )
-        _hj(a, b, on="l_orderkey", right_on="o_orderkey", num_partitions=8).count()
     q: dict[str, float] = {}
     extra: dict[str, dict] = {}
     for name in names:
@@ -636,8 +624,10 @@ def run_all(sf_dir: str, ncpu: int, only: list[str] | None = None) -> dict:
         "calib": {"pre": calib_pre, "post": calib_post, "ref": CALIB_REF},
         "sandbox_drift_factor": drift,
         "value_normalized": round(total / drift, 3),
-        # methodology flags (ADVICE r3): untimed warmups the suite performs
-        "warm": {"workers": True, "hash_join_aggregators": "hash_join" in names},
+        # methodology flags (ADVICE r3): untimed warmups the suite performs.
+        # round 4: the hash-join aggregator warmup is GONE — the build side
+        # at bench scale now takes the broadcast fallback (no aggregators)
+        "warm": {"workers": True, "hash_join_aggregators": False},
     }
     ray.shutdown()
     return out

@@ -1,0 +1,135 @@
+"""hash_join broadcast fallback (round 4, VERDICT r3 #5): the broadcast
+path must agree with the native shuffle join and with pandas merge, for
+unique and duplicate build keys, inner and left outer, and null keys."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zonal_stats_toolkit_ray.stages.joins import (
+    BROADCAST_JOIN_THRESHOLD,
+    broadcast_join,
+    hash_join,
+)
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    cols = sorted(df.columns)
+    return (
+        df[cols]
+        .sort_values(cols, kind="stable", na_position="last")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.fixture()
+def sides():
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 300),
+            "lv": rng.normal(size=300).round(4),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": np.arange(0, 50),
+            "rv": [f"v{i}" for i in range(50)],
+        }
+    )
+    return left, right
+
+
+class TestBroadcastJoin:
+    def test_inner_unique_build_matches_pandas_and_native(self, ray_session, sides):
+        left, right = sides
+        lds = rd.from_pandas(left).repartition(4)
+        rds = rd.from_pandas(right).repartition(2)
+        want = _sorted(
+            left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+        )
+        got_b = _sorted(
+            hash_join(lds, rds, on="k", right_on="rk", broadcast=True).to_pandas()
+        )
+        got_n = _sorted(
+            hash_join(
+                lds, rds, on="k", right_on="rk", broadcast=False, num_partitions=4
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got_b, want)
+        pd.testing.assert_frame_equal(got_n, want)
+
+    def test_inner_duplicate_build_keys(self, ray_session, sides):
+        left, _ = sides
+        right = pd.DataFrame(
+            {"rk": [1, 1, 2, 3, 3, 3], "rv": list("abcdef")}
+        )
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right)
+        want = _sorted(
+            left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+        )
+        got = _sorted(
+            hash_join(lds, rds, on="k", right_on="rk", broadcast=True).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_left_outer_unique_build(self, ray_session, sides):
+        left, right = sides
+        right = right[right["rk"] < 20]  # force unmatched left rows
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right)
+        want = _sorted(
+            left.merge(right, left_on="k", right_on="rk", how="left").drop(
+                columns=["rk"]
+            )
+        )
+        got = _sorted(
+            hash_join(
+                lds, rds, on="k", right_on="rk", how="left_outer", broadcast=True
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_null_build_keys_never_match(self, ray_session):
+        left = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"), "lv": [1, 2, 3]})
+        right = pd.DataFrame(
+            {"rk": pd.array([1, None], dtype="Int64"), "rv": ["a", "nullmatch"]}
+        )
+        got = (
+            hash_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                on="k", right_on="rk", broadcast=True,
+            )
+            .to_pandas()
+        )
+        assert list(got["rv"]) == ["a"]  # SQL semantics: NULL ⋈ NULL = no row
+
+    def test_auto_probe_picks_broadcast_for_small_build(self, ray_session, sides):
+        left, right = sides
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right)
+        # auto (broadcast=None): build side is tiny → broadcast path; result
+        # must still match pandas
+        want = _sorted(
+            left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+        )
+        got = _sorted(hash_join(lds, rds, on="k", right_on="rk").to_pandas())
+        pd.testing.assert_frame_equal(got, want)
+        assert BROADCAST_JOIN_THRESHOLD >= 1_000_000  # contract: dims broadcast
+
+    def test_broadcast_join_direct_table(self, ray_session, sides):
+        left, right = sides
+        build = pa.Table.from_pandas(right)
+        got = _sorted(
+            broadcast_join(
+                rd.from_pandas(left).repartition(2), build, on="k", right_on="rk"
+            ).to_pandas()
+        )
+        want = _sorted(
+            left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
+        )
+        pd.testing.assert_frame_equal(got, want)

