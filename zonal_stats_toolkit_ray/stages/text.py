@@ -311,7 +311,9 @@ def doc_frequency_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def document_frequency(ds, *, text_col: str = "text", top_n: int = 50):
+def document_frequency(
+    ds, *, text_col: str = "text", top_n: int = 50, num_partitions: int | None = None
+):
     """Corpus document-frequency table → top ``top_n`` (token, df) rows,
     df descending, token ascending on ties (deterministic).
 
@@ -319,16 +321,47 @@ def document_frequency(ds, *, text_col: str = "text", top_n: int = 50):
     vocabulary (rows shuffled = distinct tokens per block, never token
     instances) → local top-n per block → blocks×n driver merge.  This is
     the standard IDF / vocabulary-statistics pass of a text-corpus
-    pipeline at any scale."""
+    pipeline at any scale.
+
+    The slim (token, df) partials are coalesced to ``num_partitions``
+    blocks (default ≈ cluster CPUs) before the aggregate: the aggregate's
+    partition count follows its input block count, and far more partitions
+    than distinct tokens yields empty SCHEMALESS partitions (sandbox lesson
+    #20 — mixed-schema RefBundles downstream).  At real scale pass a larger
+    ``num_partitions`` sized so vocabulary/num_partitions fits a worker."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(
         doc_frequency_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     )
+    # the sort-aggregate's partition count follows its input block count;
+    # coalesce the slim partials first so partitions ≪ vocabulary (an
+    # aggregate with more partitions than distinct keys emits empty
+    # SCHEMALESS partitions — sandbox lesson #20).  Default 4 suits the
+    # test/bench corpora; at real scale pass num_partitions sized so
+    # vocabulary/num_partitions fits a worker.
+    partials = partials.repartition(num_partitions or 4)
     agg = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
 
     def local_top(b: pa.Table) -> pa.Table:
+        # the aggregate emits SCHEMALESS empty blocks for empty hash
+        # partitions (sandbox lesson #20) — normalize every output block to
+        # (token: string, df: int64) so downstream consumers never see a
+        # mixed-schema RefBundle
+        if "token" not in b.column_names:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        b = pa.table(
+            {
+                "token": pc.cast(b["token"], pa.string()),
+                "df": pc.cast(b["df"], pa.int64()),
+            }
+        )
         if len(b) <= top_n:
             return b
         # vectorized multi-key sort (a vocabulary-sized block would make a
