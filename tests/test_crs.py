@@ -35,6 +35,23 @@ class TestCRSCore:
         # missing SRS is never "same" — forces the reproject path
         assert not same_crs(None, LONLAT)
 
+    def test_same_crs_affine_ulp_tolerance(self):
+        """Round-4 (ADVICE r3): GDAL IsSame is tolerance-based — one-ulp
+        differences from a different arithmetic path must NOT trigger a
+        lossy reprojection, while anything beyond a few ulps still must."""
+        base = (0.1875, 0.0, -180.0, 0.0, -0.1875, 90.0)
+        one_ulp = tuple(np.nextafter(np.float64(v), np.inf) for v in base)
+        assert same_crs(
+            CRS(kind="affine", affine=base), CRS(kind="affine", affine=one_ulp)
+        )
+        ten_ulp = tuple(
+            float(np.float64(v) + 10 * np.spacing(np.float64(abs(v) or 1.0)))
+            for v in base
+        )
+        assert not same_crs(
+            CRS(kind="affine", affine=base), CRS(kind="affine", affine=ten_ulp)
+        )
+
     def test_webmerc_roundtrip(self):
         rng = np.random.default_rng(3)
         lon = rng.uniform(-179, 179, 1000)

@@ -59,14 +59,20 @@ def same_crs(a: CRS | None, b: CRS | None) -> bool:
     if a is None or b is None:
         return False
     a, b = a.normalized(), b.normalized()
-    # exact parameter equality: GDAL's IsSame is not magnitude-relative, and
-    # a relative tolerance would silently skip reprojection between two
-    # genuinely different affine frames that happen to be numerically close
-    # (``transform_points``'s src == dst short-circuit already handles true
-    # identity)
-    return a.kind == b.kind and (
-        a.kind != "affine" or tuple(a.affine) == tuple(b.affine)
-    )
+    if a.kind != b.kind:
+        return False
+    if a.kind != "affine":
+        return True
+    # few-ulp tolerance (ADVICE r3): GDAL's IsSame is tolerance-based, so
+    # two affines differing only by a different arithmetic path producing
+    # the same frame (one ulp apart) must not trigger a lossy reprojection.
+    # A WIDE relative tolerance would go the other way — silently skipping
+    # reprojection between genuinely different frames — hence 4 ulps, not
+    # np.allclose's 1e-5.
+    av = np.asarray(a.affine, dtype=np.float64)
+    bv = np.asarray(b.affine, dtype=np.float64)
+    ulp = np.spacing(np.maximum(np.abs(av), np.abs(bv)))
+    return bool(np.all(np.abs(av - bv) <= 4.0 * ulp))
 
 
 def _swap_if_yx(crs: CRS, x: np.ndarray, y: np.ndarray):
