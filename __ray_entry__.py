@@ -1155,10 +1155,11 @@ def q_simhash_sigs(sf_dir: str):
     return out.select_columns(["doc_id", "simhash"])
 
 
-def _pages_pipeline(sf_dir: str, percentiles=(5.0, 95.0)):
+def _pages_pipeline(sf_dir: str, percentiles=(5.0, 95.0), rows_sink: str | None = None):
     """Flagship pipeline (north_star): pages → geocode → H3-style cells →
     R-tree PIP spatial join (actor pool) → salted zonal reduce → grouped
-    stats over the quality-score value column."""
+    stats over the quality-score value column.  ``rows_sink`` exports the
+    slim joined rows for the DuckDB reduce oracle (VERDICT r3 #4)."""
     import ray
     import ray.data as rd
     from zonal_stats_toolkit_ray.pipelines.zonal import join_points, zonal_stats_points
@@ -1176,13 +1177,97 @@ def _pages_pipeline(sf_dir: str, percentiles=(5.0, 95.0)):
     pages = pages.map_batches(quality_score_batch, batch_format="pyarrow")
     joined = join_points(pages, zones_ref, concurrency=2)
     df = zonal_stats_points(
-        joined, "quality_score", zs, percentiles=list(percentiles)
+        joined, "quality_score", zs, percentiles=list(percentiles),
+        rows_sink=rows_sink,
     )
     return df
 
 
+# fixed export root for the flagship reduce oracles: the oracle SQL is a
+# static string, so the engine queries write their joined rows here (cleared
+# per call) and the SQL reads the same paths — the driver always runs the
+# Ray query before its oracle
+_FLAGSHIP_ORACLE_DIR = "/tmp/graft_flagship_oracle"
+
+
+def _reset_oracle_dir(name: str) -> str:
+    import shutil
+
+    d = os.path.join(_FLAGSHIP_ORACLE_DIR, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_group_universe(path: str, groups, *, fid_map=None):
+    """Oracle side-inputs: the zone-set's group universe (for empty-group
+    default rows) and optionally the fid→group map — INPUT metadata (the
+    zones are synthesized in-query; they are not derivable from the
+    testdata tables in SQL)."""
+    import pyarrow.parquet as pq
+
+    from zonal_stats_toolkit_ray.functions.scalars import encode_group_key
+
+    gv = sorted(groups, key=lambda v: (v is None, str(v)))
+    pq.write_table(
+        pa.table(
+            {
+                "group_key": pa.array(
+                    encode_group_key(gv).tolist(), pa.string()
+                ),
+                "group_value": pa.array(
+                    ["" if g is None else str(g) for g in gv], pa.string()
+                ),
+            }
+        ),
+        os.path.join(path, "groups.parquet"),
+    )
+    if fid_map is not None:
+        fids, fgroups = fid_map
+        pq.write_table(
+            pa.table(
+                {
+                    "fid": pa.array(np.asarray(fids, dtype=np.int64)),
+                    "group_value": pa.array(
+                        ["" if g is None else str(g) for g in fgroups],
+                        pa.string(),
+                    ),
+                }
+            ),
+            os.path.join(path, "fid_groups.parquet"),
+        )
+
+
+_STAT_ROUND = ["min", "max", "sum", "stdev", "p5", "p95"]
+
+
+def _round_stats_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """6-dp rounding on float stat columns for the value-hash compare (the
+    engine reduces in a different float-addition order than DuckDB)."""
+    out = df.copy()
+    for c in _STAT_ROUND:
+        if c in out.columns:
+            out[c] = pd.to_numeric(out[c]).round(6)
+    return out
+
+
 def q_zonal_pages(sf_dir: str):
-    return _pages_pipeline(sf_dir)
+    """Flagship with a REDUCE oracle (round 4, VERDICT r3 #4): the engine
+    writes its slim joined (group_key, value, nodata) rows + the group
+    universe to a fixed path; the oracle SQL re-aggregates those rows in
+    DuckDB (count/nodata/valid/sum/min/max/stdev-with-Q3-clamp, float32
+    quantile_cont percentiles) and must match the engine's reduce to 6 dp.
+    The JOIN itself is hash-checked separately by the zonal_grid_* row
+    fixtures."""
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+
+    d = _reset_oracle_dir("pages")
+    zs = ZoneSet(synth_zones(seed=42, n_zones=24))
+    _write_group_universe(d, zs.unique_groups)
+    df = _pages_pipeline(sf_dir, rows_sink=os.path.join(d, "rows"))
+    out = _round_stats_frame(df)
+    out["group_value"] = out["group_value"].map(lambda g: "" if g is None else str(g))
+    return out.reset_index(drop=True)  # finalize's Q8 order ('' last)
 
 
 def q_zone_knn(sf_dir: str):
@@ -1382,7 +1467,14 @@ def q_simhash_sigs_cert(sf_dir: str):
 
 def q_zonal_raster(sf_dir: str):
     """Raster-path zonal statistics (the reference's native flow) over a
-    synthetic tiled raster — grouped stats table in reference row order."""
+    synthetic tiled raster — grouped stats table in reference row order.
+
+    Round 4 (VERDICT r3 #4): the engine exports its per-pixel
+    (fid, value, nodata) rows — including the Q4 fallback-window pixels —
+    plus the fid→group map and group universe; the oracle SQL
+    re-aggregates them in DuckDB and must match the engine's reduce to
+    6 dp.  The pixel→zone assignment itself is pinned by the geometry /
+    golden-oracle pytest fixtures."""
     import ray.data as rd
     from zonal_stats_toolkit_ray.geom.window import GridSpec
     from zonal_stats_toolkit_ray.pipelines.zonal import zonal_stats_raster
@@ -1394,12 +1486,21 @@ def q_zonal_raster(sf_dir: str):
         nodata=-9999.0, tile_size=64,
     )
     zs = ZoneSet(synth_zones(seed=42, n_zones=24))
+    d = _reset_oracle_dir("raster")
+    _write_group_universe(
+        d,
+        zs.unique_groups,
+        fid_map=(zs.all_fids, [zs.fid_to_group[f] for f in zs.all_fids]),
+    )
     tiles = rd.from_arrow(synth_tiles_table(grid, seed=42))
-    stats = zonal_stats_raster(tiles, grid, zs, percentiles=[5.0, 95.0], concurrency=2)
+    stats = zonal_stats_raster(
+        tiles, grid, zs, percentiles=[5.0, 95.0], concurrency=2,
+        rows_sink=os.path.join(d, "rows"),
+    )
     rows = []
     for gv in sorted(stats, key=lambda v: (v is None, str(v))):
         rows.append({"group_value": "" if gv is None else str(gv), **stats[gv]})
-    return pd.DataFrame(rows)
+    return _round_stats_frame(pd.DataFrame(rows))
 
 
 # ---------------------------------------------------------------------------
@@ -1698,6 +1799,86 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentiles": f"""
             SELECT {_GEO_SQL} AS zone_id, TRUE AS within_tol
             FROM documents GROUP BY zone_id ORDER BY zone_id
+        """,
+        # flagship REDUCE oracles (round 4, VERDICT r3 #4): re-aggregate the
+        # engine's exported joined rows — written by the query immediately
+        # before this SQL runs — reproducing count/nodata/valid/sum/min/max,
+        # the Q3 stdev clamp, and float32 linear-interpolation percentiles.
+        # The join itself is hash-checked by the zonal_grid_* fixtures.
+        "zonal_pages": f"""
+            WITH r AS (
+              SELECT * FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/pages/rows/*.parquet')
+            ),
+            a AS (
+              SELECT group_key,
+                     count(*) AS count,
+                     count(*) FILTER (WHERE nodata) AS nodata_count,
+                     count(*) FILTER (WHERE NOT nodata) AS valid_count,
+                     coalesce(sum(value) FILTER (WHERE NOT nodata), 0.0) AS sum,
+                     min(value) FILTER (WHERE NOT nodata) AS min,
+                     max(value) FILTER (WHERE NOT nodata) AS max,
+                     sum(value * value) FILTER (WHERE NOT nodata) AS sumsq,
+                     quantile_cont(CAST(CAST(value AS FLOAT) AS DOUBLE), 0.05)
+                       FILTER (WHERE NOT nodata) AS p5,
+                     quantile_cont(CAST(CAST(value AS FLOAT) AS DOUBLE), 0.95)
+                       FILTER (WHERE NOT nodata) AS p95
+              FROM r GROUP BY group_key
+            )
+            SELECT g.group_value,
+                   round(a.min, 6) AS min,
+                   round(a.max, 6) AS max,
+                   coalesce(a.count, 0) AS count,
+                   coalesce(a.nodata_count, 0) AS nodata_count,
+                   coalesce(a.valid_count, 0) AS valid_count,
+                   round(coalesce(a.sum, 0.0), 6) AS sum,
+                   round(CASE WHEN a.valid_count > 0 THEN sqrt(greatest(0.0,
+                       a.sumsq / a.valid_count
+                       - (a.sum / a.valid_count) * (a.sum / a.valid_count)))
+                     END, 6) AS stdev,
+                   round(CAST(a.p5 AS DOUBLE), 6) AS p5,
+                   round(CAST(a.p95 AS DOUBLE), 6) AS p95
+            FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/pages/groups.parquet') g
+            LEFT JOIN a ON a.group_key = g.group_key
+            ORDER BY (g.group_value = ''), g.group_value
+        """,
+        "zonal_raster": f"""
+            WITH r AS (
+              SELECT m.group_value, x.value, x.nodata
+              FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/raster/rows/*.parquet') x
+              JOIN read_parquet('{_FLAGSHIP_ORACLE_DIR}/raster/fid_groups.parquet') m
+                ON x.group_key = m.fid
+            ),
+            a AS (
+              SELECT group_value,
+                     count(*) AS count,
+                     count(*) FILTER (WHERE nodata) AS nodata_count,
+                     count(*) FILTER (WHERE NOT nodata) AS valid_count,
+                     coalesce(sum(value) FILTER (WHERE NOT nodata), 0.0) AS sum,
+                     min(value) FILTER (WHERE NOT nodata) AS min,
+                     max(value) FILTER (WHERE NOT nodata) AS max,
+                     sum(value * value) FILTER (WHERE NOT nodata) AS sumsq,
+                     quantile_cont(CAST(CAST(value AS FLOAT) AS DOUBLE), 0.05)
+                       FILTER (WHERE NOT nodata) AS p5,
+                     quantile_cont(CAST(CAST(value AS FLOAT) AS DOUBLE), 0.95)
+                       FILTER (WHERE NOT nodata) AS p95
+              FROM r GROUP BY group_value
+            )
+            SELECT g.group_value,
+                   round(a.min, 6) AS min,
+                   round(a.max, 6) AS max,
+                   coalesce(a.count, 0) AS count,
+                   coalesce(a.nodata_count, 0) AS nodata_count,
+                   coalesce(a.valid_count, 0) AS valid_count,
+                   round(coalesce(a.sum, 0.0), 6) AS sum,
+                   round(CASE WHEN a.valid_count > 0 THEN sqrt(greatest(0.0,
+                       a.sumsq / a.valid_count
+                       - (a.sum / a.valid_count) * (a.sum / a.valid_count)))
+                     END, 6) AS stdev,
+                   round(CAST(a.p5 AS DOUBLE), 6) AS p5,
+                   round(CAST(a.p95 AS DOUBLE), 6) AS p95
+            FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/raster/groups.parquet') g
+            LEFT JOIN a ON a.group_value = g.group_value
+            ORDER BY (g.group_value = ''), g.group_value
         """,
         "zonal_grid_stats": f"""
             SELECT {_GEO_SQL} AS zone_id,

@@ -119,6 +119,7 @@ def zonal_stats_points(
     nodata: float | None = None,
     percentiles: list[float] = (),
     cache_rows: bool = True,
+    rows_sink: str | None = None,
 ) -> pd.DataFrame:
     """Joined points Dataset → final grouped stats frame (small), with the
     reference's stat fields / empty-group defaults / Q8 row order.
@@ -128,13 +129,24 @@ def zonal_stats_points(
     join for each.  ``cache_rows=True`` (default) first reduces the joined
     rows to a slim (group_key, value, nodata) projection and materializes
     THAT — a few bytes per row, never the wide page columns — so the join
-    runs exactly once."""
+    runs exactly once.
+
+    ``rows_sink`` (round 4, VERDICT r3 #4): write the slim joined rows to
+    this Parquet directory so an external oracle (DuckDB) can reproduce
+    the REDUCE independently — splitting join verification (covered by the
+    join-row fixtures) from aggregation verification.  Requires the
+    percentiles+cache_rows path (the only one that materializes slim
+    rows)."""
+    if rows_sink is not None and not (percentiles and cache_rows):
+        raise ValueError("rows_sink requires percentiles with cache_rows=True")
     if percentiles and cache_rows:
         slim = joined_ds.map_batches(
             Z.rows_batch,
             batch_format="pyarrow",
             fn_kwargs={"value_col": value_col, "nodata": nodata},
         ).materialize()
+        if rows_sink is not None:
+            slim.write_parquet(rows_sink)
         if slim.count() <= 2_000_000:
             # small assigned-row set: one driver pass computes partials AND
             # percentiles (each extra Dataset execution costs ~0.5 s of
@@ -549,11 +561,20 @@ def zonal_stats_raster(
     polygons_might_overlap: bool = False,
     ignore_nodata: bool = True,
     percentile_driver_threshold: int = 2_000_000,
+    rows_sink: str | None = None,
 ) -> dict:
     """Full reference-semantics zonal statistics over a tiled raster.
 
     Returns {group_value: {min,max,count,nodata_count,valid_count,sum,
     stdev,p*}} exactly like ``fast_zonal_statistics`` (``runner.py:926``).
+
+    ``rows_sink`` (round 4, VERDICT r3 #4): export the per-pixel
+    (group_key=fid, value, nodata) rows — including the Q4 bbox-window
+    fallback pixels for zero-pixel FIDs — to a Parquet directory so an
+    external oracle reproduces the reduce independently.  Only supported
+    in percentile mode (pixels materialize there) with single-part
+    fallback zones on the ≤16-window driver path, where the Q4 overwrite
+    semantics degenerate to plain aggregation; raises otherwise.
 
     ``simplify_tolerance``: reference quirk Q6 — DP-simplify rings before
     joining (the reference always uses 0.5 × pixel width; default off here
@@ -604,12 +625,16 @@ def zonal_stats_raster(
     # consumers derive from them; without, partials aggregate inside the
     # actor (single pass, nothing materialized). ---
     pixels = None
+    if rows_sink is not None and not plist:
+        raise ValueError("rows_sink requires percentile mode (pixels rows)")
     if plist:
         pixels = tiles_ds.map_batches(
             tile_fid_pixels_batch,
             fn_kwargs={"zones": zones_arg, "grid": grid},
             batch_format="pyarrow",
         ).materialize()
+        if rows_sink is not None:
+            pixels.write_parquet(rows_sink)
         partials = pixels.map_batches(
             Z.partials_from_rows,
             batch_format="pyarrow",
@@ -696,6 +721,17 @@ def zonal_stats_raster(
                     win_specs.append((len(win_specs), *w))
                     win_owner.append((f, order_idx))
 
+        if rows_sink is not None and win_specs:
+            # oracle export is only sound where Q4's overwrite semantics
+            # degenerate to plain aggregation: one window per fallback FID,
+            # driver path (pixels available to export)
+            fids_in_specs = [f for f, _ in win_owner]
+            if len(win_specs) > 16 or len(set(fids_in_specs)) != len(fids_in_specs):
+                raise ValueError(
+                    "rows_sink oracle export requires ≤16 single-part "
+                    "fallback windows (Q4 overwrite is not aggregation-"
+                    "equivalent otherwise)"
+                )
         if win_specs and len(win_specs) > 16:
             # DISTRIBUTED fallback (engine improvement over the reference's
             # serial pass, runner.py:697-811): one tile sweep computes every
@@ -772,12 +808,28 @@ def zonal_stats_raster(
         elif win_specs:
             # driver path (small window sets / percentile mode, which also
             # needs the raw valid values appended per part)
+            fb_rows: list[pa.Table] = []
             tile_map = _fetch_windows(
                 tiles_ds, grid, [w[1:] for w in win_specs]
             )
             for (f, _order), (_wid, xoff, yoff, wx, wy) in zip(win_owner, win_specs):
                 block = _read_window(tile_map, grid, xoff, yoff, wx, wy)
                 nd = Z.nodata_mask(block, grid.nodata)
+                if rows_sink is not None:
+                    fb_rows.append(
+                        pa.table(
+                            {
+                                "group_key": pa.array(
+                                    np.full(block.size, f, dtype=np.int64)
+                                ),
+                                "value": pa.array(
+                                    block.ravel().astype(np.float64), pa.float64()
+                                ),
+                                "nodata": pa.array(nd.ravel()),
+                            },
+                            schema=Z.ROWS_SCHEMA_INT,
+                        )
+                    )
                 valid = block[~nd] if ignore_nodata else block.ravel()
                 st = {
                     "count": block.size,
@@ -823,6 +875,16 @@ def zonal_stats_raster(
                             )
                         )
                     )
+
+        if rows_sink is not None and win_specs and fb_rows:
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            _pq.write_table(
+                pa.concat_tables(fb_rows),
+                _os.path.join(rows_sink, "fallback_windows.parquet"),
+            )
 
     # FIDs still unset get the zeroed default (runner.py:813-815, 491-500)
     default_fid = {
