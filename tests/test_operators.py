@@ -367,6 +367,66 @@ class TestWindow:
         assert out["n_events"].sum() == len(df)
         assert (out["duration_s"] >= 0).all()
 
+    @staticmethod
+    def _norm_sessions(df):
+        return (
+            df.sort_values(["user_id", "start", "end"], kind="stable")
+            .reset_index(drop=True)[["user_id", "n_events", "start", "end", "duration_s"]]
+        )
+
+    def test_sessions_chunked_equals_per_key(self, ray_session):
+        """Round-4 (VERDICT r3 #7): the sort+stitch sessionizer is exactly
+        equal to the per-key map_groups one, on real events and with a
+        forced distributed stitch."""
+        import ray.data as rd
+
+        ev = rd.read_parquet(f"{SF}/events.parquet")
+        legacy = self._norm_sessions(
+            session_windows(ev, gap_seconds=1800.0, chunked=False).to_pandas()
+        )
+        chunked = self._norm_sessions(
+            session_windows(ev, gap_seconds=1800.0, chunked=True).to_pandas()
+        )
+        pd.testing.assert_frame_equal(chunked, legacy, check_dtype=False)
+        forced = self._norm_sessions(
+            session_windows(
+                ev, gap_seconds=1800.0, chunked=True, stitch_driver_threshold=0
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(forced, legacy, check_dtype=False)
+
+    def test_sessions_one_hot_key_splits_across_blocks(self, ray_session):
+        """A single pathological key (one bot user, every event) must NOT
+        land on one worker: the sort range-partitions it, per-block
+        sessionize is vectorized, and the stitch sees ≤ 2 sessions per
+        block.  Exactness vs a NumPy single-pass reference."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        n = 400_000
+        gaps = rng.choice([5.0, 10_000.0], n, p=[0.999, 0.001])
+        ts = np.cumsum(gaps) + 1_700_000_000
+        df = pd.DataFrame(
+            {
+                "user_id": np.zeros(n, dtype=np.int64),  # ONE key
+                "ts": pd.to_datetime((ts * 1e6).astype(np.int64), unit="us"),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(16)
+        got = self._norm_sessions(
+            session_windows(ds, gap_seconds=1800.0, chunked=True).to_pandas()
+        )
+        # NumPy reference (single pass over the sorted events)
+        t = np.sort(ts)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (t[1:] - t[:-1]) > 1800.0
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        assert len(got) == starts.size
+        assert got["n_events"].to_numpy().sum() == n
+        assert np.allclose(np.sort(got["start"].to_numpy()), t[starts])
+        assert np.allclose(np.sort(got["end"].to_numpy()), t[ends])
+
 
 class TestMultimodal:
     def test_strict_stub_raises(self):
