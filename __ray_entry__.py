@@ -1091,6 +1091,36 @@ def q_repetition_ratio(sf_dir: str):
     return out.select_columns(["doc_id", "rep_ratio"])
 
 
+def q_url_host_stats(sf_dir: str):
+    """Per-domain corpus profile (round-4): URL host extraction (Arrow RE2
+    off the pages url column) → two-level (host, lang) partial aggregate →
+    per-host pages / chars / distinct-lang counts.  The C4/CCNet-style
+    domain bookkeeping pass; oracle = GROUP BY on the source-derived
+    host."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
+    from zonal_stats_toolkit_ray.stages.web import host_stats
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    pages = ds.map_batches(docs_batch_to_pages, batch_format="pyarrow")
+    return host_stats(pages)
+
+
+def q_quantile_filter(sf_dir: str):
+    """Global-quantile threshold filter (round-4): keep docs at/above the
+    corpus p90 of n_chars.  Slim pass (value column only) computes the
+    exact global percentile via the salted distributed shuffle; full rows
+    then stream through a broadcast-scalar compare."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import quantile_filter
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = quantile_filter(ds, value_col="n_chars", q=90.0, keep="ge")
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_knn_ivf_partitioned_cert(sf_dir: str):
     """Partitioned-IVF-index certificate (round-3): build the
     hive-partitioned index on disk, query through partition-PRUNED reads
@@ -1531,6 +1561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_cert": q_approx_distinct_cert,
         "doc_frequency": q_doc_frequency,
         "repetition_ratio": q_repetition_ratio,
+        "url_host_stats": q_url_host_stats,
+        "quantile_filter": q_quantile_filter,
         "knn_ivf_partitioned_cert": q_knn_ivf_partitioned_cert,
         "sample_per_group": q_sample_per_group,
         "pages": q_pages,
@@ -1799,6 +1831,20 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentiles": f"""
             SELECT {_GEO_SQL} AS zone_id, TRUE AS within_tol
             FROM documents GROUP BY zone_id ORDER BY zone_id
+        """,
+        "url_host_stats": """
+            SELECT source || '.example' AS host,
+                   count(*) AS n_pages,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents GROUP BY host ORDER BY host
+        """,
+        "quantile_filter": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE CAST(n_chars AS DOUBLE) >= (
+              SELECT quantile_cont(CAST(CAST(n_chars AS FLOAT) AS DOUBLE), 0.9)
+              FROM documents)
+            ORDER BY doc_id
         """,
         # flagship REDUCE oracles (round 4, VERDICT r3 #4): re-aggregate the
         # engine's exported joined rows — written by the query immediately

@@ -1,0 +1,96 @@
+"""Round-4 operators: URL host extraction / per-domain stats and the
+global-quantile filter."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from zonal_stats_toolkit_ray.stages.split import (
+    LAST_QUANTILE_THRESHOLD,
+    global_quantile,
+    quantile_filter,
+)
+from zonal_stats_toolkit_ray.stages.web import host_stats, url_host_batch
+
+
+class TestUrlHost:
+    def test_extract_variants(self):
+        b = pa.table(
+            {
+                "url": [
+                    "https://a.example/doc/1",
+                    "http://b.example:8080/x?q=1",
+                    "ftp://c.example/",
+                    "not a url",
+                    None,
+                ]
+            }
+        )
+        out = url_host_batch(b)
+        assert out["host"].to_pylist() == [
+            "a.example",
+            "b.example:8080",
+            "c.example",
+            None,
+            None,
+        ]
+
+    def test_host_stats_vs_pandas(self, ray_session):
+        rng = np.random.default_rng(4)
+        n = 3000
+        hosts = rng.integers(0, 12, n)
+        df = pd.DataFrame(
+            {
+                "url": [f"https://h{h}.example/p/{i}" for i, h in enumerate(hosts)],
+                "text": ["x" * int(k) for k in rng.integers(1, 200, n)],
+                "lang": rng.choice(["en", "de", "fr"], n),
+            }
+        )
+        got = host_stats(rd.from_pandas(df).repartition(5))
+        want = (
+            df.assign(host=[f"h{h}.example" for h in hosts], chars=df["text"].str.len())
+            .groupby("host")
+            .agg(
+                n_pages=("url", "size"),
+                total_chars=("chars", "sum"),
+                n_langs=("lang", "nunique"),
+            )
+            .reset_index()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestQuantileFilter:
+    def test_matches_numpy_threshold(self, ray_session):
+        rng = np.random.default_rng(8)
+        vals = rng.integers(10, 5000, 20_000)
+        df = pd.DataFrame({"doc_id": np.arange(vals.size), "n_chars": vals})
+        ds = rd.from_pandas(df).repartition(8)
+        out = quantile_filter(ds, value_col="n_chars", q=90.0).to_pandas()
+        thr = np.percentile(vals.astype(np.float32), 90.0)
+        want = df[df["n_chars"].astype(np.float64) >= thr]
+        assert set(out["doc_id"]) == set(want["doc_id"])
+        assert LAST_QUANTILE_THRESHOLD["n_chars"] == pytest.approx(float(thr))
+
+    def test_keep_modes_and_validation(self, ray_session):
+        df = pd.DataFrame({"doc_id": np.arange(100), "v": np.arange(100.0)})
+        ds = rd.from_pandas(df)
+        lo = quantile_filter(ds, value_col="v", q=50.0, keep="lt").to_pandas()
+        hi = quantile_filter(ds, value_col="v", q=50.0, keep="ge").to_pandas()
+        assert len(lo) + len(hi) == 100
+        assert lo["v"].max() < hi["v"].min()
+        with pytest.raises(ValueError):
+            quantile_filter(ds, value_col="v", q=50.0, keep="between")
+
+    def test_global_quantile_multi(self, ray_session):
+        rng = np.random.default_rng(2)
+        vals = rng.normal(0, 1, 50_000).astype(np.float32)
+        ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(6)
+        got = global_quantile(ds, value_col="v", percentiles=[5.0, 50.0, 95.0])
+        want = np.percentile(vals, [5.0, 50.0, 95.0])
+        assert np.allclose(got, want, atol=1e-6)

@@ -133,6 +133,69 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+LAST_QUANTILE_THRESHOLD: dict[str, float] = {}
+
+
+def global_quantile(ds, *, value_col: str, percentiles: list[float]) -> list[float]:
+    """EXACT global percentiles of a numeric column, distributed: one
+    logical group fanned over salt buckets (the skew-safe
+    ``salted_group_percentiles`` shuffle from the zonal path — no single
+    worker ever holds the whole column).  Values ride the float32 value-bag
+    path shared with the zonal reduce (exact for integer columns < 2^24
+    and for float32-native data)."""
+    import pyarrow.compute as pc
+
+    from .zonal import salted_group_percentiles
+
+    def rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_key": pa.array(["g"] * len(b), pa.string()),
+                "value": pc.cast(b[value_col], pa.float32()),
+            }
+        )
+
+    vals = ds.select_columns([value_col]).map_batches(rows, batch_format="pyarrow")
+    gp = salted_group_percentiles(vals, [float(p) for p in percentiles])
+    return [float(v) for v in gp.get("g", [float("nan")] * len(percentiles))]
+
+
+def quantile_filter(
+    ds,
+    *,
+    value_col: str,
+    q: float = 90.0,
+    keep: str = "ge",
+):
+    """Global-quantile threshold filter — "keep documents at or above the
+    corpus p90 of this signal" (quality-score gating, length filtering).
+
+    Two passes by design: a SLIM pass (value column only, pruned at the
+    read) computes the exact global percentile via the salted distributed
+    shuffle, then the full rows stream through a vectorized compare
+    against the broadcast scalar threshold.  ``keep``: "ge" | "gt" |
+    "le" | "lt".  The threshold is recorded in
+    ``LAST_QUANTILE_THRESHOLD[value_col]`` for telemetry/tests."""
+    import pyarrow.compute as pc
+
+    ops = {
+        "ge": pc.greater_equal,
+        "gt": pc.greater,
+        "le": pc.less_equal,
+        "lt": pc.less,
+    }
+    if keep not in ops:
+        raise ValueError(f"keep must be one of {sorted(ops)}")
+    thr = global_quantile(ds, value_col=value_col, percentiles=[q])[0]
+    LAST_QUANTILE_THRESHOLD[value_col] = thr
+    cmp = ops[keep]
+
+    def flt(b: pa.Table, *, _t=thr) -> pa.Table:
+        return b.filter(cmp(pc.cast(b[value_col], pa.float64()), pa.scalar(_t)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def sample_n_per_group(
     ds,
     *,

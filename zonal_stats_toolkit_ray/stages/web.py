@@ -1,0 +1,90 @@
+"""Web-corpus domain analysis (round 4): URL host extraction and per-domain
+statistics — the C4/CCNet-style per-domain bookkeeping (domain caps, domain
+quality profiling) a Common-Crawl-scale pipeline runs before sampling.
+
+Shapes: host extraction is one Arrow RE2 kernel per batch; the per-domain
+rollup is a two-level grouped aggregate — in-batch (host, lang) partials →
+native hash aggregate → per-host merge — so only (host, lang)-sized rows
+ever shuffle, never pages.  Per-domain CAPS compose with
+``split.sample_n_per_group`` (deterministic smallest-hash-n per host).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_HOST_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?P<host>[^/?#]+)"
+
+
+def url_host_batch(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
+    """Adds ``host`` — the authority component of ``url_col`` (scheme
+    required, port kept, path/query/fragment dropped); null when the URL
+    does not parse.  One vectorized RE2 ``extract_regex`` pass."""
+    ex = pc.extract_regex(batch[url_col], pattern=_HOST_PATTERN)
+    return batch.append_column("host", pc.struct_field(ex, "host"))
+
+
+def host_stats(
+    ds,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Per-domain corpus profile → (host, n_pages, total_chars, n_langs),
+    host ascending.
+
+    Two-level reduce: each batch groups (host, lang) with vectorized Arrow
+    ``group_by`` (count + char sum), the native aggregate merges partials
+    by (host, lang) — rows shuffled = distinct (host, lang) per block —
+    and a final per-host combine sums pages/chars and counts distinct
+    langs.  ``num_partitions`` bounds the aggregate's partition count
+    (sandbox lesson #20: more partitions than groups emits schemaless
+    empty blocks); size it so hosts×langs/num_partitions fits a worker at
+    real scale."""
+    from ray.data.aggregate import Count, Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = url_host_batch(b, url_col=url_col)
+        t = pa.table(
+            {
+                "host": b["host"],
+                "lang": b[lang_col],
+                "chars": pc.cast(pc.utf8_length(b[text_col]), pa.int64()),
+            }
+        )
+        g = t.group_by(["host", "lang"]).aggregate(
+            [("chars", "sum"), ("chars", "count")]
+        )
+        return pa.table(
+            {
+                "host": g["host"],
+                "lang": g["lang"],
+                "n_pages": pc.cast(g["chars_count"], pa.int64()),
+                "total_chars": pc.cast(g["chars_sum"], pa.int64()),
+            }
+        )
+
+    hl = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["host", "lang"])
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+    per_host = hl.groupby("host").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("total_chars", alias_name="total_chars"),
+        Count(alias_name="n_langs"),  # rows are distinct (host, lang)
+    )
+    out = per_host.to_pandas()  # host-sized result frame
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)[
+        ["host", "n_pages", "total_chars", "n_langs"]
+    ]
