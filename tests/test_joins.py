@@ -133,3 +133,59 @@ class TestBroadcastJoin:
             left.merge(right, left_on="k", right_on="rk").drop(columns=["rk"])
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestAsofChunked:
+    def test_chunked_equals_per_key_on_events(self, ray_session):
+        """Round-4: the sort+carry as-of join must equal the per-key
+        merge_asof form on the events fixture."""
+        ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+        from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+        def norm(df):
+            cols = sorted(df.columns)
+            return (
+                df[cols]
+                .sort_values(["user_id", "ts", "event_id"], kind="stable")
+                .reset_index(drop=True)
+            )
+
+        legacy = norm(asof_join_self(ds, chunked=False).to_pandas())
+        chunked = norm(asof_join_self(ds, chunked=True).to_pandas())
+        assert list(legacy.columns) == list(chunked.columns)
+        pd.testing.assert_frame_equal(
+            chunked, legacy[chunked.columns], check_dtype=False
+        )
+
+    def test_one_hot_key_carry_across_blocks(self, ray_session):
+        """One bot key with clicks only at the start: most rows' answers
+        must come from the cross-block carry, exactly."""
+        from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+        n = 200_000
+        rng = np.random.default_rng(3)
+        ts = np.sort(rng.integers(0, 10**12, n))
+        etype = np.where(np.arange(n) % 50_000 == 0, "click", "view")
+        df = pd.DataFrame(
+            {
+                "user_id": np.zeros(n, dtype=np.int64),
+                "ts": pd.to_datetime(ts, unit="us"),
+                "event_type": etype,
+                "value": np.arange(n, dtype=np.float64),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(16)
+        out = (
+            asof_join_self(ds, chunked=True)
+            .to_pandas()
+            .sort_values("ts", kind="stable")
+            .reset_index(drop=True)
+        )
+        # reference: forward-fill of click values over sorted ts
+        click_idx = np.flatnonzero(etype == "click")
+        want = np.full(n, np.nan)
+        pos = np.searchsorted(ts[click_idx], ts, side="right") - 1
+        ok = pos >= 0
+        want[ok] = df["value"].to_numpy()[click_idx[pos[ok]]]
+        got = out["last_click_value"].to_numpy()
+        assert np.allclose(got, want, equal_nan=True)

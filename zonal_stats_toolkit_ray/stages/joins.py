@@ -231,33 +231,136 @@ def asof_join_self(
     right_filter_value: str = "click",
     value_col: str = "value",
     out_col: str = "last_click_value",
+    chunked: bool = False,
 ):
     """Per-key as-of SELF join: for every row, attach ``value_col`` of the
     most recent row (same key, ts ≤ this row's ts) matching the filter.
 
-    Implemented as ``groupby(key).map_groups`` with ``pd.merge_asof`` over
+    Default shape: ``groupby(key).map_groups`` with ``pd.merge_asof`` over
     the ts-sorted group (backward search, allow_exact_matches=True) — the
     canonical Ray Data shape for as-of/range joins.  Oracle SQL: DuckDB
     ``ASOF JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
+
+    ``chunked=True`` (round 4 — the VERDICT r3 hot-key watch item): the
+    SCALE-SAFE form.  A distributed (key, ts) sort range-partitions the
+    events — one pathological key splits across blocks instead of landing
+    on one worker — each sorted block answers its rows from in-block
+    clicks with vectorized searchsorted per key run, and rows preceding
+    their key's first in-block click are filled from a broadcast CARRY
+    table (the last click per (block, key) — block-count-bounded, never
+    event-count-bounded).  Exactly equal to the per-key form whenever
+    (key, ts) pairs of filter rows are unique; ties on identical click
+    timestamps are resolved arbitrarily in both forms.
 
     Returns the joined **Dataset** (round-2 fix: the join output is
     corpus-sized, so it must stream — callers aggregate distributedly or
     write it out, never ``to_pandas`` the whole thing)."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="stable")
-        right = g[g[right_filter_col] == right_filter_value][[ts_col, value_col]]
-        right = right.rename(columns={value_col: out_col})
-        out = pd.merge_asof(
-            g,
-            right,
-            on=ts_col,
-            direction="backward",
-            allow_exact_matches=True,
-        )
-        return out
+    if not chunked:
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+        def per_key(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts_col, kind="stable")
+            right = g[g[right_filter_col] == right_filter_value][[ts_col, value_col]]
+            right = right.rename(columns={value_col: out_col})
+            out = pd.merge_asof(
+                g,
+                right,
+                on=ts_col,
+                direction="backward",
+                allow_exact_matches=True,
+            )
+            return out
+
+        return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+    import ray
+
+    srt = ds.sort([key_col, ts_col]).materialize()
+
+    def _runs(b: pa.Table):
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = np.asarray(kcol.dictionary_encode().indices, dtype=np.int64)
+        new = np.ones(len(b), dtype=bool)
+        new[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.concatenate([starts[1:], [len(b)]])
+        clicks = pc.fill_null(
+            pc.equal(b[right_filter_col], right_filter_value), False
+        ).to_numpy(zero_copy_only=False)
+        ts = _to_int64_us(b[ts_col])
+        vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return kcol, starts, ends, clicks, ts, vals
+
+    def block_carry(b: pa.Table) -> pa.Table:
+        """Per (block, key): the LAST in-block click — the only click of
+        this block that a later block's leading rows can need."""
+        if len(b) == 0:
+            return pa.table(
+                {"__k": pa.array([], pa.string()), "__ts": pa.array([], pa.int64()),
+                 "__v": pa.array([], pa.float64())}
+            )
+        kcol, starts, ends, clicks, ts, vals = _runs(b)
+        ks, tss, vs = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            c = np.flatnonzero(clicks[s:e])
+            if c.size:
+                j = s + c[-1]
+                ks.append(s)
+                tss.append(ts[j])
+                vs.append(vals[j])
+        return pa.table(
+            {
+                "__k": pc.cast(kcol.take(pa.array(ks, pa.int64())), pa.string()),
+                "__ts": pa.array(np.asarray(tss, np.int64), pa.int64()),
+                "__v": pa.array(np.asarray(vs, np.float64), pa.float64()),
+            }
+        )
+
+    cdf = srt.map_batches(block_carry, batch_format="pyarrow").to_pandas()
+    carry: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if len(cdf):
+        cdf = cdf.sort_values(["__k", "__ts"], kind="stable")
+        for k, g in cdf.groupby("__k", sort=False):
+            carry[k] = (g["__ts"].to_numpy(np.int64), g["__v"].to_numpy(np.float64))
+    carry_ref = ray.put(carry) if ray.is_initialized() else carry
+
+    def block_asof(b: pa.Table, *, _ref=carry_ref) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.float64()))
+        kcol, starts, ends, clicks, ts, vals = _runs(b)
+        out = np.full(len(b), np.nan)
+        pend_runs: list[tuple[int, int]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            c_idx = s + np.flatnonzero(clicks[s:e])
+            if c_idx.size:
+                pos = np.searchsorted(ts[c_idx], ts[s:e], side="right") - 1
+                ok = pos >= 0
+                seg = out[s:e]
+                seg[ok] = vals[c_idx[pos[ok]]]
+                if not ok.all():
+                    pend_runs.append((s, s + int(np.flatnonzero(ok)[0]) if ok.any() else e))
+            else:
+                pend_runs.append((s, e))
+        if pend_runs:
+            cmap = _resolve_ref(_ref)
+            keys_py = None
+            for s, e in pend_runs:
+                if keys_py is None:
+                    keys_py = pc.cast(kcol, pa.string()).to_pylist()
+                hit = cmap.get(keys_py[s])
+                if hit is None:
+                    continue
+                cts, cvs = hit
+                pos = np.searchsorted(cts, ts[s:e], side="right") - 1
+                ok = pos >= 0
+                seg = out[s:e]
+                fill = np.isnan(seg) & ok
+                seg[fill] = cvs[pos[fill]]
+        return b.append_column(out_col, pa.array(out, pa.float64()))
+
+    return srt.map_batches(block_asof, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
