@@ -1091,6 +1091,20 @@ def q_repetition_ratio(sf_dir: str):
     return out.select_columns(["doc_id", "rep_ratio"])
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-5 TF-IDF terms (round-4): corpus DF pass →
+    broadcast vocabulary (auto; hash-join regime above threshold) →
+    in-batch scoring + per-doc top-k, tfidf = tf·ln(N/df), token-ascending
+    tie-break.  Oracle = unnest + window-function SQL."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import tfidf_top_terms
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=5).to_pandas()
+    out["tfidf"] = out["tfidf"].round(6)
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
 def q_url_host_stats(sf_dir: str):
     """Per-domain corpus profile (round-4): URL host extraction (Arrow RE2
     off the pages url column) → two-level (host, lang) partial aggregate →
@@ -1563,6 +1577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
         "quantile_filter": q_quantile_filter,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "knn_ivf_partitioned_cert": q_knn_ivf_partitioned_cert,
         "sample_per_group": q_sample_per_group,
         "pages": q_pages,
@@ -1831,6 +1846,30 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentiles": f"""
             SELECT {_GEO_SQL} AS zone_id, TRUE AS within_tol
             FROM documents GROUP BY zone_id ORDER BY zone_id
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id, t.tok AS token, count(*) AS tf
+              FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+              WHERE t.tok <> '' GROUP BY doc_id, t.tok
+            ),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+            scored AS (
+              SELECT toks.doc_id, toks.token,
+                     toks.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE)
+                                  / df.df) AS tfidf
+              FROM toks JOIN df USING (token)
+            ),
+            ranked AS (
+              SELECT doc_id, token, tfidf,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                     ) AS rank
+              FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+                   round(tfidf, 6) AS tfidf
+            FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank
         """,
         "url_host_stats": """
             SELECT source || '.example' AS host,

@@ -94,3 +94,32 @@ class TestQuantileFilter:
         got = global_quantile(ds, value_col="v", percentiles=[5.0, 50.0, 95.0])
         want = np.percentile(vals, [5.0, 50.0, 95.0])
         assert np.allclose(got, want, atol=1e-6)
+
+
+class TestTfidf:
+    def test_regimes_equal_and_ranked(self, ray_session):
+        """Broadcast-vocabulary and hash-join+tree regimes must produce
+        identical per-doc top-k TF-IDF rows."""
+        from zonal_stats_toolkit_ray.stages.text import tfidf_top_terms
+
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+
+        def norm(o):
+            df = o.to_pandas() if hasattr(o, "to_pandas") else o
+            return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+        a = norm(tfidf_top_terms(ds, k=5))
+        b = norm(
+            tfidf_top_terms(
+                ds, k=5, vocab_broadcast_threshold=0, driver_threshold=10
+            )
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert (a.groupby("doc_id")["rank"].min() == 1).all()
+        assert (a.groupby("doc_id")["rank"].max() <= 5).all()
+        # within a doc, tfidf non-increasing with rank
+        for _, g in a.groupby("doc_id"):
+            v = g.sort_values("rank")["tfidf"].to_numpy()
+            assert (np.diff(v) <= 1e-12).all()

@@ -378,6 +378,164 @@ def document_frequency(
     return local.reset_index(drop=True)[["token", "df"]]
 
 
+def term_freq_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """documents → (doc_id, token, tf) rows: per-document term frequencies
+    with the SAME tokenization as :func:`doc_frequency_batch` (lower →
+    ``\\s+`` split → drop empties).  Arrow ``group_by`` count — no Python
+    row loop."""
+    t = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+    toks = pc.split_pattern_regex(t, r"\s+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    idx = idx[nonempty.to_numpy(zero_copy_only=False)]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[idx]
+    pairs = pa.table(
+        {"doc_id": pa.array(ids), "token": flat, "one": pa.array(np.ones(len(ids), np.int64))}
+    )
+    g = pairs.group_by(["doc_id", "token"]).aggregate([("one", "sum")])
+    return pa.table(
+        {
+            "doc_id": g["doc_id"],
+            "token": g["token"],
+            "tf": pc.cast(g["one_sum"], pa.int64()),
+        }
+    )
+
+
+def _doc_topk_tfidf(b: pa.Table, k: int) -> pa.Table:
+    """Per-doc top-k by (tfidf DESC, token ASC) within one table —
+    associative (re-applying after a merge of partials gives the global
+    top-k), so it serves as both the local kernel and the tree-combine
+    step.  Pandas multi-key sort (C-vectorized; tokens are strings, so the
+    int-id lexsort kernel in stages/rank.py does not apply)."""
+    if len(b) == 0:
+        return b
+    df = b.to_pandas()
+    df = df.sort_values(
+        ["doc_id", "tfidf", "token"],
+        ascending=[True, False, True],
+        kind="stable",
+    ).reset_index(drop=True)
+    ids = df["doc_id"].to_numpy()
+    starts = np.flatnonzero(np.concatenate([[True], ids[1:] != ids[:-1]]))
+    run_of = np.searchsorted(starts, np.arange(len(df)), side="right") - 1
+    rank = np.arange(len(df)) - starts[run_of]
+    out = df[rank < k].reset_index(drop=True)
+    out["rank"] = (rank[rank < k] + 1).astype(np.int64)
+    return pa.Table.from_pandas(
+        out[["doc_id", "rank", "token", "tfidf"]], preserve_index=False
+    )
+
+
+def tfidf_top_terms(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    vocab_broadcast_threshold: int = 2_000_000,
+    driver_threshold: int = 1_000_000,
+    fan_in: int = 8,
+):
+    """Per-document top-``k`` TF-IDF terms → Dataset(doc_id, rank, token,
+    tfidf), tfidf = tf · ln(N/df), ties broken by token ascending.
+
+    Two regimes on the DF (vocabulary) side:
+
+    * vocabulary ≤ ``vocab_broadcast_threshold``: the (token → df) table
+      broadcasts once via ``ray.put`` and everything — term counts, scores,
+      per-doc top-k — happens in ONE ``map_batches`` pass over the
+      documents (a document never spans batches, so per-batch per-doc
+      top-k is globally exact).  No shuffle at all.
+    * larger vocabularies: the exploded (doc, token, tf) rows hash-join
+      the DF Dataset on token (the join scatters a document's tokens
+      across blocks), then local per-batch top-k tree-combines
+      (associative) until the surviving candidates fit ``driver_threshold``
+      — the same bounded-driver shape as ``rank.topk_per_group``.
+
+    Both regimes produce identical rows (tested).  N = document count."""
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    n_docs = ds.count()
+    partials = ds.map_batches(
+        doc_frequency_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).repartition(4)
+    df_ds = partials.groupby("token").aggregate(Sum("df", alias_name="df")).materialize()
+    vocab_n = df_ds.count()
+
+    if vocab_n <= vocab_broadcast_threshold:
+        dfp = df_ds.to_pandas()
+        order = np.argsort(dfp["token"].to_numpy())
+        tok_sorted = dfp["token"].to_numpy()[order]
+        df_sorted = dfp["df"].to_numpy(np.int64)[order]
+        ref = ray.put((tok_sorted, df_sorted)) if ray.is_initialized() else (
+            tok_sorted, df_sorted
+        )
+
+        def score(b: pa.Table, *, _ref=ref) -> pa.Table:
+            tf = term_freq_batch(b, id_col=id_col, text_col=text_col)
+            if len(tf) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.string()),
+                        "tfidf": pa.array([], pa.float64()),
+                    }
+                )
+            toks, dfs = _ref if isinstance(_ref, tuple) else ray.get(_ref)
+            t = np.asarray(tf["token"].to_pylist(), dtype=object)
+            pos = np.searchsorted(toks, t)
+            dfv = dfs[np.clip(pos, 0, len(dfs) - 1)].astype(np.float64)
+            tfidf = tf["tf"].to_numpy(zero_copy_only=False) * np.log(n_docs / dfv)
+            scored = tf.append_column("tfidf", pa.array(tfidf, pa.float64()))
+            return _doc_topk_tfidf(scored, k)
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # large-vocabulary regime: explode → hash join on token → tree top-k
+    from .joins import hash_join
+
+    tf_ds = ds.map_batches(
+        term_freq_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"id_col": id_col, "text_col": text_col},
+    )
+    joined = hash_join(tf_ds, df_ds, on="token", broadcast=False).materialize()
+
+    def add_score(b: pa.Table) -> pa.Table:
+        dfv = b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tfidf = b["tf"].to_numpy(zero_copy_only=False) * np.log(n_docs / dfv)
+        return b.append_column("tfidf", pa.array(tfidf, pa.float64()))
+
+    local = joined.map_batches(add_score, batch_format="pyarrow").map_batches(
+        lambda b: _doc_topk_tfidf(b, k), batch_format="pyarrow"
+    ).materialize()
+    while local.count() > driver_threshold:
+        nb = local.num_blocks()
+        if nb <= 1:
+            break
+        local = (
+            local.repartition(max(1, nb // fan_in))
+            .map_batches(lambda b: _doc_topk_tfidf(b, k), batch_format="pyarrow")
+            .materialize()
+        )
+    final = rd.from_arrow(
+        _doc_topk_tfidf(
+            pa.Table.from_pandas(local.to_pandas(), preserve_index=False), k
+        )
+    )
+    return final
+
+
 def repetition_ratio_batch(
     batch: pa.Table, text_col: str = "text", n: int = 8
 ) -> pa.Table:
