@@ -1091,6 +1091,27 @@ def q_repetition_ratio(sf_dir: str):
     return out.select_columns(["doc_id", "rep_ratio"])
 
 
+def q_inverted_lookup(sf_dir: str):
+    """Disk-partitioned inverted index (round-4): build hive-partitioned
+    postings (token-hash buckets), then look up a fixed token list reading
+    ONLY the probed buckets.  Oracle = distinct unnest + IN list."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.invindex import (
+        inverted_index_write,
+        token_lookup,
+    )
+
+    idx = "/tmp/graft_invindex"
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    inverted_index_write(ds, idx, num_buckets=16)
+    stats: dict = {}
+    out = token_lookup(
+        idx, ["spark", "merge", "window", "zzz-absent"], stats_out=stats
+    )
+    assert stats["buckets_probed"] <= 4 <= stats["dirs_total"]  # pruned read
+    return out
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-document top-5 TF-IDF terms (round-4): corpus DF pass →
     broadcast vocabulary (auto; hash-join regime above threshold) →
@@ -1578,6 +1599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_host_stats": q_url_host_stats,
         "quantile_filter": q_quantile_filter,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_lookup": q_inverted_lookup,
         "knn_ivf_partitioned_cert": q_knn_ivf_partitioned_cert,
         "sample_per_group": q_sample_per_group,
         "pages": q_pages,
@@ -1846,6 +1868,16 @@ def oracle_sql() -> dict[str, str]:
         "approx_percentiles": f"""
             SELECT {_GEO_SQL} AS zone_id, TRUE AS within_tol
             FROM documents GROUP BY zone_id ORDER BY zone_id
+        """,
+        "inverted_lookup": r"""
+            WITH toks AS (
+              SELECT DISTINCT doc_id, t.tok AS token
+              FROM documents, unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+              WHERE t.tok <> ''
+            )
+            SELECT token, doc_id FROM toks
+            WHERE token IN ('spark', 'merge', 'window', 'zzz-absent')
+            ORDER BY token, doc_id
         """,
         "tfidf_top_terms": r"""
             WITH toks AS (

@@ -123,3 +123,39 @@ class TestTfidf:
         for _, g in a.groupby("doc_id"):
             v = g.sort_values("rank")["tfidf"].to_numpy()
             assert (np.diff(v) <= 1e-12).all()
+
+
+class TestInvertedIndex:
+    def test_build_lookup_pruning_and_rebuild(self, ray_session, tmp_path):
+        from zonal_stats_toolkit_ray.stages.invindex import (
+            inverted_index_write,
+            token_lookup,
+        )
+
+        idx = str(tmp_path / "idx")
+        ds = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        inverted_index_write(ds, idx, num_buckets=8)
+        stats = {}
+        out = token_lookup(idx, ["spark", "merge"], stats_out=stats)
+        # pruned read: at most one bucket per distinct query token
+        assert stats["buckets_probed"] <= 2
+        assert stats["dirs_total"] >= stats["buckets_probed"]
+        # exact postings vs pandas
+        df = ds.to_pandas()
+        want = set()
+        for _, r in df.iterrows():
+            toks = set(w for w in str(r["text"]).lower().split() if w)
+            for t in ("spark", "merge"):
+                if t in toks:
+                    want.add((t, int(r["doc_id"])))
+        got = set(zip(out["token"], out["doc_id"].astype(int)))
+        assert got == want
+        # clean rebuild: a second build must not duplicate postings
+        inverted_index_write(ds, idx, num_buckets=8)
+        out2 = token_lookup(idx, ["spark", "merge"])
+        assert len(out2) == len(out)
+        # absent token → empty frame with schema
+        empty = token_lookup(idx, ["zzz-definitely-absent"])
+        assert len(empty) == 0 and list(empty.columns) == ["token", "doc_id"]
