@@ -150,30 +150,66 @@ def q_zonal_grid_percentiles(sf_dir: str):
 
 
 def q_groupby_lineitem(sf_dir: str):
-    """TPC-H-Q1-shaped grouped aggregate (A1/A2 partial+final pattern over a
-    600k-row fact table; integer-valued doubles → exact sums)."""
+    """TPC-H-Q1-shaped grouped aggregate — true A1/A2 partial+final over a
+    600k-row fact table: each batch combines to (group, partial) rows with
+    one vectorized Arrow ``group_by`` (6 groups × blocks rows move, never
+    600k), then a tiny driver merge.  Round 4: replaced the native
+    sort-aggregate (the full-row shuffle cost ~2× the partial+final wall
+    at this group cardinality; at ANY scale the shuffled volume here is
+    blocks×groups).  Integer-valued doubles → exact sums."""
     import ray.data as rd
-    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], pa.scalar(cutoff)))
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.float64()),
+                    "min_qty": pa.array([], pa.float64()),
+                    "max_qty": pa.array([], pa.float64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pa.table(
+                {
+                    "rf": b["l_returnflag"],
+                    "ls": b["l_linestatus"],
+                    "q": b["l_quantity"],
+                }
+            )
+            .group_by(["rf", "ls"])
+            .aggregate([("q", "sum"), ("q", "min"), ("q", "max"), ("q", "count")])
+        )
+        return pa.table(
+            {
+                "l_returnflag": g["rf"],
+                "l_linestatus": g["ls"],
+                "sum_qty": pc.cast(g["q_sum"], pa.float64()),
+                "min_qty": g["q_min"],
+                "max_qty": g["q_max"],
+                "count_order": pc.cast(g["q_count"], pa.int64()),
+            }
+        )
 
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"],
     )
-    ds = ds.map_batches(
-        lambda t: t.filter(
-            pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02")))
-        ),
-        batch_format="pyarrow",
-    )
+    p = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Min("l_quantity", alias_name="min_qty"),
-            Max("l_quantity", alias_name="max_qty"),
-            Count(alias_name="count_order"),
+        p.groupby(["l_returnflag", "l_linestatus"], sort=False)
+        .agg(
+            sum_qty=("sum_qty", "sum"),
+            min_qty=("min_qty", "min"),
+            max_qty=("max_qty", "max"),
+            count_order=("count_order", "sum"),
         )
-        .to_pandas()
+        .reset_index()
     )
     out["avg_qty"] = out["sum_qty"] / out["count_order"]
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
