@@ -956,6 +956,59 @@ def q_dedup_embedding_cert(sf_dir: str):
     return pd.DataFrame(rows).sort_values("planted_id").reset_index(drop=True)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup of a synthetic "new crawl" shard against a
+    persisted corpus content index (``stages/incremental.py`` — the shape
+    the reference lacks: ``runner.py`` recomputes every job from scratch).
+    Corpus = docs with ``doc_id % 4 != 0``; shard = the ``% 4 == 0`` docs
+    plus planted re-crawls — copies of corpus docs (``% 8 == 1``, id+1e6 →
+    corpus-canonical dupes) and second copies of shard docs (``% 8 == 4``,
+    id+2e6 → intra-shard dupes).  The hive-partitioned index is REBUILT
+    per call under /tmp (clean-rebuild contract), so the query is
+    deterministic."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.incremental import (
+        content_index_write,
+        incremental_dedup,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def corpus_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.take(pa.array(np.flatnonzero((ids & 3) != 0)))
+
+    def shard_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        for mask, shift in (
+            ((ids & 3) == 0, 0),
+            ((ids & 7) == 1, 1_000_000),
+            ((ids & 7) == 4, 2_000_000),
+        ):
+            idx = np.flatnonzero(mask)
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids[idx] + shift),
+                        "text": t["text"].take(pa.array(idx)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    index_dir = os.path.join(
+        "/tmp/graft_incr_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    content_index_write(
+        docs.map_batches(corpus_batch, batch_format="pyarrow"), index_dir
+    )
+    out = incremental_dedup(
+        docs.map_batches(shard_batch, batch_format="pyarrow"), index_dir
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_knn_ivf_cert(sf_dir: str):
     """IVF recall certificate: recall@10 vs exact brute force must be
     ≥ 0.5 per query with nprobe=4 of nlist=8 (measured 0.6-0.9 across all
@@ -1644,6 +1697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": q_distinct_langs,
         "approx_percentiles": q_approx_percentiles,
         "dedup_exact": q_dedup_exact,
+        "dedup_incremental": q_dedup_incremental,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "window_events": q_window_events,
@@ -2127,6 +2181,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dupes
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "dedup_incremental": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0
+            ),
+            shard AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 8 = 1
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 8 = 4
+            ),
+            cmin AS (SELECT text, min(doc_id) AS corpus_min FROM corpus GROUP BY text),
+            smin AS (SELECT text, min(doc_id) AS shard_min FROM shard GROUP BY text)
+            SELECT s.doc_id,
+                   CAST(COALESCE(c.corpus_min, m.shard_min) AS BIGINT) AS canonical_id,
+                   (COALESCE(c.corpus_min, m.shard_min) != s.doc_id) AS is_duplicate
+            FROM shard s
+            LEFT JOIN cmin c ON s.text = c.text
+            JOIN smin m ON s.text = m.text
+            ORDER BY s.doc_id
         """,
         "token_stats": r"""
             SELECT doc_id,
