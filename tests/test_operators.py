@@ -516,6 +516,34 @@ class TestDedupScale:
         for i in range(10):
             assert cl[i] == cl[60 + i]
 
+    def test_dataset_regime_pairs_globally_unique(self, ray_session):
+        """Round-4: identical docs collide in EVERY band, so the Dataset
+        pair regime must dedup cross-band duplicates before the expensive
+        payload-join verify — returned pairs are globally unique and the
+        before/after census lands in LAST_PAIR_STATS."""
+        import ray.data as rd
+
+        # 5 docs sharing one bucket in each of 4 bands (verbatim-dup shape)
+        n_bands, ids = 4, np.arange(5, dtype=np.int64)
+        rows = pd.DataFrame(
+            {
+                "band": np.repeat(np.arange(n_bands, dtype=np.int64), ids.size),
+                "band_hash": np.uint64(77),
+                "sig_hash": np.uint64(123),
+                "doc_id": np.tile(ids, n_bands),
+            }
+        )
+        band_ds = rd.from_pandas(rows).repartition(3)
+        res = D.lsh_candidate_pairs(
+            band_ds, driver_threshold=0, pair_driver_threshold=0
+        )
+        pairs = res.to_pandas()
+        # all-pairs of 5 docs per band = 10; 4 bands raw = 40; unique = 10
+        assert D.LAST_PAIR_STATS["dataset_pairs_raw"] == 40
+        assert D.LAST_PAIR_STATS["dataset_pairs"] == 10
+        assert len(pairs) == 10
+        assert not pairs.duplicated().any()
+
     def test_fully_distributed_pairs_and_components(self, ray_session):
         """Round-3 (VERDICT #2): with pair_driver_threshold=0 the pair set
         stays a Dataset end-to-end — verify + connected components run

@@ -381,6 +381,44 @@ def _pairs_from_bands_df(
     return pairs.drop_duplicates().astype(np.int64)
 
 
+def _distinct_pairs_batch(t: pa.Table) -> pa.Table:
+    """In-batch distinct of (a, b) pairs — the partial/combiner before the
+    multi-key groupby, so the all-to-all moves one row per distinct pair
+    per block.  Lexsort keeps it valid for the full int64 id range (no
+    packed-key overflow)."""
+    a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if a.size == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(a.size, dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+
+def _dedup_pair_dataset(res):
+    """Globally deduplicate a candidate-pair Dataset: in-batch distinct →
+    ``groupby([a, b])`` count (key columns survive the aggregate) → slim
+    (a, b) blocks.  Output is repartitioned to cluster-sized schema-ful
+    blocks — a sort-aggregate with more partitions than groups emits
+    SCHEMALESS empties that crash a downstream join aggregator (sandbox
+    lessons 20/22) — and materialized, because the verify + components
+    consumers iterate it repeatedly (lesson 14)."""
+    from ray.data.aggregate import Count
+
+    from .joins import auto_join_partitions
+
+    return (
+        res.map_batches(_distinct_pairs_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count())
+        .select_columns(["a", "b"])
+        .repartition(auto_join_partitions())
+        .materialize()
+    )
+
+
 def lsh_candidate_pairs(
     band_ds,
     id_col: str = "doc_id",
@@ -404,11 +442,16 @@ def lsh_candidate_pairs(
       distributed_connected_components``) and the driver never holds a
       pair-sized frame (``LAST_DRIVER_FETCH['pair_rows']`` stays 0).
 
-    Cross-band duplicate pairs in the Dataset regime are NOT globally
-    deduplicated (that would cost one more all-to-all); both the verify
-    predicate and min-label components are idempotent under repeated
-    edges, so only some verify work (≤ bands×) is duplicated."""
-    LAST_PAIR_STATS.update(hot_buckets=0, star_pairs=0, dropped_reps=0)
+    Dataset-regime pairs are GLOBALLY DEDUPLICATED (round 4): a pair of
+    near-identical docs collides in ~every band, so without it the verify
+    stage (payload hash-joins — the expensive part) runs up to bands×
+    redundant work.  The dedup is one slim all-to-all over (a, b) int64
+    rows: in-batch distinct partials → multi-key groupby.  Before/after
+    counts land in ``LAST_PAIR_STATS['dataset_pairs_raw'/'dataset_pairs']``."""
+    LAST_PAIR_STATS.update(
+        hot_buckets=0, star_pairs=0, dropped_reps=0,
+        dataset_pairs_raw=0, dataset_pairs=0,
+    )
     band_ds = band_ds.materialize()
     n = band_ds.count()
     if n <= driver_threshold:
@@ -444,6 +487,9 @@ def lsh_candidate_pairs(
     n_pairs = res.count()
     if n_pairs > pair_driver_threshold:
         LAST_DRIVER_FETCH["pair_rows"] = 0
+        res = _dedup_pair_dataset(res)
+        LAST_PAIR_STATS["dataset_pairs_raw"] = n_pairs
+        LAST_PAIR_STATS["dataset_pairs"] = res.count()
         return res  # Dataset — caller stays distributed end-to-end
     df = res.to_pandas()
     LAST_DRIVER_FETCH["pair_rows"] = len(df)
