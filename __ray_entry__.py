@@ -723,6 +723,39 @@ def q_quality_score(sf_dir: str):
     return out.map_batches(r, batch_format="pyarrow")
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (``stages/text.py:pii_scrub_batch``): the corpus has
+    no contact details, so the fixture PLANTS deterministic emails / IPs /
+    phone numbers keyed by doc_id (same construction in the SQL oracle),
+    then scrubs with the shared RE2 patterns.  Counts per pattern are taken
+    on the pre-scrub text; both engines run RE2, so replacement semantics
+    agree byte-for-byte."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import pii_scrub_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(pc.fill_null(t["text"], "").to_pandas(), dtype=str)
+        ids_s = pd.Series(ids).astype(str)
+        em = np.where(ids % 3 == 0, " contact user" + ids_s + "@mail.example", "")
+        ph = np.where(
+            ids % 5 == 0,
+            " call 555-01" + pd.Series(ids % 100).astype(str).str.zfill(2),
+            "",
+        )
+        ip = np.where(ids % 7 == 0, " from 10.0.0." + pd.Series(ids % 250).astype(str), "")
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array((s + em + ph + ip).tolist())}
+        )
+
+    out = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        pii_scrub_batch, batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_window_events(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.window import windowed_aggregate
     import ray.data as rd
@@ -1700,6 +1733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": q_dedup_incremental,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
+        "pii_scrub": q_pii_scrub,
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
@@ -1770,8 +1804,39 @@ _FINGERPRINT_SQL = f"""
 """
 
 
+def _pii_sql() -> str:
+    """DuckDB twin of q_pii_scrub, generated from the SAME pattern tuple
+    the engine scrubs with (DuckDB's regex engine is also RE2, so counts
+    and replacements agree byte-for-byte).  Counts are taken on the
+    pre-scrub text; replacements nest in pattern order."""
+    from zonal_stats_toolkit_ray.stages.text import DEFAULT_PII_PATTERNS
+
+    repl_expr = "text"
+    counts = []
+    for name, rx, repl in DEFAULT_PII_PATTERNS:
+        repl_expr = f"regexp_replace({repl_expr}, '{rx}', '{repl}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{rx}')) AS n_{name}")
+    return f"""
+        WITH aug AS (
+          SELECT doc_id,
+            text
+            || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@mail.example' ELSE '' END
+            || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 ELSE '' END
+            || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+            AS text
+          FROM documents)
+        SELECT doc_id, {repl_expr} AS text, {', '.join(counts)}
+        FROM aug ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_scrub": _pii_sql(),
         "zonal_grid_join": f"""
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,

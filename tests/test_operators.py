@@ -28,6 +28,32 @@ def docs_ds(ray_session):
 
 
 class TestText:
+    def test_pii_scrub(self):
+        t = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "mail a.b+c@site.org or x@y.io, call 555-0199",
+                    None,
+                    "server 192.168.0.1 and 10.0.0.255 up",
+                    "no pii here 12-34",
+                ],
+            }
+        )
+        out = T.pii_scrub_batch(t)
+        assert out["text"].to_pylist() == [
+            "mail <EMAIL> or <EMAIL>, call <PHONE>",
+            "",
+            "server <IP> and <IP> up",
+            "no pii here 12-34",
+        ]
+        assert out["n_email"].to_pylist() == [2, 0, 0, 0]
+        assert out["n_ip"].to_pylist() == [0, 0, 2, 0]
+        assert out["n_phone"].to_pylist() == [1, 0, 0, 0]
+        # extra columns (doc_id) pass through; counts are int64
+        assert out["doc_id"].to_pylist() == [1, 2, 3, 4]
+        assert out.schema.field("n_email").type == pa.int64()
+
     def test_token_stats(self):
         t = pa.table({"text": ["hello world  foo", "", "one", "a, b! c?"]})
         out = T.token_stats_batch(t)

@@ -566,3 +566,44 @@ def repetition_ratio_batch(
     with np.errstate(invalid="ignore", divide="ignore"):
         ratio = np.where(total > 0, 1.0 - distinct / total, 0.0)
     return batch.append_column("rep_ratio", pa.array(ratio, pa.float64()))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 4) — training corpora redact contact details before
+# anything downstream sees the text.  Pure RE2 kernels (Arrow's regex
+# engine), so the DuckDB oracle (also RE2) reproduces the semantics exactly.
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement) — counts are taken on the ORIGINAL text
+# per pattern, then replacements apply sequentially (replacement tokens
+# contain no digits/@, so later patterns never match earlier replacements)
+DEFAULT_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    patterns=DEFAULT_PII_PATTERNS,
+) -> pa.Table:
+    """Redact PII in ``text_col`` in place and append one ``n_<name>``
+    int64 count column per pattern.  Fully vectorized — one
+    ``count_substring_regex`` + one ``replace_substring_regex`` per
+    pattern over the whole batch; RE2 compiles once per kernel call, so no
+    per-actor state is needed (stateless ``map_batches`` stage)."""
+    orig = pc.fill_null(batch[text_col], "")
+    scrubbed = orig
+    counts = {}
+    for name, rx, repl in patterns:
+        counts[f"n_{name}"] = pc.cast(pc.count_substring_regex(orig, rx), pa.int64())
+        scrubbed = pc.replace_substring_regex(scrubbed, rx, repl)
+    batch = batch.set_column(
+        batch.schema.get_field_index(text_col), text_col, scrubbed
+    )
+    for k, v in counts.items():
+        batch = batch.append_column(k, v)
+    return batch
