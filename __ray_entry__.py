@@ -756,6 +756,34 @@ def q_pii_scrub(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_boilerplate_lines(sf_dir: str):
+    """C4-style line-level boilerplate removal
+    (``stages/text.py:remove_boilerplate_lines``): lines occurring in ≥3
+    distinct documents are dropped corpus-wide.  The corpus is single-line
+    token soup, so the fixture PLANTS shared banner/footer lines keyed by
+    doc_id plus one always-unique tail line (same construction in SQL)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import remove_boilerplate_lines
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(pc.fill_null(t["text"], "").to_pandas(), dtype=str)
+        ids_s = pd.Series(ids).astype(str)
+        banner = np.where(ids % 2 == 0, "\ncookie banner accept all", "")
+        footer = np.where(ids % 9 == 0, "\ncopyright 2024 example", "")
+        tail = "\nunique tail " + ids_s
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pa.array((s + banner + footer + tail).tolist())}
+        )
+
+    out = remove_boilerplate_lines(
+        ds.map_batches(plant, batch_format="pyarrow"), min_docs=3
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_window_events(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.window import windowed_aggregate
     import ray.data as rd
@@ -1734,6 +1762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "pii_scrub": q_pii_scrub,
+        "boilerplate_lines": q_boilerplate_lines,
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
@@ -1837,6 +1866,38 @@ def _pii_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pii_scrub": _pii_sql(),
+        "boilerplate_lines": """
+            WITH aug AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || 'cookie banner accept all' ELSE '' END
+                || CASE WHEN doc_id % 9 = 0
+                     THEN chr(10) || 'copyright 2024 example' ELSE '' END
+                || chr(10) || 'unique tail ' || doc_id
+                AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id,
+                     unnest(l) AS line,
+                     unnest(generate_series(1, len(l))) AS ord
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug)
+            ),
+            df AS (
+              SELECT line, count(DISTINCT doc_id) AS ndocs
+              FROM lines WHERE line != '' GROUP BY line
+            ),
+            marked AS (
+              SELECT doc_id, ord, line,
+                     (line != '' AND line IN (SELECT line FROM df WHERE ndocs >= 3)) AS is_b
+              FROM lines
+            )
+            SELECT doc_id,
+              COALESCE(string_agg(CASE WHEN NOT is_b THEN line END,
+                                  chr(10) ORDER BY ord), '') AS text,
+              CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+            FROM marked GROUP BY doc_id ORDER BY doc_id
+        """,
         "zonal_grid_join": f"""
             SELECT doc_id, {_GEO_SQL} AS zone_id FROM documents
         """,

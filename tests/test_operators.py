@@ -54,6 +54,41 @@ class TestText:
         assert out["doc_id"].to_pylist() == [1, 2, 3, 4]
         assert out.schema.field("n_email").type == pa.int64()
 
+    def test_boilerplate_lines(self, ray_session):
+        import ray.data as rd
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "unique one\ncopyright footer\nbody a",
+                    "copyright footer\nbody b\n\ntrailing empty kept",
+                    "copyright footer",
+                    "nothing shared here",
+                ],
+            }
+        )
+        out = (
+            T.remove_boilerplate_lines(rd.from_pandas(docs).repartition(2), min_docs=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["text"].tolist() == [
+            "unique one\nbody a",
+            "body b\n\ntrailing empty kept",  # empty lines survive
+            "",  # all-boilerplate doc empties out
+            "nothing shared here",
+        ]
+        assert out["n_removed"].tolist() == [1, 1, 1, 0]
+        # below threshold nothing is boilerplate
+        out4 = (
+            T.remove_boilerplate_lines(rd.from_pandas(docs), min_docs=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out4["n_removed"].tolist() == [0, 0, 0, 0]
+
     def test_token_stats(self):
         t = pa.table({"text": ["hello world  foo", "", "one", "a, b! c?"]})
         out = T.token_stats_batch(t)

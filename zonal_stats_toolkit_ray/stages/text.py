@@ -607,3 +607,120 @@ def pii_scrub_batch(
     for k, v in counts.items():
         batch = batch.append_column(k, v)
     return batch
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (round 4) — the C4/RefinedWeb shape: a
+# line occurring in many documents (nav bars, cookie banners, copyright
+# footers) is boilerplate and is dropped from every document.
+# ---------------------------------------------------------------------------
+
+def line_df_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """documents → (line_hash, ndocs) partials: split on newline, hash each
+    line, count DISTINCT docs per line within the batch (the combiner —
+    the shuffle then moves one row per distinct line per block).  Empty
+    lines are ignored (never treated as boilerplate)."""
+    from .geocode import hash64_utf8
+
+    t = pc.fill_null(batch[text_col], "")
+    lines = pc.split_pattern(t, "\n")
+    counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lines)
+    doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    doc_idx = doc_idx[nonempty.to_numpy(zero_copy_only=False)]
+    if len(flat) == 0:
+        return pa.table(
+            {"line_hash": pa.array([], pa.int64()), "ndocs": pa.array([], pa.int64())}
+        )
+    h = hash64_utf8(flat).view(np.int64)  # int64 transport: see incremental.py
+    # distinct (line, doc) then count docs per line — one lexsort
+    order = np.lexsort((doc_idx, h))
+    hs, ds_ = h[order], doc_idx[order]
+    new_pair = np.concatenate([[True], (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])])
+    hs, ds_ = hs[new_pair], ds_[new_pair]
+    uniq, cnt = np.unique(hs, return_counts=True)
+    return pa.table(
+        {"line_hash": pa.array(uniq, pa.int64()), "ndocs": pa.array(cnt, pa.int64())}
+    )
+
+
+def remove_boilerplate_lines(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    num_partitions: int = 4,
+):
+    """→ Dataset ``(doc_id, text, n_removed)``: drop every non-empty line
+    that occurs in ≥ ``min_docs`` distinct documents; remaining lines are
+    rejoined with ``\\n`` in original order.
+
+    Scale shape: per-batch distinct partials → a line-hash-keyed
+    ``groupby().Sum`` (exact distinct-doc counts: a document is one row,
+    so it lives in exactly one batch and is counted once) → the
+    boilerplate set (ONLY lines above the frequency threshold — tiny by
+    construction: boilerplate is the head of the line-frequency
+    distribution, unique lines never leave the aggregate) is broadcast
+    once via ``ray.put`` and each batch filters its lines vectorized,
+    rejoining with one ``binary_join`` kernel call.  Partials coalesce to
+    ``num_partitions`` blocks before the aggregate — schemaless-empty-
+    partition hazard (sandbox lesson 22)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .geocode import hash64_utf8
+
+    partials = ds.map_batches(
+        line_df_batch, batch_format="pyarrow", fn_kwargs=dict(text_col=text_col)
+    ).repartition(num_partitions)
+    df_tab = (
+        partials.groupby("line_hash")
+        .aggregate(Sum("ndocs", alias_name="ndocs"))
+        .map_batches(
+            lambda t, _k=min_docs: t.filter(pc.greater_equal(t["ndocs"], _k)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # boilerplate-set-sized, not corpus-sized
+    )
+    boiler = np.sort(df_tab["line_hash"].to_numpy().astype(np.int64))
+    bref = ray.put(boiler)
+
+    def scrub(batch: pa.Table, _b=bref) -> pa.Table:
+        bl = ray.get(_b)
+        t = pc.fill_null(batch[text_col], "")
+        lines = pc.split_pattern(t, "\n")
+        counts = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        if len(flat) and bl.size:
+            h = hash64_utf8(flat).view(np.int64)
+            pos = np.searchsorted(bl, h)
+            pos[pos == bl.size] = 0
+            is_boiler = bl[pos] == h
+            # empty lines are never boilerplate (excluded from the DF)
+            empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+            is_boiler &= ~empty
+        else:
+            is_boiler = np.zeros(len(flat), dtype=bool)
+        removed = np.zeros(len(batch), dtype=np.int64)
+        np.add.at(removed, doc_idx[is_boiler], 1)
+        keep = ~is_boiler
+        # vectorized per-doc rejoin: list array over the kept lines, one
+        # binary_join kernel call (no per-row Python)
+        kept = flat.filter(pa.array(keep))
+        bounds = np.searchsorted(doc_idx[keep], np.arange(len(batch) + 1))
+        la = pa.LargeListArray.from_arrays(pa.array(bounds, pa.int64()), kept)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pc.binary_join(la, "\n"),
+                "n_removed": pa.array(removed),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
