@@ -685,7 +685,11 @@ def remove_boilerplate_lines(
         )
         .to_pandas()  # boilerplate-set-sized, not corpus-sized
     )
-    boiler = np.sort(df_tab["line_hash"].to_numpy().astype(np.int64))
+    # an all-empty filter result surfaces as a column-less frame
+    if "line_hash" in df_tab.columns:
+        boiler = np.sort(df_tab["line_hash"].to_numpy().astype(np.int64))
+    else:
+        boiler = np.empty(0, dtype=np.int64)
     bref = ray.put(boiler)
 
     def scrub(batch: pa.Table, _b=bref) -> pa.Table:
