@@ -1162,6 +1162,58 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(ds, bh, n=8)
 
 
+def q_decontaminate_bloom_cert(sf_dir: str):
+    """Bloom-filter decontamination certificate
+    (``stages/split.py:decontaminate_bloom``): per document,
+    ``no_false_negative`` = (exact contaminated ⇒ bloom contaminated) —
+    the Bloom guarantee direction that makes it safe for decontamination.
+    ``fp_budget_ok`` certifies the FILTER's false-positive rate, measured
+    on 100k deterministic synthetic probe keys not in the benchmark set,
+    ≤ 3× nominal (doc-level over-flagging is ~ngrams-per-doc × this rate
+    by construction, so the filter-level bound is the meaningful one).
+    All-TRUE oracle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import (
+        BloomFilter,
+        benchmark_ngram_hashes,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    bench_texts = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+        )
+        .select_columns(["text"])
+        .to_pandas()
+    )
+    bh = benchmark_ngram_hashes(pa.array(bench_texts["text"], pa.string()), 8)
+    fp_rate = 0.01
+    exact = decontaminate(ds, bh, n=8).to_pandas().set_index("doc_id")["contaminated"]
+    bloom = (
+        decontaminate_bloom(ds, bh, n=8, fp_rate=fp_rate)
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+    )
+    exact, bloom = exact.sort_index(), bloom.sort_index()
+    no_fn = (~exact) | bloom
+
+    bf = BloomFilter(bh.size, fp_rate=fp_rate)  # same construction as the op
+    bf.add_many(bh)
+    probes = BloomFilter._h2(np.arange(100_000, dtype=np.uint64))
+    probes = probes[~np.isin(probes, bh)]
+    measured = float(bf.contains_many(probes).mean())
+    fp_ok = bool(measured <= 3 * fp_rate)
+    return pd.DataFrame(
+        {
+            "doc_id": exact.index.to_numpy(),
+            "no_false_negative": no_fn.to_numpy(),
+            "fp_budget_ok": fp_ok,
+        }
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
 def q_html_extract(sf_dir: str):
     """HTML→text extraction with the input-hint invariant hash-checked:
     extracted text must be byte-identical per url to the corpus text (the
@@ -1786,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shuffle": q_deterministic_shuffle,
         "train_val_split": q_train_val_split,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom_cert": q_decontaminate_bloom_cert,
         "html_extract": q_html_extract,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1977,6 +2030,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
             ORDER BY query_id
+        """,
+        "decontaminate_bloom_cert": """
+            SELECT doc_id, TRUE AS no_false_negative, TRUE AS fp_budget_ok
+            FROM documents ORDER BY doc_id
         """,
         "sample_per_group": """
             SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id

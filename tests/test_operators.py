@@ -836,6 +836,42 @@ class TestSplitOps:
         frac = (a["split"] == "val").mean()
         assert 0.1 < frac < 0.3  # ~0.2 for a uniform id hash
 
+    def test_bloom_filter_and_decontaminate_superset(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages import split as S
+
+        rng = np.random.default_rng(3)
+        keys = rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+        other = rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+        bf = S.BloomFilter(keys.size, fp_rate=0.01)
+        bf.add_many(keys)
+        assert bf.contains_many(keys).all()  # zero false negatives, always
+        assert bf.contains_many(other).mean() < 0.03
+        # bit array ~7x smaller than the exact uint64 set
+        assert bf.bits.nbytes < keys.nbytes / 4
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": np.arange(40, dtype=np.int64),
+                "text": [
+                    " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))
+                    for i in range(40)
+                ],
+            }
+        )
+        ds = rd.from_pandas(docs).repartition(3)
+        bh = S.benchmark_ngram_hashes(pa.array(docs["text"][:3], pa.string()), 8)
+        exact = S.decontaminate(ds, bh, n=8).to_pandas().sort_values("doc_id")
+        bloom = (
+            S.decontaminate_bloom(ds, bh, n=8, fp_rate=0.001)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        e = exact["contaminated"].to_numpy()
+        b = bloom["contaminated"].to_numpy()
+        assert (~e | b).all()  # bloom is a superset of exact
+        assert e[:3].all() and b[:3].all()  # the benchmark docs themselves
+
     def test_decontaminate_flags_benchmark_and_copies(self, ray_session):
         import ray.data as rd
 

@@ -227,3 +227,107 @@ def sample_n_per_group(
     )
     out = out.rename(columns={"rank": "sample_rank"}).drop(columns=["__neg_hash"])
     return out[[key_col, "sample_rank", id_col]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (round 4) — the scale path for benchmark
+# sets too large to broadcast exactly.  A Bloom filter at 1% FP is ~1.2
+# bytes/element vs 8 bytes/element for the exact uint64 hash set (~7×),
+# and the guarantee direction is the SAFE one for decontamination: no
+# false negatives — every truly contaminated document is flagged; a small
+# FP fraction of clean documents is over-flagged (cheap: they are merely
+# dropped from training).
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Vectorized Bloom filter over uint64 keys.  Double hashing: probe i
+    uses ``(h1 + i·h2) mod m`` (Kirsch–Mitzenmacher), with h2 a SplitMix64
+    remix of the key, so adds and lookups are pure NumPy over all keys at
+    once — no per-element Python."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        capacity = max(1, int(capacity))
+        ln2 = np.log(2.0)
+        m = int(np.ceil(-capacity * np.log(fp_rate) / (ln2 * ln2)))
+        self.m = max(64, m)
+        self.k = max(1, int(round(self.m / capacity * ln2)))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @staticmethod
+    def _h2(h: np.ndarray) -> np.ndarray:
+        # SplitMix64 finalizer — independent second hash stream; forced
+        # odd so probe strides never collapse to 0
+        z = h.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return (z ^ (z >> np.uint64(31))) | np.uint64(1)
+
+    def _probes(self, h: np.ndarray, i: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            idx = (h.astype(np.uint64) + np.uint64(i) * self._h2(h)) % np.uint64(self.m)
+        return idx
+
+    def add_many(self, h: np.ndarray) -> None:
+        h = np.asarray(h, dtype=np.uint64)
+        for i in range(self.k):
+            idx = self._probes(h, i)
+            np.bitwise_or.at(
+                self.bits, (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
+
+    def contains_many(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        out = np.ones(h.size, dtype=bool)
+        for i in range(self.k):
+            idx = self._probes(h, i)
+            word = self.bits[(idx >> np.uint64(6)).astype(np.int64)]
+            out &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return out
+
+
+def decontaminate_bloom(
+    ds,
+    benchmark_hashes: np.ndarray,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    fp_rate: float = 0.01,
+):
+    """Bloom-filter variant of :func:`decontaminate` → Dataset(id,
+    contaminated).  Supersets the exact answer (no false negatives; FP
+    fraction ≈ ``fp_rate`` of clean docs' n-grams).  The filter is built
+    once on the driver from the benchmark hash set and broadcast via
+    ``ray.put`` — at web scale ship only the bit array, never the raw
+    benchmark set."""
+    import ray
+
+    from .dedup import word_ngram_hashes  # noqa: F401  (shared kernel import path)
+
+    bench = np.unique(np.asarray(benchmark_hashes, dtype=np.uint64))
+    bf = BloomFilter(bench.size, fp_rate=fp_rate)
+    bf.add_many(bench)
+    ref = ray.put((bf.bits, bf.m, bf.k)) if ray.is_initialized() else (bf.bits, bf.m, bf.k)
+
+    def check(b: pa.Table, _r=ref) -> pa.Table:
+        import ray as _ray
+
+        bits, m, k = _ray.get(_r) if not isinstance(_r, tuple) else _r
+        f = BloomFilter.__new__(BloomFilter)
+        f.bits, f.m, f.k = bits, m, k
+        from .dedup import word_ngram_hashes as _wn
+
+        h, d = _wn(b[text_col], n)
+        hits = f.contains_many(h)
+        contaminated = np.zeros(len(b), dtype=bool)
+        if hits.any():
+            np.logical_or.at(contaminated, d[hits], True)
+        return pa.table(
+            {id_col: b[id_col], "contaminated": pa.array(contaminated)}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        check, batch_format="pyarrow"
+    )
