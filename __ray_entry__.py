@@ -756,6 +756,27 @@ def q_pii_scrub(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_normalize_by_group(sf_dir: str):
+    """Per-group z-score + min-max normalization
+    (``stages/normalize.py:normalize_by_group``): events.value normalized
+    within event_type.  Variance via the clamped sum-of-squares identity so
+    the oracle reproduces the arithmetic exactly (same sums, same algebra,
+    same clamp)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.normalize import normalize_by_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = normalize_by_group(ds, group_col="event_type", value_col="value")
+    return (
+        out.select_columns(["event_id", "event_type", "zscore", "minmax"])
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_boilerplate_lines(sf_dir: str):
     """C4-style line-level boilerplate removal
     (``stages/text.py:remove_boilerplate_lines``): lines occurring in ≥3
@@ -1815,6 +1836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q_quality_score,
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
+        "normalize_by_group": q_normalize_by_group,
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
@@ -2034,6 +2056,30 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_bloom_cert": """
             SELECT doc_id, TRUE AS no_false_negative, TRUE AS fp_budget_ok
             FROM documents ORDER BY doc_id
+        """,
+        "normalize_by_group": """
+            WITH m AS (
+              SELECT event_type,
+                     count(value)::DOUBLE AS n,
+                     sum(value) AS s,
+                     sum(value * value) AS ss,
+                     min(value) AS mn,
+                     max(value) AS mx
+              FROM events GROUP BY event_type
+            ),
+            mm AS (
+              SELECT event_type, s / n AS mean,
+                     greatest(ss / n - (s / n) * (s / n), 0) AS var,
+                     mn, mx - mn AS rng
+              FROM m
+            )
+            SELECT e.event_id, e.event_type,
+                   round(CASE WHEN var > 0
+                         THEN (e.value - mean) / sqrt(var) ELSE 0 END, 6) AS zscore,
+                   round(CASE WHEN rng > 0
+                         THEN (e.value - mn) / rng ELSE 0 END, 6) AS minmax
+            FROM events e JOIN mm USING (event_type)
+            ORDER BY e.event_id
         """,
         "sample_per_group": """
             SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id

@@ -175,3 +175,4 @@ class TestIncrementalDedup:
             }
         )
         pd.testing.assert_frame_equal(out, exp)
+

@@ -929,3 +929,39 @@ def test_distributed_pair_verify_matches_driver(ray_session):
         a.sort_values("doc_id")["cluster_id"].to_numpy(),
         b.sort_values("doc_id")["cluster_id"].to_numpy(),
     )
+
+
+class TestNormalizeByGroup:
+    def test_zscore_minmax_and_edges(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.normalize import normalize_by_group
+
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(7, dtype=np.int64),
+                "event_type": ["a", "a", "a", "b", "b", "c", "a"],
+                "value": [1.0, 2.0, 3.0, 5.0, 5.0, 9.0, np.nan],
+            }
+        )
+        out = (
+            normalize_by_group(
+                rd.from_pandas(df).repartition(3),
+                group_col="event_type",
+                value_col="value",
+                ndigits=None,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # group a: mean 2, std sqrt(2/3); NaN row excluded from moments
+        std_a = np.sqrt(2.0 / 3.0)
+        np.testing.assert_allclose(
+            out.loc[:2, "zscore"], [-1 / std_a, 0.0, 1 / std_a], rtol=1e-12
+        )
+        np.testing.assert_allclose(out.loc[:2, "minmax"], [0.0, 0.5, 1.0])
+        # constant group b and singleton group c: defined as 0
+        assert (out.loc[3:5, "zscore"] == 0).all()
+        assert (out.loc[3:5, "minmax"] == 0).all()
+        # NaN passes through
+        assert np.isnan(out.loc[6, "zscore"]) and np.isnan(out.loc[6, "minmax"])

@@ -1,0 +1,133 @@
+"""Per-group feature normalization (round 4): z-score and min-max scaling
+of a numeric column within groups — the standard feature-prep stage before
+model training (normalize engagement value per event type, score per
+language, ...).
+
+Scale shape (the partial-aggregate-then-broadcast pattern shared with the
+zonal reduce): one in-batch combiner emits (group, n, sum, sumsq, min,
+max) — the all-to-all moves one row per (group, block) — a group-sized
+``groupby().aggregate`` reduces them, the tiny per-group moment table
+broadcasts via ``ray.put``, and the full rows stream through a vectorized
+lookup+transform.  Two passes over the input by design (moments, then
+transform); nothing corpus-sized ever reaches the driver.
+
+Variance uses the sum-of-squares identity var = E[x²] − E[x]² (clamped at
+0 like the reference's stdev quirk Q3, runner.py:233) so the SQL oracle
+can reproduce the arithmetic exactly — same sums, same algebra, same
+clamp."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _dict_encode(g):
+    """(codes int64, dictionary Array) of a possibly-chunked group column."""
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = g.dictionary_encode()
+    return np.asarray(enc.indices, dtype=np.int64), enc.dictionary
+
+
+def _moments_partial(batch: pa.Table, *, group_col: str, value_col: str) -> pa.Table:
+    codes, uniq = _dict_encode(batch[group_col])
+    v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    ok = ~np.isnan(v)
+    k = len(uniq)
+    n = np.bincount(codes[ok], minlength=k).astype(np.int64)
+    s = np.bincount(codes[ok], weights=v[ok], minlength=k)
+    ss = np.bincount(codes[ok], weights=v[ok] * v[ok], minlength=k)
+    mn = np.full(k, np.inf)
+    mx = np.full(k, -np.inf)
+    np.minimum.at(mn, codes[ok], v[ok])
+    np.maximum.at(mx, codes[ok], v[ok])
+    return pa.table(
+        {
+            group_col: uniq,
+            "n": pa.array(n),
+            "s": pa.array(s),
+            "ss": pa.array(ss),
+            "mn": pa.array(mn),
+            "mx": pa.array(mx),
+        }
+    )
+
+
+def group_moments(ds, *, group_col: str, value_col: str) -> pd.DataFrame:
+    """(group, n, sum, sumsq, min, max) — group-sized, driver-held."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    out = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(
+            _moments_partial,
+            batch_format="pyarrow",
+            fn_kwargs=dict(group_col=group_col, value_col=value_col),
+        )
+        .groupby(group_col)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+            Min("mn", alias_name="mn"),
+            Max("mx", alias_name="mx"),
+        )
+        .to_pandas()
+    )
+    return out
+
+
+def normalize_by_group(
+    ds,
+    *,
+    group_col: str,
+    value_col: str,
+    ndigits: int | None = 6,
+):
+    """→ the input Dataset with ``zscore`` and ``minmax`` columns appended.
+
+    * ``zscore`` = (v − mean_g) / std_g, std from the clamped
+      sum-of-squares identity; 0 where the group is constant (std = 0).
+    * ``minmax`` = (v − min_g) / (max_g − min_g); 0 where max = min.
+    * NaN values pass through as NaN and never contribute to moments.
+
+    ``ndigits`` rounds the outputs (oracle comparability); ``None`` keeps
+    full precision."""
+    import ray
+
+    mom = group_moments(ds, group_col=group_col, value_col=value_col)
+    keys = mom[group_col].astype(str).to_numpy()
+    order = np.argsort(keys)
+    keys = keys[order]
+    n = mom["n"].to_numpy(np.float64)[order]
+    mean = mom["s"].to_numpy(np.float64)[order] / np.maximum(n, 1)
+    var = np.maximum(mom["ss"].to_numpy(np.float64)[order] / np.maximum(n, 1) - mean * mean, 0.0)
+    std = np.sqrt(var)
+    mn = mom["mn"].to_numpy(np.float64)[order]
+    rng = mom["mx"].to_numpy(np.float64)[order] - mn
+    ref = ray.put((keys, mean, std, mn, rng))
+
+    def transform(batch: pa.Table, _r=ref) -> pa.Table:
+        ks, mean_, std_, mn_, rng_ = ray.get(_r)
+        codes, uniq = _dict_encode(batch[group_col])
+        # map the (small) per-batch dictionary to moment-table slots, then
+        # gather per row — O(groups) searchsorted, O(rows) gather
+        gi = np.searchsorted(ks, np.asarray(uniq.to_pylist(), dtype=str))[codes]
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(std_[gi] > 0, (v - mean_[gi]) / std_[gi], 0.0)
+            mmx = np.where(rng_[gi] > 0, (v - mn_[gi]) / rng_[gi], 0.0)
+        nan = np.isnan(v)
+        z[nan] = np.nan
+        mmx[nan] = np.nan
+        if ndigits is not None:
+            z = np.round(z, ndigits)
+            mmx = np.round(mmx, ndigits)
+        return batch.append_column("zscore", pa.array(z, pa.float64())).append_column(
+            "minmax", pa.array(mmx, pa.float64())
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")
