@@ -756,6 +756,66 @@ def q_pii_scrub(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_pipeline(sf_dir: str):
+    """Flagship composed TRAINING-DATA CURATION pipeline — the shape a
+    100-TB corpus actually runs, end to end in one streaming plan chain:
+
+      quality gate (exact global p25 of n_chars, salted distributed
+      percentile) → exact dedup (min-id winner per text, partial+final
+      aggregate) → benchmark decontamination (8-gram broadcast set) →
+      deterministic train/val split (hash of id).
+
+    Returns (doc_id, split) of the surviving documents.  Every stage is a
+    tested operator (quantile_filter / exact_dedup / decontaminate /
+    train_val_split); this query certifies their COMPOSITION against one
+    DuckDB oracle that mirrors stage order exactly."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.dedup import exact_dedup
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+    from zonal_stats_toolkit_ray.stages.split import (
+        benchmark_ngram_hashes,
+        decontaminate,
+        quantile_filter,
+        split_assign_batch,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    bench_texts = (
+        ds.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 5)), batch_format="pyarrow"
+        )
+        .select_columns(["text"])
+        .to_pandas()
+    )
+    bh = benchmark_ngram_hashes(pa.array(bench_texts["text"], pa.string()), 8)
+
+    # materialize the gated set once: it feeds BOTH the dedup winners and
+    # the winner join (two consumers of one filter result)
+    gated = (
+        quantile_filter(ds, value_col="n_chars", q=25.0, keep="ge")
+        .select_columns(["doc_id", "text"])
+        .materialize()
+    )
+    winners = exact_dedup(gated).select_columns(["doc_id"]).materialize()
+    kept = hash_join(gated, winners, on="doc_id")
+    cont = decontaminate(kept, bh, n=8)
+    out = cont.map_batches(
+        lambda t: t.filter(pc.invert(t["contaminated"])), batch_format="pyarrow"
+    ).map_batches(
+        split_assign_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"id_col": "doc_id", "val_fraction": 0.1},
+    )
+    return (
+        out.select_columns(["doc_id", "split"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_normalize_by_group(sf_dir: str):
     """Per-group z-score + min-max normalization
     (``stages/normalize.py:normalize_by_group``): events.value normalized
@@ -1837,6 +1897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
         "normalize_by_group": q_normalize_by_group,
+        "curation_pipeline": q_curation_pipeline,
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
@@ -2120,6 +2181,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (doc_id * 2654435761) % 4294967296 < 429496729
                         THEN 'val' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id
+        """,
+        "curation_pipeline": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 8 THEN
+                  [array_to_string(w[i:i+7], ' ') for i in generate_series(1, len(w)-7)]
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END AS g
+              FROM toks
+            ),
+            bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id < 5),
+            gated AS (
+              SELECT doc_id, text FROM documents
+              WHERE CAST(n_chars AS DOUBLE) >= (
+                SELECT quantile_cont(CAST(CAST(n_chars AS FLOAT) AS DOUBLE), 0.25)
+                FROM documents)
+            ),
+            winners AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+            flat AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+            hits AS (SELECT DISTINCT f.doc_id FROM flat f JOIN bench USING (gram)),
+            survivors AS (
+              SELECT w.doc_id FROM winners w
+              LEFT JOIN hits h ON w.doc_id = h.doc_id
+              WHERE h.doc_id IS NULL
+            )
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 4294967296 < 429496729
+                        THEN 'val' ELSE 'train' END AS split
+            FROM survivors ORDER BY doc_id
         """,
         "decontaminate": r"""
             WITH toks AS (

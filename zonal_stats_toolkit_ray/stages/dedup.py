@@ -164,9 +164,13 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         mn = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(mn, codes, ids)
         cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        # int64 bit-view of the hash: Ray's sort-aggregate rebuilds key
+        # columns from Python ints, and uint64 ≥ 2^63 overflows that into
+        # pickled-object blocks (warnings + unsortable downstream); the
+        # view preserves equality, which is all the groupby needs
         return pa.table(
             {
-                "content_hash": pa.array(uniq, pa.uint64()),
+                "content_hash": pa.array(uniq.view(np.int64), pa.int64()),
                 id_col: pa.array(mn),
                 "n_dupes": pa.array(cnt),
             }
