@@ -211,28 +211,31 @@ def incremental_dedup(
         fn_kwargs=dict(id_col=id_col, text_col=text_col, num_buckets=num_buckets),
     ).materialize()
 
-    shard_min = (
-        slim.map_batches(
-            _min_partial, batch_format="pyarrow", fn_kwargs=dict(id_col=id_col)
-        )
-        .select_columns(["content_hash", id_col])
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name="shard_min"))
-    )
+    # distinct-per-block partials, NO global shard-min aggregate: the
+    # per-hash min is taken exactly once downstream — an np reduce on the
+    # driver (broadcast regime) or the canonical-map groupby Min (join
+    # regime).  A global aggregate here would be a barrier costing as much
+    # as the canonical reduce itself (measured 17 s on a 2M-row shard) and
+    # the join regime would pay it twice (probe + consume).  limit() DOES
+    # early-stop a pure map chain, so the smallness probe is cheap; its
+    # count is an upper bound on shard-distinct (cross-block duplicates),
+    # making the regime gate conservative.
+    partial = slim.map_batches(
+        _min_partial, batch_format="pyarrow", fn_kwargs=dict(id_col=id_col)
+    ).select_columns(["content_hash", id_col])
 
-    # smallness probe, same shape as joins.hash_join: the streaming
-    # executor stops as soon as threshold+1 rows exist
-    small = shard_min.limit(broadcast_threshold + 1).count() <= broadcast_threshold
+    small = partial.limit(broadcast_threshold + 1).count() <= broadcast_threshold
 
     if stats_out is not None:
         stats_out["regime"] = "broadcast" if small else "join"
 
     if small:
-        smin = shard_min.to_pandas()
-        shard_hashes = smin["content_hash"].to_numpy().astype(np.int64)
-        shard_ids = smin["shard_min"].to_numpy().astype(np.int64)
-        order = np.argsort(shard_hashes)
-        shard_hashes, shard_ids = shard_hashes[order], shard_ids[order]
+        pdf = partial.to_pandas()  # partial-rows-sized ≈ shard-distinct
+        ph = pdf["content_hash"].to_numpy().astype(np.int64)
+        pid = pdf[id_col].to_numpy().astype(np.int64)
+        shard_hashes, codes = np.unique(ph, return_inverse=True)  # sorted
+        shard_ids = np.full(shard_hashes.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(shard_ids, codes, pid)
 
         buckets = np.unique(
             (shard_hashes.view(np.uint64) % np.uint64(num_buckets)).astype(np.int64)
@@ -323,7 +326,9 @@ def incremental_dedup(
         )
 
     def enc_shard(batch: pa.Table) -> pa.Table:
-        ids = batch["shard_min"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # consumes the distinct-per-block PARTIALS — duplicate hashes
+        # across blocks are fine, the canonical groupby Min reduces them
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if ids.size and (ids.min() < 0 or ids.max() >= int(_SHARD_PRI)):
             raise ValueError("incremental_dedup requires 0 <= doc_id < 2^62")
         return pa.table(
@@ -333,7 +338,7 @@ def incremental_dedup(
             }
         )
 
-    sides = [shard_min.map_batches(enc_shard, batch_format="pyarrow")]
+    sides = [partial.map_batches(enc_shard, batch_format="pyarrow")]
     if paths:
         sides.append(
             rd.read_parquet(paths, columns=["content_hash", id_col]).map_batches(
