@@ -1098,6 +1098,45 @@ def q_dedup_embedding_cert(sf_dir: str):
     return pd.DataFrame(rows).sort_values("planted_id").reset_index(drop=True)
 
 
+def q_semdedup_cert(sf_dir: str):
+    """SemDeDup certificate (``stages/semdedup.py`` — k-means cluster →
+    within-cluster cosine dedup, Abbas et al. 2023): plant exact copies of
+    the 10 lowest-id vectors (vec_id + 1e6).  An identical vector gets the
+    identical k-means assignment and cosine 1 with its source, so each copy
+    MUST land in the source's near-dup component (``cocluster_ok``) and be
+    flagged as the duplicate — its id is higher than every corpus id, so
+    the keep-min-id rule keeps the source (``planted_flagged``).  A
+    clustering/kernel/regime regression flips rows FALSE and breaks the
+    value hash."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.semdedup import semdedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = ds.limit(10).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    planted = pa.table(
+        {
+            "vec_id": pa.array(head["vec_id"].to_numpy(np.int64) + 1_000_000),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in head["embedding"]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    both = ds.select_columns(["vec_id", "embedding"]).union(rd.from_arrow(planted))
+    out = semdedup(both, nlist=16, threshold=0.99).to_pandas()
+    canon = dict(zip(out["vec_id"].astype(np.int64), out["canonical_id"].astype(np.int64)))
+    dup = dict(zip(out["vec_id"].astype(np.int64), out["is_duplicate"].astype(bool)))
+    rows = [
+        {
+            "planted_id": int(v) + 1_000_000,
+            "cocluster_ok": bool(canon[int(v) + 1_000_000] == canon[int(v)]),
+            "planted_flagged": bool(dup[int(v) + 1_000_000]),
+        }
+        for v in head["vec_id"]
+    ]
+    return pd.DataFrame(rows).sort_values("planted_id").reset_index(drop=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a synthetic "new crawl" shard against a
     persisted corpus content index (``stages/incremental.py`` — the shape
@@ -1916,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_cert": q_dedup_ngram_cert,
         "zone_knn_cert": q_zone_knn_cert,
         "dedup_embedding_cert": q_dedup_embedding_cert,
+        "semdedup_cert": q_semdedup_cert,
         "knn_ivf_cert": q_knn_ivf_cert,
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
@@ -2051,6 +2091,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_embedding_cert": """
             SELECT vec_id + 1000000 AS planted_id, TRUE AS cocluster_ok
+            FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
+            ORDER BY planted_id
+        """,
+        "semdedup_cert": """
+            SELECT vec_id + 1000000 AS planted_id, TRUE AS cocluster_ok,
+                   TRUE AS planted_flagged
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
             ORDER BY planted_id
         """,
