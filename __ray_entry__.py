@@ -1137,6 +1137,32 @@ def q_semdedup_cert(sf_dir: str):
     return pd.DataFrame(rows).sort_values("planted_id").reset_index(drop=True)
 
 
+_CHARLM_ORACLE_DIR = "/tmp/graft_charlm_oracle"
+
+
+def q_char_lm_score(sf_dir: str):
+    """Char-bigram LM quality scoring (``stages/lm.py`` — the CCNet/KenLM
+    perplexity-filter shape): train the hashed bigram model on the corpus
+    itself (one fixed-512KB-partial pass), write the model table to the
+    fixed oracle path, score every doc in bits/bigram.  The oracle SQL
+    re-derives every doc's score from the model parquet + ``documents``
+    (parallel-unnest zip of adjacent codepoints) and must match to 6 dp —
+    a REAL value oracle, not a certificate."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.lm import (
+        char_lm_score,
+        train_char_lm,
+        write_model_parquet,
+    )
+
+    os.makedirs(_CHARLM_ORACLE_DIR, exist_ok=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    model = train_char_lm(ds)
+    write_model_parquet(model, os.path.join(_CHARLM_ORACLE_DIR, "model.parquet"))
+    out = char_lm_score(ds, model=model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a synthetic "new crawl" shard against a
     persisted corpus content index (``stages/incremental.py`` — the shape
@@ -1956,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zone_knn_cert": q_zone_knn_cert,
         "dedup_embedding_cert": q_dedup_embedding_cert,
         "semdedup_cert": q_semdedup_cert,
+        "char_lm_score": q_char_lm_score,
         "knn_ivf_cert": q_knn_ivf_cert,
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
@@ -2099,6 +2126,31 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS planted_flagged
             FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)
             ORDER BY planted_id
+        """,
+        "char_lm_score": """
+            WITH cp AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ''), c -> unicode(c)) AS l
+              FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id, (a * 257 + b) % 65536 AS idx
+              FROM (SELECT doc_id, unnest(l[:len(l)-1]) AS a, unnest(l[2:]) AS b
+                    FROM cp WHERE len(l) >= 2)
+            ),
+            scored AS (
+              SELECT p.doc_id, COUNT(*) AS n_bigrams,
+                     ROUND(-SUM(m.logp) / COUNT(*), 6) AS bits
+              FROM pairs p
+              JOIN read_parquet('/tmp/graft_charlm_oracle/model.parquet') m
+                USING (idx)
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.bits, 0.0) AS bits
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "media_pipeline_cert": """
             SELECT CAST(i AS BIGINT) AS media_id,

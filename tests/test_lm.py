@@ -1,0 +1,102 @@
+"""Char-bigram LM scoring (stages/lm.py): pure-Python parity (Unicode
+incl. astral chars), doc-boundary masking across blocks, empty/short docs,
+block-layout invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+from zonal_stats_toolkit_ray.stages.lm import (
+    NUM_BUCKETS,
+    char_lm_score,
+    train_char_lm,
+)
+
+
+def _ref_scores(texts):
+    from collections import Counter
+
+    cnt, n = Counter(), 0
+    for t in texts:
+        cps = [ord(c) for c in t]
+        for a, b in zip(cps, cps[1:]):
+            cnt[(a * 257 + b) % NUM_BUCKETS] += 1
+            n += 1
+    lp = {k: np.log2((v + 0.5) / (n + 0.5 * NUM_BUCKETS)) for k, v in cnt.items()}
+    default = np.log2(0.5 / (n + 0.5 * NUM_BUCKETS))
+    rows = []
+    for i, t in enumerate(texts):
+        cps = [ord(c) for c in t]
+        lps = [lp.get((a * 257 + b) % NUM_BUCKETS, default) for a, b in zip(cps, cps[1:])]
+        rows.append((i, len(lps), round(-sum(lps) / len(lps), 6) if lps else 0.0))
+    return rows
+
+
+def _mk(texts, nparts=1):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    return ds.repartition(nparts) if nparts > 1 else ds
+
+
+TEXTS = [
+    "hello world",
+    "héllo wörld ünïcode \U0001f600\U0001f600",  # astral chars = 1 codepoint each
+    "",
+    "a",
+    "the quick brown fox jumps over the lazy dog",
+    "aaaaaa",
+    "x" * 1000,
+]
+
+
+class TestCharLM:
+    def test_matches_pure_python_reference(self, ray_session):
+        ds = _mk(TEXTS, nparts=3)
+        model = train_char_lm(ds)
+        out = (
+            char_lm_score(ds, model=model)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ref = _ref_scores(TEXTS)
+        got = list(zip(out["doc_id"], out["n_bigrams"], out["bits"]))
+        assert [(int(a), int(b), float(c)) for a, b, c in got] == [
+            (a, b, float(c)) for a, b, c in ref
+        ]
+
+    def test_block_layout_invariant(self, ray_session):
+        # bigrams never cross doc boundaries, so block layout cannot change
+        # either the trained model or the scores
+        outs = []
+        for nparts in (1, 5):
+            ds = _mk(TEXTS, nparts=nparts)
+            outs.append(
+                char_lm_score(ds)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+        assert outs[0].equals(outs[1])
+
+    def test_short_docs_score_zero(self, ray_session):
+        out = char_lm_score(_mk(["", "a", "bb"])).to_pandas()
+        by = dict(zip(out["doc_id"], zip(out["n_bigrams"], out["bits"])))
+        assert by[0] == (0, 0.0) and by[1] == (0, 0.0)
+        assert by[2][0] == 1 and by[2][1] > 0
+
+    def test_repeated_text_scores_lower(self, ray_session):
+        # the LM's whole point: repetitive text is more predictable under a
+        # model trained on it than high-entropy text
+        texts = ["ababababababababab" * 4] * 8 + ["zq9!kT#mW@x7&vL$pR2^"]
+        out = char_lm_score(_mk(texts)).to_pandas()
+        rep = out[out["doc_id"] < 8]["bits"].mean()
+        odd = float(out[out["doc_id"] == 8]["bits"].iloc[0])
+        assert rep < odd

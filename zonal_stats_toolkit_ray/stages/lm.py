@@ -1,0 +1,164 @@
+"""Character-bigram language-model scoring — the CCNet/KenLM-shaped
+perplexity quality filter (Wenzek et al. 2020): train an n-gram model on a
+target corpus, score every document by its per-symbol cross-entropy, and
+filter/bucket on the score.  The real pipeline uses a word 5-gram KenLM;
+this engine implements the same shape with a hashed character-bigram model
+so that (a) everything stays vectorized NumPy over Arrow buffers, and
+(b) the scoring arithmetic is SQL-expressible for the DuckDB oracle
+(unlike a KenLM binary, which the sandbox does not have).
+
+Model = a fixed 65 536-bucket table: bucket ``(cp_prev * 257 + cp_cur) %
+65536`` over Unicode codepoints, add-half smoothing.  Training partials
+are the classic mergeable-sketch shape: ONE fixed 512 KB count vector per
+block, summed on the driver — no shuffle, no per-token rows, scales with
+block count only (the HLL/centroid pattern, ``sketch.py``).
+
+Scoring broadcasts the 512 KB log-prob table once (``ray.put``) and does
+one ``frombuffer``/``reduceat`` pass per batch — no Python row loop.
+
+Reference parity: the reference toolkit has no text operators; this is
+part of the training-data-pipeline extension surface (SURVEY §2.6),
+sibling to ``text.py:quality_score_batch`` (heuristic ratios) — the LM
+score is the learned complement to those hand-written ratios.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+NUM_BUCKETS = 65_536
+_MIX = np.int64(257)
+
+
+def _doc_codepoints(col) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string column → (flat codepoint array, per-doc lengths),
+    vectorized: one UTF-32 encode of the whole batch, no per-char loop.
+
+    UTF-32-LE units ARE Unicode codepoints, so this matches DuckDB's
+    ``unicode()`` per character exactly (astral chars included)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks() if col.num_chunks != 1 else col.chunk(0)
+    texts = col.to_pylist()
+    joined = "".join(t if t is not None else "" for t in texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return cps, lens
+
+
+def _pair_indices(cps: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Bigram bucket index per adjacent codepoint pair, with pairs never
+    crossing a document boundary.  Returns (idx, valid mask over the
+    len(cps)-1 adjacent positions)."""
+    if cps.size < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=bool)
+    idx = (cps[:-1] * _MIX + cps[1:]) % np.int64(NUM_BUCKETS)
+    # mask positions whose pair straddles a doc boundary: each doc's last
+    # codepoint must not pair with the next doc's first
+    valid = np.ones(cps.size - 1, dtype=bool)
+    last = np.cumsum(lens) - 1
+    last = last[(last >= 0) & (last < cps.size - 1)]
+    valid[last] = False
+    return idx, valid
+
+
+def _count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """One fixed-size count row per block: (counts list<int64>[65536],
+    n_pairs)."""
+    cps, lens = _doc_codepoints(batch[text_col])
+    idx, valid = _pair_indices(cps, lens)
+    counts = np.bincount(idx[valid], minlength=NUM_BUCKETS).astype(np.int64)
+    return pa.table(
+        {
+            "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            "n_pairs": pa.array([int(valid.sum())], pa.int64()),
+        }
+    )
+
+
+def train_char_lm(ds, *, text_col: str = "text") -> np.ndarray:
+    """Train the hashed char-bigram model → float64 ``log2``-prob table of
+    length 65 536 (add-half smoothing over the joint bigram distribution:
+    ``log2((count + 0.5) / (N + 32768))``).  One pass, fixed-size partials,
+    driver reduce over ≤ blocks rows."""
+    parts = ds.map_batches(
+        _count_partial, batch_format="pyarrow", fn_kwargs=dict(text_col=text_col)
+    ).to_pandas()
+    counts = np.zeros(NUM_BUCKETS, dtype=np.int64)
+    for c in parts["counts"]:
+        counts += np.asarray(c, dtype=np.int64)
+    n = int(parts["n_pairs"].sum())
+    return np.log2((counts + 0.5) / (n + 0.5 * NUM_BUCKETS))
+
+
+def score_batch(
+    batch: pa.Table, logp_ref, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc cross-entropy in bits/bigram: ``-mean(log2 p)`` over the
+    doc's bigram buckets, 6-dp rounded (float-sum order differs from the
+    oracle's).  Docs with < 2 chars score 0.0 with n_bigrams 0."""
+    from .knn import _cached_ref
+
+    logp = np.asarray(_cached_ref(logp_ref), dtype=np.float64)
+    cps, lens = _doc_codepoints(batch[text_col])
+    idx, valid = _pair_indices(cps, lens)
+    contrib = np.where(valid, logp[idx] if idx.size else 0.0, 0.0)
+    # per-doc prefix-sum ranges over the adjacent-position arrays: doc d's
+    # pair positions are [start_d, start_d + len_d - 1)
+    cap = max(cps.size - 1, 0)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    s = np.minimum(starts, cap)
+    e = np.clip(starts + lens - 1, s, cap)
+    csum = np.concatenate([[0.0], np.cumsum(contrib)])
+    cval = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    sums = csum[e] - csum[s]
+    npairs = cval[e] - cval[s]
+    bits = np.where(npairs > 0, -sums / np.maximum(npairs, 1), 0.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_bigrams": pa.array(npairs.astype(np.int64)),
+            "bits": pa.array(np.round(bits, 6)),
+        }
+    )
+
+
+def char_lm_score(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model: np.ndarray | None = None,
+):
+    """Score every document under the char-bigram model (trained on ``ds``
+    itself when ``model`` is None — the CCNet self-scoring setup) →
+    Dataset ``(id, n_bigrams, bits)``.  Training is one extra streaming
+    pass; the model table broadcasts once."""
+    from .knn import _put_maybe
+
+    if model is None:
+        model = train_char_lm(ds, text_col=text_col)
+    ref = _put_maybe(model)
+    return ds.map_batches(
+        score_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(logp_ref=ref, text_col=text_col, id_col=id_col),
+    )
+
+
+def write_model_parquet(model: np.ndarray, path: str) -> None:
+    """Persist the model as (idx, logp) — the oracle-side join table (the
+    flagship reduce-oracle pattern, ``__ray_entry__._FLAGSHIP_ORACLE_DIR``)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "idx": pa.array(np.arange(NUM_BUCKETS, dtype=np.int64)),
+                "logp": pa.array(model.astype(np.float64)),
+            }
+        ),
+        path,
+    )
