@@ -1163,6 +1163,41 @@ def q_char_lm_score(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (``stages/lm.py:dsir_logweight`` — Xie et
+    al. 2023 data selection): target domain = the English documents, raw =
+    the whole corpus; every doc scored by the summed log2 ratio of hashed
+    char-bigram probabilities.  The engine exports the per-bucket ratio
+    table; the oracle SQL re-derives every doc's weight from ``documents``
+    and must match to 6 dp.  (The synthetic corpus's character
+    distribution is flat across ``lang`` labels, so weights here mostly
+    track length; real discrimination is proven in
+    ``tests/test_lm.py::test_dsir_upweights_target_like_docs``.)"""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.lm import dsir_logweight, train_char_lm
+
+    os.makedirs(_CHARLM_ORACLE_DIR, exist_ok=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    target = ds.map_batches(
+        lambda t: t.filter(_pc.equal(t["lang"], "en")), batch_format="pyarrow"
+    )
+    table = train_char_lm(target) - train_char_lm(ds)
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(
+        pa.table(
+            {
+                "idx": pa.array(np.arange(table.size, dtype=np.int64)),
+                "logr": pa.array(table.astype(np.float64)),
+            }
+        ),
+        os.path.join(_CHARLM_ORACLE_DIR, "dsir_table.parquet"),
+    )
+    out = dsir_logweight(ds, None, ratio_table=table).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a synthetic "new crawl" shard against a
     persisted corpus content index (``stages/incremental.py`` — the shape
@@ -1983,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cert": q_dedup_embedding_cert,
         "semdedup_cert": q_semdedup_cert,
         "char_lm_score": q_char_lm_score,
+        "dsir_weights": q_dsir_weights,
         "knn_ivf_cert": q_knn_ivf_cert,
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
@@ -2149,6 +2185,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    COALESCE(s.n_bigrams, 0) AS n_bigrams,
                    COALESCE(s.bits, 0.0) AS bits
+            FROM documents d LEFT JOIN scored s USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "dsir_weights": """
+            WITH cp AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ''), c -> unicode(c)) AS l
+              FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id, (a * 257 + b) % 65536 AS idx
+              FROM (SELECT doc_id, unnest(l[:len(l)-1]) AS a, unnest(l[2:]) AS b
+                    FROM cp WHERE len(l) >= 2)
+            ),
+            scored AS (
+              SELECT p.doc_id, COUNT(*) AS n_bigrams,
+                     ROUND(SUM(m.logr), 6) AS logw
+              FROM pairs p
+              JOIN read_parquet('/tmp/graft_charlm_oracle/dsir_table.parquet') m
+                USING (idx)
+              GROUP BY p.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(s.logw, 0.0) AS logw
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY d.doc_id
         """,

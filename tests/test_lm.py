@@ -92,6 +92,45 @@ class TestCharLM:
         assert by[0] == (0, 0.0) and by[1] == (0, 0.0)
         assert by[2][0] == 1 and by[2][1] > 0
 
+    def test_dsir_upweights_target_like_docs(self, ray_session):
+        # raw corpus = half "vowel-ish" docs, half "consonant-ish" docs;
+        # target = vowel-ish only → vowel-ish raw docs must get higher
+        # per-doc log importance weight
+        import numpy as np
+
+        from zonal_stats_toolkit_ray.stages.lm import dsir_logweight
+
+        rng = np.random.default_rng(5)
+        vowels, cons = "aeiou ", "bcdfg "
+        mk = lambda alpha: "".join(rng.choice(list(alpha), size=200))
+        texts = [mk(vowels) for _ in range(20)] + [mk(cons) for _ in range(20)]
+        ds = _mk(texts, nparts=2)
+        target = _mk([mk(vowels) for _ in range(20)])
+        out = dsir_logweight(ds, target).to_pandas()
+        vw = out[out["doc_id"] < 20]["logw"].mean()
+        cw = out[out["doc_id"] >= 20]["logw"].mean()
+        assert vw > cw + 100  # decisively separated, not borderline
+
+    def test_dsir_matches_pure_python(self, ray_session):
+        import numpy as np
+
+        from zonal_stats_toolkit_ray.stages.lm import dsir_logweight, train_char_lm
+
+        ds = _mk(TEXTS, nparts=3)
+        target = _mk(TEXTS[:3])
+        table = train_char_lm(target) - train_char_lm(ds)
+        out = (
+            dsir_logweight(ds, None, ratio_table=table)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, t in enumerate(TEXTS):
+            cps = [ord(c) for c in t]
+            w = sum(table[(a * 257 + b) % NUM_BUCKETS] for a, b in zip(cps, cps[1:]))
+            assert out["logw"][i] == round(w, 6)
+            assert out["n_bigrams"][i] == max(len(cps) - 1, 0)
+
     def test_repeated_text_scores_lower(self, ray_session):
         # the LM's whole point: repetitive text is more predictable under a
         # model trained on it than high-entropy text

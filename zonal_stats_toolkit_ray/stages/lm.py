@@ -1,11 +1,12 @@
-"""Character-bigram language-model scoring — the CCNet/KenLM-shaped
-perplexity quality filter (Wenzek et al. 2020): train an n-gram model on a
-target corpus, score every document by its per-symbol cross-entropy, and
-filter/bucket on the score.  The real pipeline uses a word 5-gram KenLM;
-this engine implements the same shape with a hashed character-bigram model
-so that (a) everything stays vectorized NumPy over Arrow buffers, and
-(b) the scoring arithmetic is SQL-expressible for the DuckDB oracle
-(unlike a KenLM binary, which the sandbox does not have).
+"""Hashed character-bigram language models: CCNet/KenLM-shaped perplexity
+quality scoring (Wenzek et al. 2020) and DSIR importance weights (Xie et
+al. 2023) — train n-gram models on a corpus / target domain, score every
+document, and filter/bucket/resample on the score.  The real pipelines
+use word n-gram models (KenLM, 10k-bucket word uni+bigrams); this engine
+implements the same shapes with a hashed character-bigram model so that
+(a) everything stays vectorized NumPy over Arrow buffers, and (b) the
+scoring arithmetic is SQL-expressible for the DuckDB oracle (unlike a
+KenLM binary, which the sandbox does not have).
 
 Model = a fixed 65 536-bucket table: bucket ``(cp_prev * 257 + cp_cur) %
 65536`` over Unicode codepoints, add-half smoothing.  Training partials
@@ -93,6 +94,24 @@ def train_char_lm(ds, *, text_col: str = "text") -> np.ndarray:
     return np.log2((counts + 0.5) / (n + 0.5 * NUM_BUCKETS))
 
 
+def _doc_table_sums(
+    batch: pa.Table, table: np.ndarray, text_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(per-doc bigram count, per-doc sum of table[bucket] over bigram
+    occurrences) — the shared prefix-sum kernel: doc d's pair positions in
+    the flat adjacent-position arrays are [start_d, start_d + len_d - 1)."""
+    cps, lens = _doc_codepoints(batch[text_col])
+    idx, valid = _pair_indices(cps, lens)
+    contrib = np.where(valid, table[idx] if idx.size else 0.0, 0.0)
+    cap = max(cps.size - 1, 0)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    s = np.minimum(starts, cap)
+    e = np.clip(starts + lens - 1, s, cap)
+    csum = np.concatenate([[0.0], np.cumsum(contrib)])
+    cval = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+    return cval[e] - cval[s], csum[e] - csum[s]
+
+
 def score_batch(
     batch: pa.Table, logp_ref, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
@@ -102,19 +121,7 @@ def score_batch(
     from .knn import _cached_ref
 
     logp = np.asarray(_cached_ref(logp_ref), dtype=np.float64)
-    cps, lens = _doc_codepoints(batch[text_col])
-    idx, valid = _pair_indices(cps, lens)
-    contrib = np.where(valid, logp[idx] if idx.size else 0.0, 0.0)
-    # per-doc prefix-sum ranges over the adjacent-position arrays: doc d's
-    # pair positions are [start_d, start_d + len_d - 1)
-    cap = max(cps.size - 1, 0)
-    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-    s = np.minimum(starts, cap)
-    e = np.clip(starts + lens - 1, s, cap)
-    csum = np.concatenate([[0.0], np.cumsum(contrib)])
-    cval = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
-    sums = csum[e] - csum[s]
-    npairs = cval[e] - cval[s]
+    npairs, sums = _doc_table_sums(batch, logp, text_col)
     bits = np.where(npairs > 0, -sums / np.maximum(npairs, 1), 0.0)
     return pa.table(
         {
@@ -145,6 +152,64 @@ def char_lm_score(
         score_batch,
         batch_format="pyarrow",
         fn_kwargs=dict(logp_ref=ref, text_col=text_col, id_col=id_col),
+    )
+
+
+def table_score_batch(
+    batch: pa.Table,
+    table_ref,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "logw",
+) -> pa.Table:
+    """Per-doc SUM of a broadcast per-bucket table over the doc's bigram
+    occurrences (6-dp rounded) — the generic kernel behind DSIR log
+    importance weights.  Same prefix-sum machinery as :func:`score_batch`
+    but an occurrence SUM, not a mean."""
+    from .knn import _cached_ref
+
+    table = np.asarray(_cached_ref(table_ref), dtype=np.float64)
+    npairs, sums = _doc_table_sums(batch, table, text_col)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_bigrams": pa.array(npairs.astype(np.int64)),
+            out_col: pa.array(np.round(sums, 6)),
+        }
+    )
+
+
+def dsir_logweight(
+    ds,
+    target_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ratio_table: np.ndarray | None = None,
+):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by ``log2 p_target(doc) / p_raw(doc)`` under hashed
+    n-gram models — the data-selection step that upsamples raw-corpus text
+    resembling a target domain.  The paper hashes word uni+bigrams to 10k
+    buckets; this engine uses its char-bigram buckets (same machinery as
+    :func:`char_lm_score`, documented deviation).
+
+    Two training passes (target corpus, raw corpus — each one streaming
+    pass of fixed-size partials), then one broadcast-table scoring pass →
+    Dataset ``(id, n_bigrams, logw)``.  High ``logw`` = more
+    target-domain-like.  Pass ``ratio_table`` to skip training (e.g. a
+    persisted model pair)."""
+    from .knn import _put_maybe
+
+    if ratio_table is None:
+        ratio_table = train_char_lm(target_ds, text_col=text_col) - train_char_lm(
+            ds, text_col=text_col
+        )
+    ref = _put_maybe(ratio_table)
+    return ds.map_batches(
+        table_score_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(table_ref=ref, text_col=text_col, id_col=id_col),
     )
 
 
