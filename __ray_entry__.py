@@ -1198,6 +1198,20 @@ def q_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pack_sequences(sf_dir: str):
+    """Fixed-budget sequence packing (``stages/pack.py`` — the last step of
+    every LM data pipeline): distributed prefix scan (range sort + block
+    summaries + broadcast base offsets) assigns each doc its pack id and
+    offset under contiguous straddle-chunked concatenation.  Oracle = one
+    window-function SQL."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.pack import pack_sequences
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    out = pack_sequences(ds, budget=2048).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental exact dedup of a synthetic "new crawl" shard against a
     persisted corpus content index (``stages/incremental.py`` — the shape
@@ -2019,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_cert": q_semdedup_cert,
         "char_lm_score": q_char_lm_score,
         "dsir_weights": q_dsir_weights,
+        "pack_sequences": q_pack_sequences,
         "knn_ivf_cert": q_knn_ivf_cert,
         "stratified_sample": q_stratified_sample,
         "deterministic_shuffle": q_deterministic_shuffle,
@@ -2187,6 +2202,17 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.bits, 0.0) AS bits
             FROM documents d LEFT JOIN scored s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "pack_sequences": """
+            SELECT doc_id, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER w, 0) // 2048 AS BIGINT)
+                       AS pack_id,
+                   CAST(COALESCE(SUM(n_chars) OVER w, 0) % 2048 AS BIGINT)
+                       AS pack_offset
+            FROM documents
+            WINDOW w AS (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ORDER BY doc_id
         """,
         "dsir_weights": """
             WITH cp AS (
