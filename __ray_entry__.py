@@ -892,6 +892,29 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_rolling_stats(sf_dir: str):
+    """Per-user trailing-1-hour rolling count+sum over the events stream
+    (round-5 operator): distributed sort by (user, ts, id) → block-local
+    int64-µs searchsorted windows + O(blocks)-bounded boundary context —
+    the SQL RANGE-frame shape Ray Data has no native operator for, without
+    ever materializing a key on one worker."""
+    from zonal_stats_toolkit_ray.stages.rolling import rolling_window_stats
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = (
+        rolling_window_stats(ds, window_s=3600.0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["roll_sum"] = out["roll_sum"].round(6)
+    return out[["event_id", "user_id", "roll_n", "roll_sum"]]
+
+
 def q_sessions(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.window import session_windows
     import ray.data as rd
@@ -2015,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_events": q_window_events,
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
+        "rolling_stats": q_rolling_stats,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2735,6 +2759,16 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "rolling_stats": """
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS roll_n,
+                   round(SUM(value) OVER w, 6) AS roll_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "sessions": """
             WITH d AS (

@@ -1,0 +1,285 @@
+"""Per-key rolling (sliding) time-range aggregates over an event stream.
+
+The feature-engineering shape ("events per user in the trailing hour")
+the reference's grouped aggregations can't express: for every event row,
+aggregate over ALL rows of the same key whose timestamp lies in
+``[t − window, t]`` — value-interval semantics, identical to SQL's
+``RANGE BETWEEN INTERVAL w PRECEDING AND CURRENT ROW`` frame (both bounds
+inclusive; tied timestamps are peers and always co-frame, so the result
+is independent of tie order).
+
+Distributed form (the scale path — no per-key materialization):
+
+1. slim projection → ``sort([key, ts, id])`` — Ray's RANGE sort splits a
+   hot key across blocks (sandbox lesson #24), so a 10^8-event bot user
+   never lands on one worker;
+2. one ``batch_size=None`` pass extracts each block's **boundary rows** —
+   the only rows another block can need: the last key-run's trailing
+   ``window`` of rows (backward context for later blocks) and the first
+   run's leading tied-timestamp peers (forward peers for earlier blocks).
+   Boundary volume is O(blocks × rows-per-window), never O(rows);
+3. the boundary table broadcasts once via ``ray.put``; a second
+   ``batch_size=None`` pass merges each block with the boundary rows of
+   its edge keys (own rows excluded by id), then computes every window
+   with two ``np.searchsorted`` calls over a run-packed int64 composite
+   of microsecond timestamps — exact integer comparisons, so the window
+   bounds match SQL's interval arithmetic bit-for-bit.
+
+All arithmetic on timestamps is int64 microseconds; the composite packs
+each key run into its own offset band (gap ≥ window + 2) so one global
+searchsorted per block answers every row without Python-level run loops
+and without the run_id × global-span product that would overflow int64.
+
+Reference parity: the reference has no streaming/window operator at all
+(runner.py aggregates whole zones); this is part of the training-data
+pipeline surface (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ts_us(col) -> np.ndarray:
+    """timestamp column → int64 epoch microseconds (explicit unit
+    normalization — arrow may surface [us] or [ns] depending on version)."""
+    return pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def _combined(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+def _boundary_schema(key_type: pa.DataType) -> pa.Schema:
+    return pa.schema(
+        [
+            ("__key", key_type),
+            ("__ts_us", pa.int64()),
+            ("__v", pa.float64()),
+            ("__id", pa.int64()),
+        ]
+    )
+
+
+def _window_sums(
+    ts_us: np.ndarray,
+    vals: np.ndarray,
+    run_starts: np.ndarray,
+    query_idx: np.ndarray,
+    window_us: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Given rows sorted by (key-run, ts), per-run-packed composite window
+    sums/counts for the rows at ``query_idx``.
+
+    ``run_starts`` marks the first index of each key run.  Each run is
+    packed into its own offset band with a gap > window so a single
+    searchsorted over the whole block answers all queries and a query's
+    ``t − window`` probe can never bleed into the previous run.
+    """
+    n = ts_us.size
+    run_ends = np.concatenate([run_starts[1:], [n]])
+    run_min = ts_us[run_starts]
+    run_max = ts_us[run_ends - 1]
+    span = (run_max - run_min).astype(np.int64)
+    # offset band per run: previous bands + window + 2 of clearance
+    bands = np.concatenate(
+        [[0], np.cumsum(span + np.int64(window_us) + 2)[:-1]]
+    )
+    run_of = np.zeros(n, dtype=np.int64)
+    run_of[run_starts[1:]] = 1
+    run_of = np.cumsum(run_of)
+    comp = ts_us - run_min[run_of] + bands[run_of]
+    q_comp = comp[query_idx]
+    hi = np.searchsorted(comp, q_comp, side="right")
+    lo = np.searchsorted(comp, q_comp - np.int64(window_us), side="left")
+    cs = np.concatenate([[0.0], np.cumsum(vals)])
+    return (hi - lo).astype(np.int64), cs[hi] - cs[lo]
+
+
+def rolling_window_stats(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_s: float = 3600.0,
+    boundary_driver_threshold: int = 2_000_000,
+):
+    """→ Dataset(id, key, roll_n, roll_sum): per-row trailing-window count
+    and sum over same-key rows with ts ∈ [t − window, t] (inclusive,
+    tied-timestamp peers always included — SQL RANGE frame semantics).
+
+    ``value_col`` must be finite (same contract as grouped top-k: NaN
+    ordering under SQL frames is not replicated).
+
+    Scale notes: the sort is the one all-to-all; both window passes are
+    block-local.  The boundary table is O(blocks × window-density) and
+    broadcasts once — ``boundary_driver_threshold`` guards the driver
+    collect (raise it or widen blocks if a corpus has > 2M boundary rows;
+    the bound is per-block, never per-key).
+    """
+    import ray
+    import ray.data as rd
+
+    window_us = int(round(float(window_s) * 1e6))
+
+    slim = ds.select_columns([key_col, ts_col, value_col, id_col])
+    srt = slim.sort([key_col, ts_col, id_col]).materialize()
+
+    def boundary(b: pa.Table) -> pa.Table:
+        kcol = _combined(b[key_col])
+        if len(b) == 0:
+            return _boundary_schema(kcol.type).empty_table()
+        ts = _ts_us(b[ts_col])
+        codes = np.asarray(kcol.dictionary_encode().indices, dtype=np.int64)
+        ids = _combined(b[id_col]).to_numpy(zero_copy_only=False)
+        vals = (
+            _combined(b[value_col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        # trailing context: last key's rows within window of that key's max ts
+        last_mask = codes == codes[-1]
+        tail = last_mask & (ts > ts[-1] - np.int64(window_us))
+        # forward peers: first key's rows tied with the block's first ts
+        head = (codes == codes[0]) & (ts == ts[0])
+        keep = np.flatnonzero(tail | head)
+        return pa.table(
+            {
+                "__key": kcol.take(pa.array(keep)),
+                "__ts_us": pa.array(ts[keep], pa.int64()),
+                "__v": pa.array(vals[keep], pa.float64()),
+                "__id": pa.array(ids[keep].astype(np.int64), pa.int64()),
+            },
+            schema=_boundary_schema(kcol.type),
+        )
+
+    bnd = srt.map_batches(
+        boundary, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+    n_bnd = bnd.count()
+    if n_bnd > boundary_driver_threshold:
+        raise ValueError(
+            f"boundary rows ({n_bnd}) exceed boundary_driver_threshold "
+            f"({boundary_driver_threshold}); widen blocks or raise the "
+            "threshold — the bound grows with blocks × window density, "
+            "not with corpus size"
+        )
+    bdf = bnd.to_pandas()
+    b_ref = ray.put(
+        (
+            bdf["__key"].to_numpy(),
+            bdf["__ts_us"].to_numpy().astype(np.int64),
+            bdf["__v"].to_numpy().astype(np.float64),
+            bdf["__id"].to_numpy().astype(np.int64),
+        )
+    )
+
+    def _out_schema(key_type: pa.DataType) -> pa.Schema:
+        return pa.schema(
+            [
+                (id_col, pa.int64()),
+                (key_col, key_type),
+                ("roll_n", pa.int64()),
+                ("roll_sum", pa.float64()),
+            ]
+        )
+
+    def windows(b: pa.Table, *, _ref=b_ref) -> pa.Table:
+        out_schema = _out_schema(b[key_col].type)
+        if len(b) == 0:
+            return out_schema.empty_table()
+        bk, bts, bv, bid = ray.get(_ref)
+        kcol = _combined(b[key_col])
+        keys = kcol.to_numpy(zero_copy_only=False)
+        ts = _ts_us(b[ts_col])
+        ids = _combined(b[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (
+            _combined(b[value_col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        # context: boundary rows of this block's edge keys, minus own rows
+        if bk.size:
+            edge = np.flatnonzero((bk == keys[0]) | (bk == keys[-1]))
+            ctx = edge[~np.isin(bid[edge], ids)]
+        else:
+            ctx = np.array([], dtype=np.int64)
+        m_keys = np.concatenate([keys, bk[ctx]])
+        m_ts = np.concatenate([ts, bts[ctx]])
+        m_v = np.concatenate([vals, bv[ctx]])
+        own = np.zeros(m_ts.size, dtype=bool)
+        own[: ts.size] = True
+        # total order (key, ts): tie order within equal ts is irrelevant to
+        # the value-interval frame
+        codes = np.asarray(
+            pa.array(m_keys).dictionary_encode().indices, dtype=np.int64
+        )
+        order = np.lexsort((m_ts, codes))
+        s_codes = codes[order]
+        s_ts = m_ts[order]
+        s_v = m_v[order]
+        s_own = own[order]
+        run_starts = np.flatnonzero(
+            np.concatenate([[True], s_codes[1:] != s_codes[:-1]])
+        )
+        q_idx = np.flatnonzero(s_own)
+        roll_n, roll_sum = _window_sums(s_ts, s_v, run_starts, q_idx, window_us)
+        # map back to the block's original row order
+        orig_pos = order[q_idx]  # position in the pre-sort merged arrays
+        inv = np.empty(ts.size, dtype=np.int64)
+        inv[orig_pos] = np.arange(q_idx.size)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                key_col: kcol,
+                "roll_n": pa.array(roll_n[inv], pa.int64()),
+                "roll_sum": pa.array(roll_sum[inv], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return srt.map_batches(windows, batch_size=None, batch_format="pyarrow")
+
+
+def rolling_window_stats_ref(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window_s: float = 3600.0,
+) -> pd.DataFrame:
+    """Reference form: per-key ``map_groups`` with the same int64-µs window
+    kernel — O(key) materialization, used to pin the chunked form's
+    equality in tests (and fine when no key is hot)."""
+    window_us = int(round(float(window_s) * 1e6))
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = np.asarray(g[ts_col]).astype("datetime64[us]").astype(np.int64)
+        vals = g[value_col].to_numpy(dtype=np.float64)
+        n, s = _window_sums(
+            ts, vals, np.array([0], dtype=np.int64),
+            np.arange(ts.size), window_us,
+        )
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "roll_n": n,
+                "roll_sum": s,
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, ts_col, value_col, id_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+        .to_pandas()
+    )
