@@ -892,6 +892,19 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_bigram_pmi(sf_dir: str):
+    """Collocation mining (round-5 operator): corpus-wide adjacent-bigram
+    PMI over the shared doc_frequency tokenization — tagged unigram+bigram
+    count partials, one slim aggregate, min-count prune BEFORE scoring,
+    broadcast unigram lookup (hash-join regime above threshold), local
+    top-n.  Ordering = 6-dp-rounded pmi DESC, a, b on both sides."""
+    from zonal_stats_toolkit_ray.stages.colloc import bigram_pmi
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_pmi(ds, min_count=5, top_n=20)
+
+
 def q_rolling_stats(sf_dir: str):
     """Per-user trailing-1-hour rolling count+sum over the events stream
     (round-5 operator): distributed sort by (user, ts, id) → block-local
@@ -2039,6 +2052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
         "rolling_stats": q_rolling_stats,
+        "bigram_pmi": q_bigram_pmi,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2759,6 +2773,39 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "bigram_pmi": r"""
+            WITH w AS (
+              SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ),
+            uni AS (
+              SELECT tok, count(*)::BIGINT AS c
+              FROM (SELECT unnest(t) AS tok FROM w) GROUP BY tok
+            ),
+            big AS (
+              SELECT a, b, count(*)::BIGINT AS n_ab
+              FROM (
+                SELECT unnest(list_slice(t, 1, length(t)-1)) AS a,
+                       unnest(list_slice(t, 2, length(t))) AS b
+                FROM w WHERE length(t) >= 2
+              ) GROUP BY a, b
+            ),
+            tot AS (SELECT (SELECT sum(c) FROM uni) AS nu,
+                           (SELECT sum(n_ab) FROM big) AS nb)
+            SELECT a, b, n_ab,
+                   round(log2((n_ab::DOUBLE * nu * nu) /
+                              (nb::DOUBLE * ca * cb)), 6) AS pmi
+            FROM (
+              SELECT big.a, big.b, big.n_ab, ua.c AS ca, ub.c AS cb,
+                     tot.nu, tot.nb
+              FROM big CROSS JOIN tot
+              JOIN uni ua ON ua.tok = big.a
+              JOIN uni ub ON ub.tok = big.b
+              WHERE big.n_ab >= 5
+            )
+            ORDER BY pmi DESC, a, b LIMIT 20
         """,
         "rolling_stats": """
             SELECT event_id, user_id,
