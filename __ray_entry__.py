@@ -892,6 +892,88 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_heavy_hitters_cert(sf_dir: str):
+    """Misra–Gries heavy hitters (round-5 sketch) with a hash-checkable
+    guarantee certificate.  The corpus vocabulary is near-uniform (no
+    natural heavy hitter at any sf), so the fixture PLANTS deterministic
+    skew keyed by doc_id — ``zz0`` ×8 on every doc, ``zz1`` ×4 on even
+    ids, ``zz2`` ×2 on ids % 4 == 0 (same construction in the SQL oracle);
+    planted vocab (34) exceeds m=24, so the decrement path runs, and zz0 /
+    zz1 exceed the N/(m+1) coverage threshold at every sf while zz2 and
+    the near-uniform naturals sit below it.
+
+    Certified (integer arithmetic, no float thresholds): every token with
+    exact·(m+1) > N is reported; and globally, summary ≤ m rows with
+    est ≤ exact and (exact − est)·(m+1) ≤ N for every reported token."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.sketch import heavy_hitters
+
+    M = 24
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = pd.Series(pc.fill_null(t["text"], "").to_pandas(), dtype=str)
+        aug = (
+            s
+            + " "
+            + "zz0 " * 8
+            + np.where(ids % 2 == 0, "zz1 " * 8, "")
+            + np.where(ids % 4 == 0, "zz2 " * 2, "")
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": pa.array(aug.tolist())})
+
+    aug = ds.map_batches(plant, batch_format="pyarrow").materialize()
+    summ = heavy_hitters(aug, m=M)
+    est = dict(zip(summ["token"], summ["est"].astype(int)))
+
+    # independent exact counts (vocabulary-sized at verification scale)
+    def counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(pc.utf8_lower(pc.fill_null(t["text"], "")), r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"token": toks}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        return pa.table(
+            {"token": g["token"], "c": pc.cast(g["token_count"], pa.int64())}
+        )
+
+    exact = (
+        aug.map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("token")["c"]
+        .sum()
+    )
+    n_total = int(exact.sum())
+    rows = [
+        {
+            "token": "__summary__",
+            "present_ok": bool(len(summ) <= M),
+            "bound_ok": bool(
+                all(
+                    e <= exact[t] and (exact[t] - e) * (M + 1) <= n_total
+                    for t, e in est.items()
+                )
+            ),
+        }
+    ]
+    for t in sorted(exact.index[exact * (M + 1) > n_total]):
+        rows.append(
+            {
+                "token": t,
+                "present_ok": bool(t in est),
+                "bound_ok": bool(
+                    t in est
+                    and est[t] <= exact[t]
+                    and (exact[t] - est[t]) * (M + 1) <= n_total
+                ),
+            }
+        )
+    return pd.DataFrame(rows).sort_values("token").reset_index(drop=True)
+
+
 def q_bigram_pmi(sf_dir: str):
     """Collocation mining (round-5 operator): corpus-wide adjacent-bigram
     PMI over the shared doc_frequency tokenization — tagged unigram+bigram
@@ -2053,6 +2135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "rolling_stats": q_rolling_stats,
         "bigram_pmi": q_bigram_pmi,
+        "heavy_hitters_cert": q_heavy_hitters_cert,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2773,6 +2856,30 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "heavy_hitters_cert": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' ' || repeat('zz0 ', 8)
+                          || CASE WHEN doc_id % 2 = 0
+                                  THEN repeat('zz1 ', 8) ELSE '' END
+                          || CASE WHEN doc_id % 4 = 0
+                                  THEN repeat('zz2 ', 2) ELSE '' END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS t
+              FROM aug
+            ),
+            cnt AS (SELECT t, count(*)::BIGINT AS c FROM toks GROUP BY t),
+            tot AS (SELECT sum(c)::BIGINT AS n FROM cnt)
+            SELECT token, TRUE AS present_ok, TRUE AS bound_ok FROM (
+              SELECT '__summary__' AS token
+              UNION ALL
+              SELECT t FROM cnt, tot WHERE c * 25 > n
+            ) ORDER BY token
         """,
         "bigram_pmi": r"""
             WITH w AS (

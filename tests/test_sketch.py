@@ -2,6 +2,7 @@
 distributed path equivalence."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -96,3 +97,46 @@ def test_tree_combine_matches_driver_merge(ray_session):
         g = df.loc[df["k"] == k, "v"].to_numpy()
         assert _rel_range_err(a[k], want, g) < 0.02, k
         assert _rel_range_err(b[k], want, g) < 0.02, k
+
+
+class TestMisraGries:
+    def test_guarantees_on_zipf(self, ray_session):
+        # random zipf stream: every reported est ≤ exact, undercount ≤
+        # N/(m+1), and every token above threshold is reported
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.sketch import heavy_hitters
+
+        rng = np.random.default_rng(7)
+        toks = rng.zipf(1.3, 50_000).astype(str)
+        docs = [" ".join(toks[i : i + 50]) for i in range(0, 50_000, 50)]
+        ds = rd.from_pandas(pd.DataFrame({"text": docs})).repartition(8)
+        m = 32
+        out = heavy_hitters(ds, m=m)
+        assert len(out) <= m
+        exact = pd.Series(toks).value_counts()
+        n = len(toks)
+        est = dict(zip(out["token"], out["est"]))
+        for t, e in est.items():
+            assert e <= exact[t]
+            assert (exact[t] - e) * (m + 1) <= n
+        for t in exact.index[exact * (m + 1) > n]:
+            assert t in est
+
+    def test_decrement_kernel(self):
+        from zonal_stats_toolkit_ray.stages.sketch import mg_decrement
+
+        tk = np.array(["a", "b", "c", "d"])
+        ct = np.array([10, 7, 3, 2], dtype=np.int64)
+        t2, c2 = mg_decrement(tk, ct, 2)
+        # (m+1)-th largest of [10,7,3,2] with m=2 → 3; subtract 3, keep >0
+        assert list(t2) == ["a", "b"] and list(c2) == [7, 4]
+
+    def test_merge_associative_bound(self):
+        from zonal_stats_toolkit_ray.stages.sketch import mg_merge
+
+        t1 = np.array(["a", "b", "c"]); c1 = np.array([5, 4, 1], dtype=np.int64)
+        t2 = np.array(["a", "c", "d"]); c2 = np.array([3, 2, 6], dtype=np.int64)
+        tk, ct = mg_merge([t1, t2], [c1, c2], 2)
+        assert len(tk) <= 2
+        d = dict(zip(tk, ct))
+        assert d.get("a", 0) <= 8 and d.get("d", 0) <= 6

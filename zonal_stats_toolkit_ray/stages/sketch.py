@@ -297,3 +297,109 @@ def approx_distinct_by_group(
         else pd.DataFrame({"key": pd.Series(dtype=str),
                            "approx_distinct": pd.Series(dtype=float)})
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries / Space-Saving heavy hitters — round-5 operator
+# ---------------------------------------------------------------------------
+
+def mg_decrement(tokens: np.ndarray, counts: np.ndarray, m: int):
+    """Keep ≤ ``m`` counters: subtract the (m+1)-th largest count from all
+    and drop non-positive — the Misra–Gries step.  Each such event removes
+    ≥ (m+1)·d total mass, which is what bounds the cumulative undercount
+    by N/(m+1) over ANY merge tree (Agarwal et al., Mergeable Summaries)."""
+    if tokens.size <= m:
+        return tokens, counts
+    # (m+1)-th largest via partition
+    d = np.partition(counts, counts.size - (m + 1))[counts.size - (m + 1)]
+    kept = counts - d
+    pos = kept > 0
+    return tokens[pos], kept[pos]
+
+
+def mg_merge(tok_list, cnt_list, m: int):
+    """k-way merge of MG summaries: sum by token, one decrement step."""
+    toks = np.concatenate(tok_list)
+    cnts = np.concatenate(cnt_list)
+    order = np.argsort(toks, kind="stable")
+    toks, cnts = toks[order], cnts[order]
+    new = np.concatenate([[True], toks[1:] != toks[:-1]])
+    gid = np.cumsum(new) - 1
+    sums = np.bincount(gid, weights=cnts).astype(np.int64)
+    return mg_decrement(toks[new], sums, m)
+
+
+def heavy_hitters(
+    ds,
+    *,
+    text_col: str = "text",
+    m: int = 256,
+    fan_in: int = 8,
+    driver_threshold: int = 500_000,
+) -> pd.DataFrame:
+    """→ DataFrame(token, est) — a merged Misra–Gries summary of ≤ ``m``
+    counters over the corpus's whitespace tokens (shared doc_frequency
+    tokenization).  Guarantees, for N = total token occurrences:
+
+    * ``est ≤ exact`` for every reported token (pure undercount);
+    * ``exact − est ≤ N/(m+1)``;
+    * every token with ``exact > N/(m+1)`` IS reported.
+
+    Shape: per-batch exact counts → per-batch MG summary (≤ m rows) →
+    associative k-way summary merges.  Partial volume is blocks × m rows;
+    above ``driver_threshold`` a tree round (repartition(``fan_in``) +
+    per-block k-way merge) runs first — the ``reduce_partials`` shape.
+    The final merge folds on the driver over ≤ threshold rows."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+        toks = pc.list_flatten(pc.split_pattern_regex(t, r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "est": pa.array([], pa.int64())}
+            )
+        g = pa.table({"token": toks}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        tk = g["token"].to_numpy(zero_copy_only=False)
+        ct = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tk, ct = mg_decrement(tk, ct, m)
+        return pa.table(
+            {"token": pa.array(tk, pa.string()), "est": pa.array(ct, pa.int64())}
+        )
+
+    def merge_block(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "est": pa.array([], pa.int64())}
+            )
+        tk, ct = mg_merge(
+            [t["token"].to_numpy(zero_copy_only=False)],
+            [t["est"].to_numpy(zero_copy_only=False).astype(np.int64)],
+            m,
+        )
+        return pa.table(
+            {"token": pa.array(tk, pa.string()), "est": pa.array(ct, pa.int64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    while parts.count() > driver_threshold:
+        parts = (
+            parts.repartition(max(1, parts.num_blocks() // fan_in))
+            .map_batches(merge_block, batch_size=None, batch_format="pyarrow")
+            .materialize()
+        )
+    df = parts.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame(
+            {"token": pd.Series(dtype=str), "est": pd.Series(dtype="int64")}
+        )
+    tk, ct = mg_merge(
+        [df["token"].to_numpy()], [df["est"].to_numpy().astype(np.int64)], m
+    )
+    out = pd.DataFrame({"token": tk, "est": ct})
+    return out.sort_values("token").reset_index(drop=True)
