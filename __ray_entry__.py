@@ -892,6 +892,23 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_mixture_sample(sf_dir: str):
+    """Mixture balancing (round-5): downsample every source stratum to the
+    equal-target composition with the Knuth-hash Bernoulli filter — one
+    tiny count aggregate, rates in the closure, one filter pass.  The
+    equal-weight rate ``min_count/count_s`` is evaluated with the same
+    float64 expression in the SQL oracle, so the kept-row set matches
+    exactly."""
+    from zonal_stats_toolkit_ray.stages.split import mixture_sample
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    out = mixture_sample(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_heavy_hitters_cert(sf_dir: str):
     """Misra–Gries heavy hitters (round-5 sketch) with a hash-checkable
     guarantee certificate.  The corpus vocabulary is near-uniform (no
@@ -2136,6 +2153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_stats": q_rolling_stats,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
+        "mixture_sample": q_mixture_sample,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2856,6 +2874,19 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "mixture_sample": """
+            WITH cnt AS (
+              SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY source
+            ),
+            t AS (SELECT min(c)::DOUBLE AS mc FROM cnt)
+            SELECT d.doc_id, d.source
+            FROM documents d
+            JOIN cnt ON d.source = cnt.source
+            CROSS JOIN t
+            WHERE (d.doc_id * 2654435761) % 4294967296
+                  < floor(t.mc / cnt.c::DOUBLE * 4294967296)
+            ORDER BY d.doc_id
         """,
         "heavy_hitters_cert": r"""
             WITH aug AS (

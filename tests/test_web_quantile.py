@@ -159,3 +159,77 @@ class TestInvertedIndex:
         # absent token → empty frame with schema
         empty = token_lookup(idx, ["zzz-definitely-absent"])
         assert len(empty) == 0 and list(empty.columns) == ["token", "doc_id"]
+
+
+class TestMixtureSample:
+    def test_equal_weights_balance(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.split import mixture_sample
+
+        # skewed strata: 4000 / 1000 / 500 rows
+        n = [4000, 1000, 500]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(sum(n), dtype=np.int64),
+                "source": np.repeat(["a", "b", "c"], n),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(8)
+        out = mixture_sample(ds).to_pandas()
+        got = out.groupby("source").size()
+        # every stratum lands within 4 sigma of the 500-row target; the
+        # limiting stratum keeps (nearly) everything
+        for s, kept in got.items():
+            assert abs(kept - 500) < 4 * np.sqrt(500), (s, kept)
+        assert got["c"] == 500  # rate 1 stratum: floor leaves hash < 2^32
+
+    def test_weighted_mode(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.split import mixture_sample
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(3000, dtype=np.int64),
+                "source": np.repeat(["a", "b"], [2000, 1000]),
+            }
+        )
+        ds = rd.from_pandas(df)
+        # target 3:1 — limiting stratum is a (2000/0.75 ≈ 2667 → T=2667):
+        # a keeps everything (rate 1), b keeps 0.25·T ≈ 667
+        out = mixture_sample(ds, weights={"a": 0.75, "b": 0.25}).to_pandas()
+        got = out.groupby("source").size()
+        assert got["a"] == 2000
+        assert abs(got["b"] - 667) < 4 * np.sqrt(667)
+
+    def test_deterministic_and_partition_independent(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.split import mixture_sample
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(2000, dtype=np.int64),
+                "source": np.where(np.arange(2000) % 3 == 0, "x", "y"),
+            }
+        )
+        a = (
+            mixture_sample(rd.from_pandas(df).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            mixture_sample(rd.from_pandas(df).repartition(16))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_missing_weight_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.split import mixture_sample
+
+        df = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "b"]})
+        with pytest.raises(ValueError, match="missing strata"):
+            mixture_sample(rd.from_pandas(df), weights={"a": 1.0}).to_pandas()

@@ -331,3 +331,81 @@ def decontaminate_bloom(
     return ds.select_columns([id_col, text_col]).map_batches(
         check, batch_format="pyarrow"
     )
+
+
+def mixture_sample(
+    ds,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+):
+    """Deterministic mixture balancing (round-5 operator): subsample each
+    ``key_col`` stratum so the output composition matches the target
+    ``weights`` at the largest total that needs NO upsampling —
+    ``T = min_s(count_s / w_s)``, per-stratum keep-rate ``w_s·T/count_s``
+    (the limiting stratum keeps everything).  ``weights=None`` means equal
+    targets, where the rate reduces to ``min_count / count_s`` — the exact
+    expression the SQL oracle evaluates, so engine and oracle agree on the
+    float64 threshold bit-for-bit.
+
+    Selection is the Knuth-hash Bernoulli filter of ``train_val_split``:
+    keep iff ``hash32(id) < floor(rate · 2^32)`` — order-independent,
+    shuffle-free, reproducible, and composable with the other split ops
+    (the same document is kept or dropped regardless of partitioning).
+
+    Shape: one tiny per-stratum count aggregate (partial in-batch — rows
+    shuffled = strata × blocks) → rates broadcast in the closure (strata
+    are few by definition) → one vectorized filter pass.  No corpus-sized
+    state, no shuffle of data rows."""
+    counts = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {key_col: t[key_col]}
+            ).group_by(key_col).aggregate([(key_col, "count")]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby(key_col)[f"{key_col}_count"]
+        .sum()
+    )
+    if len(counts) == 0:
+        return ds
+    if weights is None:
+        min_c = float(counts.min())
+        thresholds = {
+            k: int(np.floor(min_c / float(c) * 4294967296.0))
+            for k, c in counts.items()
+        }
+    else:
+        missing = set(counts.index) - set(weights)
+        if missing:
+            raise ValueError(f"weights missing strata: {sorted(missing)}")
+        total = float(min(float(counts[k]) / float(w) for k, w in weights.items()
+                          if k in counts.index))
+        thresholds = {
+            k: int(
+                np.floor(
+                    min(1.0, float(weights[k]) * total / float(counts[k]))
+                    * 4294967296.0
+                )
+            )
+            for k in counts.index
+        }
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = split_hash32(ids)
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        enc = kcol.dictionary_encode()
+        kdict = enc.dictionary.to_pylist()
+        thr_by_code = np.array(
+            [thresholds.get(k, 0) for k in kdict], dtype=np.uint64
+        )
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        mask = h < thr_by_code[codes]
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
