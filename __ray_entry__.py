@@ -892,6 +892,21 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_common_passages(sf_dir: str):
+    """Exact duplicate-passage detection (round-5; Lee et al. 2021 shape):
+    distinct (8-word-window hash, doc) pairs → docs-per-window aggregate →
+    shared-window semi-join feedback (broadcast / native-join dual regime)
+    → per-doc shared-window count.  Window hashes ride as bit-cast int64;
+    the oracle recomputes the windows as STRINGS (collision-free check)."""
+    from zonal_stats_toolkit_ray.stages.passages import common_passages
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return common_passages(ds, n=8)
+
+
 def q_mixture_sample(sf_dir: str):
     """Mixture balancing (round-5): downsample every source stratum to the
     equal-target composition with the Knuth-hash Bernoulli filter — one
@@ -2154,6 +2169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
+        "common_passages": q_common_passages,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2874,6 +2890,30 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "common_passages": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(w) >= 8 THEN
+                  [array_to_string(w[i:i+7], ' ')
+                   for i in generate_series(1, len(w)-7)]
+                WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                ELSE [] END AS g
+              FROM toks
+            ),
+            dg AS (SELECT DISTINCT doc_id, gram
+                   FROM (SELECT doc_id, unnest(g) AS gram FROM grams)),
+            c AS (SELECT gram, count(*) AS cnt FROM dg GROUP BY gram)
+            SELECT dg.doc_id, count(*)::BIGINT AS n_shared
+            FROM dg JOIN c ON dg.gram = c.gram
+            WHERE c.cnt >= 2
+            GROUP BY dg.doc_id ORDER BY dg.doc_id
         """,
         "mixture_sample": """
             WITH cnt AS (
