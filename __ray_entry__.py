@@ -892,6 +892,33 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (round-5): 3 power iterations over a
+    deterministic 3-out-regular link graph derived from doc_ids
+    (dst = (id·m + c) mod N for m,c in (3,1),(4,2),(5,3) — identical
+    integer construction in the SQL oracle).  Edges stream per iteration
+    as sparse in-batch contribution partials; the node-sized rank vector
+    broadcasts via ray.put."""
+    from zonal_stats_toolkit_ray.stages.graph import pagerank
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = ds.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(ids * 3 + 1) % n, (ids * 4 + 2) % n, (ids * 5 + 3) % n]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    out = pagerank(e, iters=3, damping=0.85)
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_common_passages(sf_dir: str):
     """Exact duplicate-passage detection (round-5; Lee et al. 2021 shape):
     distinct (8-word-window hash, doc) pairs → docs-per-window aggregate →
@@ -2170,6 +2197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
         "common_passages": q_common_passages,
+        "pagerank": q_pagerank,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2890,6 +2918,48 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "pagerank": """
+            WITH n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id*3+1) % cnt AS dst
+              FROM documents CROSS JOIN n
+              UNION ALL
+              SELECT doc_id, (doc_id*4+2) % cnt FROM documents CROSS JOIN n
+              UNION ALL
+              SELECT doc_id, (doc_id*5+3) % cnt FROM documents CROSS JOIN n
+            ),
+            deg AS (SELECT src, count(*)::DOUBLE AS od FROM e GROUP BY src),
+            u AS (SELECT doc_id AS node FROM documents),
+            r0 AS (SELECT node, 1.0/cnt AS r FROM u CROSS JOIN n),
+            i1 AS (
+              SELECT u.node, (1.0-0.85)/cnt + 0.85*coalesce(s.c, 0.0) AS r
+              FROM u CROSS JOIN n LEFT JOIN (
+                SELECT e.dst AS node, sum(r0.r/deg.od) AS c
+                FROM e JOIN r0 ON r0.node = e.src
+                       JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = u.node
+            ),
+            i2 AS (
+              SELECT u.node, (1.0-0.85)/cnt + 0.85*coalesce(s.c, 0.0) AS r
+              FROM u CROSS JOIN n LEFT JOIN (
+                SELECT e.dst AS node, sum(i1.r/deg.od) AS c
+                FROM e JOIN i1 ON i1.node = e.src
+                       JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = u.node
+            ),
+            i3 AS (
+              SELECT u.node, (1.0-0.85)/cnt + 0.85*coalesce(s.c, 0.0) AS r
+              FROM u CROSS JOIN n LEFT JOIN (
+                SELECT e.dst AS node, sum(i2.r/deg.od) AS c
+                FROM e JOIN i2 ON i2.node = e.src
+                       JOIN deg ON deg.src = e.src
+                GROUP BY e.dst
+              ) s ON s.node = u.node
+            )
+            SELECT node, round(r, 6) AS rank FROM i3 ORDER BY node
         """,
         "common_passages": r"""
             WITH toks AS (
