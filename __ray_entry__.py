@@ -892,6 +892,35 @@ def q_hopping_windows(sf_dir: str):
     return out
 
 
+def q_window_ranks(sf_dir: str):
+    """Distributed SQL window functions (round-5): per-user ROW_NUMBER /
+    RANK / PERCENT_RANK / running SUM over value order — range sort, one
+    block-summary pass, driver run-stitch (tie chains across blocks), one
+    vectorized rank pass.  Values floored to plant ties (floor is bit-exact
+    in Arrow and DuckDB, unlike round's half-even vs half-away)."""
+    from zonal_stats_toolkit_ray.stages.winfunc import window_ranks
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def fl(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("value"), "value", pc.floor(t["value"])
+        )
+
+    out = (
+        window_ranks(ds.map_batches(fl, batch_format="pyarrow"))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["pct_rank"] = out["pct_rank"].round(6)
+    out["run_sum"] = out["run_sum"].round(6)
+    return out[["event_id", "user_id", "row_num", "rnk", "pct_rank", "run_sum"]]
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (round-5): 3 power iterations over a
     deterministic 3-out-regular link graph derived from doc_ids
@@ -2198,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": q_mixture_sample,
         "common_passages": q_common_passages,
         "pagerank": q_pagerank,
+        "window_ranks": q_window_ranks,
         "knn_brute": q_knn_brute,
         # non-SQL-expressible pipelines (rows-only checks; pytest gates)
         "zonal_pages": q_zonal_pages,
@@ -2918,6 +2948,22 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "window_ranks": """
+            WITH e AS (
+              SELECT event_id, user_id, floor(value) AS value FROM events
+            )
+            SELECT event_id, user_id,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY value, event_id) AS row_num,
+              RANK() OVER (PARTITION BY user_id ORDER BY value) AS rnk,
+              round(PERCENT_RANK() OVER (PARTITION BY user_id
+                                         ORDER BY value), 6) AS pct_rank,
+              round(SUM(value) OVER (PARTITION BY user_id
+                    ORDER BY value, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    6) AS run_sum
+            FROM e ORDER BY event_id
         """,
         "pagerank": """
             WITH n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
