@@ -388,6 +388,58 @@ def q_hash_join(sf_dir: str):
     return out.sort_values("o_orderstatus").reset_index(drop=True)
 
 
+def q_left_join(sf_dir: str):
+    """customer LEFT OUTER JOIN orders — the null-preserving join path
+    (round-4): customers without orders survive with null order columns.
+    Same engine as `hash_join` (broadcast fallback below threshold, native
+    hash-shuffle join above); nulls coalesced to sentinels IN THE ENGINE so
+    the compared frame has stable integer dtypes (Arrow int64-with-null →
+    pandas float64 would hash differently than DuckDB's)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey", how="left")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ok = pc.fill_null(pc.cast(b["o_orderkey"], pa.int64()), -1)
+        tp = pc.round(pc.fill_null(b["o_totalprice"], 0.0), 6)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_nationkey": b["c_nationkey"],
+                "o_orderkey": ok,
+                "o_totalprice": tp,
+            }
+        )
+
+    out = (
+        j.map_batches(finalize, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["c_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode normalization pass (NFC → lower → collapse whitespace →
+    trim), the canonical pre-dedup cleanup: four Arrow kernels per batch,
+    oracle = the identical DuckDB scalar chain (kernel parity documented in
+    stages/text.py:normalize_text_batch)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import normalize_text_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(normalize_text_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "norm_text", "n_norm_chars"])
+
+
 def q_asof_join(sf_dir: str):
     """Per-user as-of self join on events: attach the most recent prior (or
     simultaneous) 'click' value to every event; grouped rollup keeps the
@@ -2193,6 +2245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_broadcast": q_join_broadcast,
         "semi_join": q_semi_join,
         "hash_join": q_hash_join,
+        "left_join": q_left_join,
+        "normalize_text": q_normalize_text,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "topk_events": q_topk_events,
@@ -2676,6 +2730,22 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_quantity), 6) AS sum_qty
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+        """,
+        "left_join": """
+            SELECT c.c_custkey, c.c_nationkey,
+                   coalesce(o.o_orderkey, -1) AS o_orderkey,
+                   round(coalesce(o.o_totalprice, 0.0), 6) AS o_totalprice
+            FROM customer c LEFT OUTER JOIN orders o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY c.c_custkey, o_orderkey
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\s+', ' ', 'g')) AS norm_text,
+                   length(trim(regexp_replace(lower(nfc_normalize(text)),
+                                              '\s+', ' ', 'g'))) AS n_norm_chars
+            FROM documents ORDER BY doc_id
         """,
         "approx_percentiles": f"""
             SELECT {_GEO_SQL} AS zone_id, TRUE AS within_tol

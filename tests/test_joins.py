@@ -94,6 +94,24 @@ class TestBroadcastJoin:
         )
         pd.testing.assert_frame_equal(got, want)
 
+    def test_left_outer_native_matches_broadcast(self, ray_session, sides):
+        left, right = sides
+        right = right[right["rk"] < 20]  # force unmatched left rows
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right)
+        want = _sorted(
+            left.merge(right, left_on="k", right_on="rk", how="left").drop(
+                columns=["rk"]
+            )
+        )
+        got = _sorted(
+            hash_join(
+                lds, rds, on="k", right_on="rk", how="left_outer",
+                broadcast=False, num_partitions=4,
+            ).to_pandas()
+        )
+        pd.testing.assert_frame_equal(got, want)
+
     def test_null_build_keys_never_match(self, ray_session):
         left = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"), "lv": [1, 2, 3]})
         right = pd.DataFrame(

@@ -213,9 +213,15 @@ def hash_join(
         # the native join, which handles it
     if num_partitions is None:
         num_partitions = auto_join_partitions()
+    # Ray's native Dataset.join spells outer joins with an underscore
+    # ("left_outer"); normalize the accepted aliases ("left", "left outer")
+    native_how = {
+        "left": "left_outer",
+        "left outer": "left_outer",
+    }.get(how, how)
     return left.join(
         right,
-        join_type=how,
+        join_type=native_how,
         num_partitions=num_partitions,
         on=(on,),
         right_on=(right_on,),

@@ -728,3 +728,31 @@ def remove_boilerplate_lines(
         )
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def normalize_text_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "norm_text"
+) -> pa.Table:
+    """Unicode text normalization — the canonical pre-dedup cleanup pass
+    (NFC so visually-identical byte sequences hash identically, casefold to
+    lowercase, collapse whitespace runs, trim): all four steps are single
+    Arrow kernels over the batch, zero Python per row.
+
+    Kernel choice is pinned to what a DuckDB oracle reproduces exactly:
+    ``utf8_normalize(form="NFC")`` ≡ ``nfc_normalize``, ``utf8_lower`` ≡
+    ``lower`` (both full Unicode), RE2 ``\\s+`` ≡ ``regexp_replace(...,
+    'g')`` (ASCII whitespace class in both), and an explicit space-only
+    trim (``utf8_trim(" ")``) ≡ SQL ``trim`` — Arrow's
+    ``utf8_trim_whitespace`` would also strip U+00A0 etc., which SQL trim
+    does not.  Emits ``out_col`` plus ``n_norm_chars`` (codepoint length).
+    """
+    s = pc.utf8_normalize(batch[text_col], form="NFC")
+    s = pc.utf8_lower(s)
+    s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    out = batch.append_column(out_col, s)
+    # utf8_length is int32 on `string` input; the SQL oracle's length() is
+    # BIGINT — pin int64 so value hashes compare dtype-stable
+    return out.append_column(
+        "n_norm_chars", pc.cast(pc.utf8_length(s), pa.int64())
+    )
