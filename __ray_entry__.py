@@ -427,6 +427,51 @@ def q_left_join(sf_dir: str):
     return out
 
 
+def q_full_join(sf_dir: str):
+    """Even-custkey customers FULL OUTER JOIN orders — both unmatched
+    directions survive (customers with no orders, orders whose customer was
+    filtered out).  Always the native hash-shuffle path: a per-batch
+    broadcast probe cannot know a build row is globally unmatched, so
+    ``hash_join`` refuses ``broadcast=True`` for full outer (tested).  Ray
+    coalesces the join key into the left column name; null payloads are
+    coalesced to sentinels IN THE ENGINE for stable integer dtypes."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+
+    cust = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .map_batches(
+            lambda b: b.filter(
+                pc.equal(pc.bit_wise_and(b["c_custkey"], 1), 0)
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    j = hash_join(cust, orders, on="c_custkey", right_on="o_custkey", how="full_outer")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(b["c_custkey"], pa.int64()),
+                "c_nationkey": pc.fill_null(pc.cast(b["c_nationkey"], pa.int64()), -1),
+                "o_orderkey": pc.fill_null(pc.cast(b["o_orderkey"], pa.int64()), -1),
+                "o_totalprice": pc.round(pc.fill_null(b["o_totalprice"], 0.0), 6),
+            }
+        )
+
+    return (
+        j.map_batches(finalize, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["c_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+
+
 def q_normalize_text(sf_dir: str):
     """Unicode normalization pass (NFC → lower → collapse whitespace →
     trim), the canonical pre-dedup cleanup: four Arrow kernels per batch,
@@ -1863,6 +1908,40 @@ def q_doc_frequency(sf_dir: str):
     return document_frequency(ds, top_n=50)
 
 
+def q_histogram(sf_dir: str):
+    """Exact fixed-bin histogram of lineitem extended price over
+    [0, 100000) × 25 bins — the distribution-profiling pass run before
+    choosing packing budgets / filter thresholds.  Per-batch np.bincount
+    partials (≤ bins rows each) → one ≤ bins-key aggregate; bin arithmetic
+    (float64 floor((v-lo)/w)) matches the SQL oracle bit-exactly
+    (stages/sketch.py:histogram_batch)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.sketch import histogram_ds
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    out = histogram_ds(ds, value_col="l_extendedprice", lo=0.0, hi=100000.0, bins=25)
+    return (
+        out.to_pandas().sort_values("bin").reset_index(drop=True)
+    )
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping context-window chunking (size=800, stride=500 codepoints)
+    — the splitting pass that feeds embedding / training pipelines.  Pure
+    per-batch flat-map, vectorized over chunk index (never rows); codepoint
+    slicing ≡ SQL substr (stages/text.py:chunk_documents_batch)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = chunk_documents(ds, size=800, stride=500)
+    return (
+        out.to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures per document (rows-only: token-level bit votes
     need modular exponentiation DuckDB lacks; gated by pytest + the
@@ -2246,12 +2325,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": q_semi_join,
         "hash_join": q_hash_join,
         "left_join": q_left_join,
+        "full_join": q_full_join,
         "normalize_text": q_normalize_text,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "topk_events": q_topk_events,
         "approx_distinct_cert": q_approx_distinct_cert,
         "doc_frequency": q_doc_frequency,
+        "histogram": q_histogram,
+        "chunk_documents": q_chunk_documents,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
         "quantile_filter": q_quantile_filter,
@@ -2606,6 +2688,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE sample_rank <= 20
             ORDER BY lang, sample_rank
         """,
+        "histogram": """
+            SELECT CAST(floor((l_extendedprice - 0.0) / (100000.0 / 25))
+                        AS BIGINT) AS bin,
+                   count(*) AS n
+            FROM lineitem
+            WHERE isfinite(l_extendedprice)
+              AND l_extendedprice >= 0.0 AND l_extendedprice < 100000.0
+            GROUP BY bin ORDER BY bin
+        """,
+        "chunk_documents": """
+            SELECT doc_id, chunk_id,
+                   substr(text, CAST(chunk_id * 500 + 1 AS BIGINT), 800)
+                       AS chunk_text,
+                   length(substr(text, CAST(chunk_id * 500 + 1 AS BIGINT), 800))
+                       AS n_chars
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0,
+                           CAST(ceil(length(text) / 500.0) AS BIGINT) - 1))
+                           AS chunk_id
+                FROM documents WHERE length(text) > 0
+            )
+            ORDER BY doc_id, chunk_id
+        """,
         "doc_frequency": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -2738,6 +2844,16 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c LEFT OUTER JOIN orders o
               ON c.c_custkey = o.o_custkey
             ORDER BY c.c_custkey, o_orderkey
+        """,
+        "full_join": """
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,
+                   CAST(coalesce(c.c_nationkey, -1) AS BIGINT) AS c_nationkey,
+                   coalesce(o.o_orderkey, -1) AS o_orderkey,
+                   round(coalesce(o.o_totalprice, 0.0), 6) AS o_totalprice
+            FROM (SELECT c_custkey, c_nationkey FROM customer
+                  WHERE c_custkey % 2 = 0) c
+            FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+            ORDER BY c_custkey, o_orderkey
         """,
         "normalize_text": r"""
             SELECT doc_id,

@@ -112,6 +112,29 @@ class TestBroadcastJoin:
         )
         pd.testing.assert_frame_equal(got, want)
 
+    def test_full_outer_native_matches_pandas(self, ray_session, sides):
+        left, right = sides
+        right = right[right["rk"] < 20]  # unmatched left rows
+        left = left[left["k"] % 3 != 0]  # unmatched right rows too
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right)
+        # pandas outer merge keeps both keys; Ray coalesces into the left name
+        m = left.merge(right, left_on="k", right_on="rk", how="outer")
+        m["k"] = m["k"].fillna(m["rk"])
+        want = _sorted(m.drop(columns=["rk"]).astype({"k": "int64"}))
+        got = hash_join(
+            lds, rds, on="k", right_on="rk", how="full_outer", num_partitions=4
+        ).to_pandas()
+        got = _sorted(got.astype({"k": "int64"}))
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_full_outer_refuses_broadcast(self, ray_session, sides):
+        left, right = sides
+        lds = rd.from_pandas(left)
+        rds = rd.from_pandas(right)
+        with pytest.raises(ValueError, match="unmatched build rows"):
+            hash_join(lds, rds, on="k", right_on="rk", how="full_outer", broadcast=True)
+
     def test_null_build_keys_never_match(self, ray_session):
         left = pd.DataFrame({"k": pd.array([1, 2, None], dtype="Int64"), "lv": [1, 2, 3]})
         right = pd.DataFrame(

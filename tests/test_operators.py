@@ -965,3 +965,87 @@ class TestNormalizeByGroup:
         assert (out.loc[3:5, "minmax"] == 0).all()
         # NaN passes through
         assert np.isnan(out.loc[6, "zscore"]) and np.isnan(out.loc[6, "minmax"])
+
+
+class TestChunkAndHistogram:
+    """Round-4 late additions: overlapping chunking + exact histogram."""
+
+    def test_chunk_matches_python_slicing(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        texts = [
+            "",  # no chunks
+            "short",  # one short chunk
+            "a" * 10,  # exact stride multiple
+            "x𝄞yz" * 7,  # astral chars: codepoint slicing, not UTF-16/byte
+            "héllo wörld " * 4,
+        ]
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        out = (
+            T.chunk_documents(rd.from_pandas(df), size=8, stride=5)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        # python reference
+        rows = []
+        for i, t in enumerate(texts):
+            k = 0
+            while k * 5 < len(t):
+                c = t[k * 5 : k * 5 + 8]
+                rows.append((i, k, c, len(c)))
+                k += 1
+        want = pd.DataFrame(rows, columns=["doc_id", "chunk_id", "chunk_text", "n_chars"])
+        pd.testing.assert_frame_equal(out, want)
+        # and SQL substr parity (the oracle's exact expression)
+        con = duckdb.connect()
+        con.register("documents", df)
+        sql = """
+            SELECT doc_id, chunk_id,
+                   substr(text, CAST(chunk_id * 5 + 1 AS BIGINT), 8) AS chunk_text,
+                   length(substr(text, CAST(chunk_id * 5 + 1 AS BIGINT), 8)) AS n_chars
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(0,
+                             CAST(ceil(length(text) / 5.0) AS BIGINT) - 1)) AS chunk_id
+                  FROM documents WHERE length(text) > 0)
+            ORDER BY doc_id, chunk_id
+        """
+        want_sql = con.execute(sql).df()
+        pd.testing.assert_frame_equal(out, want_sql, check_dtype=False)
+
+    def test_histogram_boundaries_and_merge(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.sketch import histogram_batch, histogram_ds
+
+        rng = np.random.default_rng(11)
+        v = np.concatenate(
+            [
+                rng.uniform(-5, 105, 5000),
+                [0.0, 100.0, 99.9999999, -0.0001, np.nan, np.inf, -np.inf],
+                np.arange(0, 101, 10.0),  # exact bin edges
+            ]
+        )
+        df = pd.DataFrame({"x": v})
+        lo, hi, bins = 0.0, 100.0, 10
+        got = (
+            histogram_ds(rd.from_pandas(df).repartition(7), value_col="x",
+                         lo=lo, hi=hi, bins=bins)
+            .to_pandas()
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        w = (hi - lo) / bins
+        m = np.isfinite(v) & (v >= lo) & (v < hi)
+        idx = np.floor((v[m] - lo) / w).astype(np.int64)
+        counts = np.bincount(idx, minlength=bins)
+        want = pd.DataFrame(
+            {"bin": np.nonzero(counts)[0].astype(np.int64),
+             "n": counts[np.nonzero(counts)[0]].astype(np.int64)}
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert int(got["n"].sum()) == int(m.sum())
+        # single-batch partial equals the distributed result
+        one = histogram_batch(pa.table({"x": v}), value_col="x", lo=lo, hi=hi, bins=bins)
+        pd.testing.assert_frame_equal(one.to_pandas(), want)

@@ -198,6 +198,12 @@ def hash_join(
         if broadcast_threshold_rows is not None
         else BROADCAST_JOIN_THRESHOLD
     )
+    if broadcast and how not in _ARROW_JOIN_TYPE:
+        # full/right outer joins must see EVERY probe batch before deciding
+        # a build row is unmatched — a per-batch broadcast probe cannot
+        raise ValueError(
+            f"broadcast join cannot preserve unmatched build rows (how={how!r})"
+        )
     if broadcast is None and how in _ARROW_JOIN_TYPE:
         broadcast = right.limit(thr + 1).count() <= thr
     if broadcast:
@@ -214,10 +220,16 @@ def hash_join(
     if num_partitions is None:
         num_partitions = auto_join_partitions()
     # Ray's native Dataset.join spells outer joins with an underscore
-    # ("left_outer"); normalize the accepted aliases ("left", "left outer")
+    # ("left_outer"); normalize the accepted aliases ("left", "left outer",
+    # "full", "right")
     native_how = {
         "left": "left_outer",
         "left outer": "left_outer",
+        "right": "right_outer",
+        "right outer": "right_outer",
+        "full": "full_outer",
+        "full outer": "full_outer",
+        "outer": "full_outer",
     }.get(how, how)
     return left.join(
         right,

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 class HistSketch:
@@ -403,3 +404,82 @@ def heavy_hitters(
     )
     out = pd.DataFrame({"token": tk, "est": ct})
     return out.sort_values("token").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-bin histogram — the distribution-profiling pass of a corpus
+# (sequence-length / quality-score / price distributions before choosing
+# packing budgets or filter thresholds).  Unlike HistSketch above this is
+# EXACT for a caller-fixed [lo, hi) range: per-batch np.bincount partials
+# (≤ bins rows each, regardless of batch size), one vocabulary-sized hash
+# aggregate, nothing corpus-sized ever shuffles or lands on the driver.
+# ---------------------------------------------------------------------------
+
+
+def histogram_batch(
+    batch: pa.Table,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> pa.Table:
+    """One batch → non-empty (bin, n) partial rows.
+
+    Bin arithmetic is pinned to what a SQL oracle reproduces bit-exactly:
+    ``floor((v - lo) / w)`` with ``w = (hi - lo) / bins``, all float64 —
+    identical expressions in DuckDB give identical bins, including the
+    boundary case where rounding lands a v just under ``hi`` in bin
+    ``bins`` (kept, not clamped, so both sides agree).  Values outside
+    [lo, hi) and non-finite values are dropped on BOTH sides."""
+    v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    w = (hi - lo) / bins
+    m = np.isfinite(v) & (v >= lo) & (v < hi)
+    idx = np.floor((v[m] - lo) / w).astype(np.int64)
+    counts = np.bincount(idx, minlength=bins + 1)
+    nz = np.nonzero(counts)[0]
+    return pa.table(
+        {"bin": nz.astype(np.int64), "n": counts[nz].astype(np.int64)}
+    )
+
+
+def histogram_ds(
+    ds,
+    *,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 32,
+    num_partitions: int | None = None,
+):
+    """Exact histogram of ``value_col`` over ``bins`` equal-width bins in
+    [lo, hi): Dataset of (bin:int64, n:int64), non-empty bins only,
+    unordered (callers sort).
+
+    Shape: in-batch ``np.bincount`` partials → coalesce the slim partials
+    (aggregate partition count follows input block count; more partitions
+    than distinct bins emits schemaless empties — sandbox lesson #22) →
+    one ``groupby(bin).sum`` over ≤ bins+1 keys.  At 100 TB the shuffle
+    moves blocks×bins rows of two int64s — nothing scales with row count."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        histogram_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"value_col": value_col, "lo": lo, "hi": hi, "bins": bins},
+    ).repartition(num_partitions or 4)
+    agg = partials.groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+    def norm(b: pa.Table) -> pa.Table:
+        if "bin" not in b.column_names:
+            return pa.table(
+                {"bin": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "bin": pc.cast(b["bin"], pa.int64()),
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(norm, batch_format="pyarrow")

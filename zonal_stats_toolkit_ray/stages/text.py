@@ -756,3 +756,93 @@ def normalize_text_batch(
     return out.append_column(
         "n_norm_chars", pc.cast(pc.utf8_length(s), pa.int64())
     )
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 800,
+    stride: int = 500,
+) -> pa.Table:
+    """Flat-map one batch of documents into overlapping codepoint windows —
+    the context-window splitting pass that feeds embedding / training
+    pipelines (chunk k covers codepoints [k*stride, k*stride+size); last
+    chunk may be short; empty docs emit no chunks).
+
+    Vectorized as a loop over CHUNK INDEX k (≤ ceil(max_len/stride)
+    iterations, each one Arrow ``utf8_slice_codeunits`` (codepoint-indexed for UTF-8, astral-correct) over every doc
+    still long enough) — never a loop over rows.  Codepoint slicing matches
+    SQL ``substr`` (both count code points, not bytes), so a DuckDB
+    generate_series oracle reproduces chunks exactly."""
+    lengths = pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
+    max_len = pc.max(lengths).as_py() or 0
+    ids_out, ks_out, texts_out = [], [], []
+    k = 0
+    cur = batch
+    cur_len = lengths
+    while k * stride < max_len:
+        start = k * stride
+        keep = pc.greater(cur_len, start)
+        # shrink the working set monotonically — docs too short for chunk k
+        # are too short for every later k as well
+        if not pc.all(keep).as_py():
+            cur = cur.filter(keep)
+            cur_len = pc.filter(cur_len, keep)
+        if cur.num_rows == 0:
+            break
+        ids_out.append(cur[id_col])
+        ks_out.append(pa.array(np.full(cur.num_rows, k, dtype=np.int64)))
+        texts_out.append(
+            pc.utf8_slice_codeunits(cur[text_col], start=start, stop=start + size)
+        )
+        k += 1
+    if not ids_out:
+        return pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+            }
+        )
+    ids = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in ids_out])
+    txt = pa.concat_arrays(
+        [
+            (a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a).cast(pa.string())
+            for a in texts_out
+        ]
+    )
+    return pa.table(
+        {
+            id_col: ids,
+            "chunk_id": pa.concat_arrays(ks_out),
+            "chunk_text": txt,
+            "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        }
+    )
+
+
+def chunk_documents(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 800,
+    stride: int = 500,
+):
+    """Dataset → Dataset of overlapping text chunks (doc_id, chunk_id,
+    chunk_text, n_chars).  Pure per-batch flat-map: no shuffle, chunk count
+    scales the output rows but nothing is held beyond one batch — the
+    100-TB shape is exactly the 1-GB shape."""
+    return ds.map_batches(
+        chunk_documents_batch,
+        batch_format="pyarrow",
+        fn_kwargs={
+            "text_col": text_col,
+            "id_col": id_col,
+            "size": size,
+            "stride": stride,
+        },
+    )
