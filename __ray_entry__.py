@@ -1015,7 +1015,9 @@ def q_window_ranks(sf_dir: str):
     )
     out["pct_rank"] = out["pct_rank"].round(6)
     out["run_sum"] = out["run_sum"].round(6)
-    return out[["event_id", "user_id", "row_num", "rnk", "pct_rank", "run_sum"]]
+    return out[
+        ["event_id", "user_id", "row_num", "rnk", "pct_rank", "run_sum", "ntile"]
+    ]
 
 
 def q_pagerank(sf_dir: str):
@@ -1925,6 +1927,48 @@ def q_histogram(sf_dir: str):
     )
 
 
+def q_json_extract_agg(sf_dir: str):
+    """Flat-JSON scalar extraction over the events payload column + a
+    per-event-type rollup (n, sum_k, avg_k).  Extraction is one RE2 kernel
+    per batch (stages/web.py:json_scalar_batch — exactly json_extract for
+    flat machine-emitted props; nested JSON documented out of scope);
+    rollup is in-batch partials → one group-count-sized aggregate.  avg_k
+    is the raw float64 division (identical arithmetic in the oracle — no
+    rounding, so no tie-mode divergence)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from zonal_stats_toolkit_ray.stages.web import json_scalar_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = json_scalar_batch(b, json_col="props", key="k", out_col="k")
+        t = pa.table({"event_type": b["event_type"], "k": b["k"]})
+        g = t.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "sum_k": pc.cast(g["k_sum"], pa.int64()),
+                "n": pc.cast(g["k_count"], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("event_type")
+        .aggregate(Sum("sum_k", alias_name="sum_k"), Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()  # event-type-sized
+    df["sum_k"] = df["sum_k"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    df["avg_k"] = df["sum_k"].astype("float64") / df["n"].astype("float64")
+    return (
+        df.sort_values("event_type")[["event_type", "n", "sum_k", "avg_k"]]
+        .reset_index(drop=True)
+    )
+
+
 def q_chunk_documents(sf_dir: str):
     """Overlapping context-window chunking (size=800, stride=500 codepoints)
     — the splitting pass that feeds embedding / training pipelines.  Pure
@@ -2334,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q_doc_frequency,
         "histogram": q_histogram,
         "chunk_documents": q_chunk_documents,
+        "json_extract_agg": q_json_extract_agg,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
         "quantile_filter": q_quantile_filter,
@@ -2696,6 +2741,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE isfinite(l_extendedprice)
               AND l_extendedprice >= 0.0 AND l_extendedprice < 100000.0
             GROUP BY bin ORDER BY bin
+        """,
+        "json_extract_agg": """
+            SELECT event_type,
+                   count(k) AS n,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+            FROM (SELECT event_type,
+                         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type
         """,
         "chunk_documents": """
             SELECT doc_id, chunk_id,
@@ -3148,7 +3203,9 @@ def oracle_sql() -> dict[str, str]:
               round(SUM(value) OVER (PARTITION BY user_id
                     ORDER BY value, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                    6) AS run_sum
+                    6) AS run_sum,
+              NTILE(4) OVER (PARTITION BY user_id
+                             ORDER BY value, event_id) AS ntile
             FROM e ORDER BY event_id
         """,
         "pagerank": """

@@ -233,3 +233,32 @@ class TestMixtureSample:
         df = pd.DataFrame({"doc_id": [1, 2], "source": ["a", "b"]})
         with pytest.raises(ValueError, match="missing strata"):
             mixture_sample(rd.from_pandas(df), weights={"a": 1.0}).to_pandas()
+
+
+class TestJsonScalar:
+    def test_types_and_missing_keys(self, ray_session):
+        import pyarrow as pa
+
+        from zonal_stats_toolkit_ray.stages.web import json_scalar_batch
+
+        t = pa.table(
+            {
+                "props": [
+                    '{"k": 87, "name": "ann", "score": 1.5}',
+                    '{"k": -3, "name": "b\\"ob", "score": -2e3}',
+                    '{"other": 1}',          # key absent -> null
+                    '{"k": [1,2]}',          # non-scalar -> null
+                    None,                     # null json -> null
+                ]
+            }
+        )
+        k = json_scalar_batch(t, json_col="props", key="k")["k"].to_pylist()
+        assert k == [87, -3, None, None, None]
+        s = json_scalar_batch(
+            t, json_col="props", key="name", value_type="string"
+        )["name"].to_pylist()
+        assert s[0] == "ann" and s[2] is None
+        f = json_scalar_batch(
+            t, json_col="props", key="score", value_type="float"
+        )["score"].to_pylist()
+        assert f[0] == 1.5 and f[1] == -2000.0 and f[3] is None

@@ -98,3 +98,36 @@ class TestWindowRanks:
             }
         )
         _cmp(rd.from_pandas(df).repartition(8))
+
+
+def test_ntile_matches_duckdb_edges(ray_session):
+    """NTILE edge shapes: n < t, n == t, n % t != 0, heavy ties."""
+    import duckdb
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.stages.winfunc import window_ranks
+
+    rows = []
+    eid = 0
+    for key, n in [(1, 2), (2, 4), (3, 7), (4, 13), (5, 1)]:
+        for i in range(n):
+            rows.append((eid, key, float(i % 3)))  # ties
+            eid += 1
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "value"])
+    got = (
+        window_ranks(rd.from_pandas(df).repartition(3), ntile=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "ntile"]]
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        """
+        SELECT event_id,
+               NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+                   AS ntile
+        FROM t ORDER BY event_id
+        """
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

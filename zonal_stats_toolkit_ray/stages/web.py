@@ -88,3 +88,41 @@ def host_stats(
     return out.sort_values("host").reset_index(drop=True)[
         ["host", "n_pages", "total_chars", "n_langs"]
     ]
+
+
+# --- flat-JSON scalar extraction -------------------------------------------
+# Web-event payloads ship as JSON strings; pipelines constantly project one
+# scalar field out before aggregating.  There is no vectorized JSON parser
+# in this environment (no pyarrow.json column kernel, no simdjson), so this
+# extracts FLAT SCALAR keys with one RE2 pass per key — exactly equivalent
+# to json_extract for payloads without nesting/escaped-quote keys, which is
+# the shape of machine-emitted event props.  Nested/structured JSON needs a
+# real parser lib and is out of scope (documented, not silently wrong: the
+# pattern only matches a top-level "key": <scalar> pair).
+
+_JSON_NUM = r'(?P<v>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)'
+_JSON_STR = r'"(?P<v>(?:[^"\\]|\\.)*)"'
+
+
+def json_scalar_batch(
+    batch: pa.Table,
+    *,
+    json_col: str,
+    key: str,
+    out_col: str | None = None,
+    value_type: str = "int",
+) -> pa.Table:
+    """Adds ``out_col`` = the scalar value of ``key`` in the flat JSON
+    object column ``json_col`` (null when the key is absent or non-scalar).
+    ``value_type``: "int" | "float" | "string".  One vectorized
+    ``extract_regex`` kernel; no per-row Python, no parser state."""
+    out_col = out_col or key
+    vpat = _JSON_STR if value_type == "string" else _JSON_NUM
+    pattern = r'"' + key + r'"\s*:\s*' + vpat
+    ex = pc.extract_regex(batch[json_col], pattern=pattern)
+    v = pc.struct_field(ex, "v")
+    if value_type == "int":
+        v = pc.cast(v, pa.int64())
+    elif value_type == "float":
+        v = pc.cast(v, pa.float64())
+    return batch.append_column(out_col, v)

@@ -42,6 +42,19 @@ def _np(col):
     return col.to_numpy(zero_copy_only=False)
 
 
+def _ntile(row_num: np.ndarray, n: np.ndarray, t: int) -> np.ndarray:
+    """SQL NTILE(t) from 1-based row_num and partition size n: the first
+    n % t buckets hold n//t + 1 rows, the rest n//t."""
+    q, r = np.divmod(n, t)
+    big = (q + 1) * r  # rows covered by the oversized buckets
+    in_big = row_num <= big
+    return np.where(
+        in_big,
+        (row_num - 1) // np.maximum(q + 1, 1),
+        r + (row_num - 1 - big) // np.maximum(q, 1),
+    ).astype(np.int64) + 1
+
+
 _SUMMARY_FIELDS = [
     ("first_id", pa.int64()),
     ("run_first_id", pa.int64()),
@@ -60,10 +73,15 @@ def window_ranks(
     key_col: str = "user_id",
     value_col: str = "value",
     id_col: str = "event_id",
+    ntile: int = 4,
 ):
-    """→ Dataset(id, key, row_num, rnk, pct_rank, run_sum) per the module
-    docstring.  ``value_col`` must be non-null and finite; ``id_col`` must
-    be unique (it is the deterministic sort tiebreak)."""
+    """→ Dataset(id, key, row_num, rnk, pct_rank, run_sum, ntile) per the
+    module docstring.  ``value_col`` must be non-null and finite;
+    ``id_col`` must be unique (it is the deterministic sort tiebreak).
+
+    NTILE(``ntile``) is SQL-exact over the (value, id) row order: the
+    first n%t buckets get n//t+1 rows — a pure elementwise function of
+    (row_num, partition size), so it adds zero shuffle or stitch state."""
     import ray
 
     slim = ds.select_columns([key_col, value_col, id_col])
@@ -119,6 +137,7 @@ def window_ranks(
             "rnk": pd.Series(dtype="int64"),
             "pct_rank": pd.Series(dtype="float64"),
             "run_sum": pd.Series(dtype="float64"),
+            "ntile": pd.Series(dtype="int64"),
         }
         import ray.data as rd
 
@@ -192,6 +211,7 @@ def window_ranks(
                 ("rnk", pa.int64()),
                 ("pct_rank", pa.float64()),
                 ("run_sum", pa.float64()),
+                ("ntile", pa.int64()),
             ]
         )
         if len(b) == 0:
@@ -225,6 +245,7 @@ def window_ranks(
         row_num = p_cnt + local_rn + 1
         pct = np.where(n_k > 1, (rnk - 1) / np.maximum(n_k - 1, 1), 0.0)
         run_sum = p_sum + (cs - run_cs_base[run_of])
+        nt = _ntile(row_num, n_k.astype(np.int64), ntile)
         return pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
@@ -233,6 +254,7 @@ def window_ranks(
                 "rnk": pa.array(rnk, pa.int64()),
                 "pct_rank": pa.array(pct, pa.float64()),
                 "run_sum": pa.array(run_sum, pa.float64()),
+                "ntile": pa.array(nt, pa.int64()),
             },
             schema=out_schema,
         )
@@ -246,6 +268,7 @@ def window_ranks_ref(
     key_col: str = "user_id",
     value_col: str = "value",
     id_col: str = "event_id",
+    ntile: int = 4,
 ) -> pd.DataFrame:
     """Per-key map_groups reference (O(key) materialization) for tests."""
 
@@ -256,15 +279,17 @@ def window_ranks_ref(
         new_v = np.concatenate([[True], v[1:] != v[:-1]])
         first = np.flatnonzero(new_v)[np.cumsum(new_v) - 1]
         rnk = first + 1
+        row_num = np.arange(1, nk + 1, dtype=np.int64)
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
                 key_col: g[key_col].to_numpy(),
-                "row_num": np.arange(1, nk + 1, dtype=np.int64),
+                "row_num": row_num,
                 "rnk": rnk.astype(np.int64),
                 "pct_rank": (rnk - 1) / max(nk - 1, 1) if nk > 1
                 else np.zeros(nk),
                 "run_sum": np.cumsum(v),
+                "ntile": _ntile(row_num, np.full(nk, nk, dtype=np.int64), ntile),
             }
         )
 
