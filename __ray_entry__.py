@@ -1927,6 +1927,21 @@ def q_histogram(sf_dir: str):
     )
 
 
+def q_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) over documents — every aggregation
+    grain from one pass over the input: finest-grain in-batch partials →
+    one hash aggregate, coarser levels re-aggregate the group-sized frame
+    (stages/rollup.py).  sum over the integer n_chars stays exact in
+    float64, so no rounding-mode divergence vs the oracle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.rollup import rollup_sum_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_sum_count(ds, keys=["lang", "source"], value_col="n_chars")
+
+
 def q_json_extract_agg(sf_dir: str):
     """Flat-JSON scalar extraction over the events payload column + a
     per-event-type rollup (n, sum_k, avg_k).  Extraction is one RE2 kernel
@@ -2379,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram": q_histogram,
         "chunk_documents": q_chunk_documents,
         "json_extract_agg": q_json_extract_agg,
+        "rollup": q_rollup,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
         "quantile_filter": q_quantile_filter,
@@ -2741,6 +2757,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE isfinite(l_extendedprice)
               AND l_extendedprice >= 0.0 AND l_extendedprice < 100000.0
             GROUP BY bin ORDER BY bin
+        """,
+        "rollup": """
+            SELECT coalesce(lang, '__ALL__') AS lang,
+                   coalesce(source, '__ALL__') AS source,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) AS sum_v
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+            ORDER BY lang, source, n
         """,
         "json_extract_agg": """
             SELECT event_type,

@@ -1,0 +1,87 @@
+"""SQL ROLLUP / grouping-sets aggregate over a Ray Dataset.
+
+The reference toolkit's reporting layer emits one CSV per aggregation
+grain; SQL engines express the same need as ``GROUP BY ROLLUP(k1, k2)``.
+The scale-correct shape: the INPUT is read once — in-batch partials at the
+FINEST grain (distinct (k1,…,kn) rows per block, never input rows) feed one
+hash aggregate, and every coarser level re-aggregates the previous level's
+group-sized Dataset (distinct keys shrink monotonically), so rolling up
+adds zero passes over the corpus.  Rolled-up key positions carry a sentinel
+token (default ``"__ALL__"``) rather than NULL so downstream sorts, joins
+and the DuckDB oracle (``coalesce(k, '__ALL__')``) treat levels uniformly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ALL_TOKEN = "__ALL__"
+
+
+def rollup_sum_count(
+    ds,
+    *,
+    keys: list[str],
+    value_col: str,
+    num_partitions: int = 4,
+    all_token: str = ALL_TOKEN,
+) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(*keys)`` with ``sum(value_col)`` and ``count(*)``
+    → DataFrame(keys…, n:int64, sum_v:float64), every rollup level, keys
+    ascending with ``all_token`` marking rolled-up positions.
+
+    One pass over the input (finest-grain in-batch partials), then each
+    coarser level aggregates the PREVIOUS level's group-sized Dataset —
+    the classic partial-reaggregation trick: sum and count are associative,
+    so level i is exactly derivable from level i+1.  The returned frame is
+    group-universe-sized (sum over levels of distinct key prefixes)."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {**{k: b[k] for k in keys}, "v": pc.cast(b[value_col], pa.float64())}
+        )
+        g = t.group_by(keys).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": pc.cast(g["v_count"], pa.int64()),
+                "sum_v": pc.cast(g["v_sum"], pa.float64()),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+    )
+
+    frames: list[pd.DataFrame] = []
+    cur = finest.to_pandas()  # finest-grain groups — group-universe-sized
+    frames.append(cur.copy())
+    for i in range(len(keys) - 1, -1, -1):
+        # roll up keys[i:]: re-aggregate the previous (already tiny) level
+        prev = frames[-1]
+        if i == 0:
+            row = {k: all_token for k in keys}
+            row["n"] = np.int64(prev["n"].sum())
+            row["sum_v"] = float(prev["sum_v"].sum())
+            frames.append(pd.DataFrame([row]))
+        else:
+            g = (
+                prev.groupby(keys[:i], as_index=False)[["n", "sum_v"]]
+                .sum()
+            )
+            for k in keys[i:]:
+                g[k] = all_token
+            frames.append(g[keys + ["n", "sum_v"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_v"] = out["sum_v"].astype("float64")
+    return out.sort_values(keys + ["n"]).reset_index(drop=True)
