@@ -1927,6 +1927,24 @@ def q_histogram(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic length-weighted Bernoulli sample (inclusion
+    probability ∝ n_chars, expected 100 rows): slim pass sums the weight,
+    then a pure hash32(id)-vs-threshold compare per batch — exact-integer
+    arithmetic both sides, no libm ordering hazard
+    (stages/split.py:weighted_sample)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.split import weighted_sample
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out = weighted_sample(ds, expected_k=100.0)
+    return (
+        out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def q_rollup(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) over documents — every aggregation
     grain from one pass over the input: finest-grain in-batch partials →
@@ -2395,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": q_chunk_documents,
         "json_extract_agg": q_json_extract_agg,
         "rollup": q_rollup,
+        "weighted_sample": q_weighted_sample,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
         "quantile_filter": q_quantile_filter,
@@ -2757,6 +2776,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE isfinite(l_extendedprice)
               AND l_extendedprice >= 0.0 AND l_extendedprice < 100000.0
             GROUP BY bin ORDER BY bin
+        """,
+        "weighted_sample": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) <
+                  ((100.0 * n_chars) /
+                   (SELECT CAST(sum(n_chars) AS DOUBLE) FROM documents))
+                  * 4294967296.0
+            ORDER BY doc_id
         """,
         "rollup": """
             SELECT coalesce(lang, '__ALL__') AS lang,

@@ -1049,3 +1049,34 @@ class TestChunkAndHistogram:
         # single-batch partial equals the distributed result
         one = histogram_batch(pa.table({"x": v}), value_col="x", lo=lo, hi=hi, bins=bins)
         pd.testing.assert_frame_equal(one.to_pandas(), want)
+
+
+class TestWeightedSample:
+    def test_proportional_and_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.split import weighted_sample
+
+        n = 20000
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(n, dtype=np.int64),
+                # two weight classes, 1:9 — heavy rows should be ~9x likelier
+                "n_chars": np.where(np.arange(n) % 2 == 0, 100, 900).astype(np.int64),
+            }
+        )
+        out = weighted_sample(
+            rd.from_pandas(df).repartition(8), expected_k=2000.0
+        ).to_pandas()
+        light = (out["n_chars"] == 100).sum()
+        heavy = (out["n_chars"] == 900).sum()
+        assert 1500 < len(out) < 2500  # expected 2000
+        assert heavy > 5 * light  # ~9x, loose bound
+        # pure function of id: a different partitioning yields identical rows
+        out2 = weighted_sample(
+            rd.from_pandas(df).repartition(3), expected_k=2000.0
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("doc_id").reset_index(drop=True),
+            out2.sort_values("doc_id").reset_index(drop=True),
+        )

@@ -409,3 +409,45 @@ def mixture_sample(
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    expected_k: float = 100.0,
+):
+    """Deterministic weighted Bernoulli sample: row i is kept iff
+    hash32(id_i) < (expected_k · w_i / W) · 2^32, where W = Σw — inclusion
+    probability proportional to weight, expected sample size ``expected_k``,
+    stable across runs / partitionings / cluster sizes (a pure function of
+    the id, like :func:`split_assign_batch`).
+
+    This is the importance-weighted corpus-sampling shape (sample documents
+    proportional to length / quality) chosen over Efraimidis–Spirakis
+    top-k because every comparison is ``uint32 < float64`` with both sides
+    derived from exact integers — a SQL oracle reproduces it bit-for-bit,
+    with no libm ``ln`` last-ulp ordering hazard at the k-boundary.
+
+    Two passes by design: a SLIM pruned pass sums the weight column
+    (driver scalar), then rows stream through a vectorized compare.  Rows
+    with w_i ≥ W/expected_k are kept with probability 1 (threshold ≥ 2^32).
+    """
+    import pyarrow.compute as pc
+
+    w_total = float(
+        ds.select_columns([weight_col]).sum(weight_col)  # slim exact pass
+    )
+    if w_total <= 0:
+        return ds.filter(lambda _: False)
+    scale = 4294967296.0
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = split_hash32(ids).astype(np.float64)
+        thr = (expected_k * w / w_total) * scale
+        return b.filter(pa.array(h < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
