@@ -2019,6 +2019,22 @@ def q_chunk_documents(sf_dir: str):
     )
 
 
+def q_assemble_chunks(sf_dir: str):
+    """Chunk → reassemble roundtrip: split documents into overlapping
+    windows (size=800, stride=500) then rebuild each doc from its chunks
+    (stages/text.py:assemble_chunks — sorted-block vectorized assembly,
+    O(blocks) boundary-fragment stitch).  The oracle is the identity over
+    non-empty documents, so the hash check proves the reassembly is
+    byte-exact."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.text import assemble_chunks, chunk_documents
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, size=800, stride=500)
+    out = assemble_chunks(chunks, stride=500)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_sigs(sf_dir: str):
     """SimHash signatures per document (rows-only: token-level bit votes
     need modular exponentiation DuckDB lacks; gated by pytest + the
@@ -2411,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": q_doc_frequency,
         "histogram": q_histogram,
         "chunk_documents": q_chunk_documents,
+        "assemble_chunks": q_assemble_chunks,
         "json_extract_agg": q_json_extract_agg,
         "rollup": q_rollup,
         "weighted_sample": q_weighted_sample,
@@ -2819,6 +2836,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE length(text) > 0
             )
             ORDER BY doc_id, chunk_id
+        """,
+        "assemble_chunks": """
+            SELECT doc_id, text AS doc_text, length(text) AS n_chars
+            FROM documents WHERE length(text) > 0
+            ORDER BY doc_id
         """,
         "doc_frequency": r"""
             WITH toks AS (

@@ -1014,6 +1014,57 @@ class TestChunkAndHistogram:
         want_sql = con.execute(sql).df()
         pd.testing.assert_frame_equal(out, want_sql, check_dtype=False)
 
+    def test_assemble_chunks_roundtrip(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(7)
+        texts = [
+            "",  # no chunks → absent from output
+            "short",
+            "a" * 10,  # exact stride multiple
+            "x𝄞yz" * 7,  # astral codepoints
+            "héllo wörld " * 40,  # multi-chunk
+        ]
+        # plus bulk docs of varied lengths so the sort splits docs across
+        # blocks and the boundary-fragment stitch actually runs
+        for i in range(40):
+            n = int(rng.integers(0, 60))
+            texts.append("".join(chr(97 + (j + i) % 26) for j in range(n)))
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        chunks = T.chunk_documents(
+            rd.from_pandas(df).repartition(5), size=8, stride=5
+        )
+        out = (
+            T.assemble_chunks(chunks.repartition(9), stride=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = df[df["text"].str.len() > 0].rename(columns={"text": "doc_text"})
+        want["n_chars"] = want["doc_text"].str.len().astype("int64")
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[["doc_id", "doc_text", "n_chars"]], want, check_dtype=False
+        )
+
+    def test_assemble_chunks_hot_doc_spans_blocks(self, ray_session):
+        """One huge doc forced across many sorted blocks: every block emits
+        ≤2 fragments and the driver stitch reproduces it exactly."""
+        import ray.data as rd
+
+        big = "".join(chr(0x3041 + (i % 80)) + "abcdefg"[i % 7] for i in range(4000))
+        df = pd.DataFrame({"doc_id": [1, 2], "text": [big, "tiny"]})
+        chunks = T.chunk_documents(rd.from_pandas(df), size=80, stride=50)
+        out = (
+            T.assemble_chunks(chunks.repartition(12), stride=50)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["doc_id"]) == [1, 2]
+        assert out.loc[0, "doc_text"] == big
+        assert out.loc[1, "doc_text"] == "tiny"
+
     def test_histogram_boundaries_and_merge(self, ray_session):
         import ray.data as rd
 

@@ -846,3 +846,168 @@ def chunk_documents(
             "stride": stride,
         },
     )
+
+
+def assemble_chunks(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+    stride: int = 500,
+):
+    """Inverse of :func:`chunk_documents`: rebuild each document from its
+    overlapping chunks (doc = concat of chunk[:stride] for every chunk but
+    the last, then the last chunk whole) → Dataset(doc_id, doc_text,
+    n_chars).
+
+    Scale shape (the sessionize/asof stitch pattern, sandbox lesson #24):
+    ``sort([id, chunk_id])`` is the one all-to-all — the range partitioner
+    may split a doc across blocks; each block then assembles every doc
+    strictly INTERIOR to it fully vectorized (one ``pc.binary_join`` over a
+    LargeList, prefix slices via ``utf8_slice_codeunits``), and emits ≤ 2
+    boundary-doc FRAGMENTS (per-block prefix concat + the block's final
+    chunk kept whole, in case it is the doc's global last).  The driver
+    stitches only boundary fragments — O(blocks), never O(docs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    srt = ds.select_columns([id_col, chunk_col, text_col]).sort(
+        [id_col, chunk_col]
+    )
+
+    out_schema = pa.schema(
+        [
+            (id_col, pa.int64()),
+            ("doc_text", pa.string()),
+            ("n_chars", pa.int64()),
+            # fragment bookkeeping (null for complete docs)
+            ("frag_first_chunk", pa.int64()),
+            ("frag_tail", pa.string()),
+            ("is_frag", pa.bool_()),
+        ]
+    )
+
+    def _assemble_runs(tbl: pa.Table, starts, ends) -> tuple[list, list]:
+        """Vectorized per-run assembly: for runs [s,e), join prefix slices
+        of rows s..e-2 and append row e-1's full text.  Returns (texts,
+        ids) aligned with runs."""
+        txt = tbl[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        prefixes = pc.utf8_slice_codeunits(txt, start=0, stop=stride)
+        n = len(tbl)
+        # list array over prefixes with the last row of each run swapped
+        # for its full text: build value indices = run rows, then replace
+        last_rows = ends - 1
+        take_idx = np.arange(n, dtype=np.int64)
+        use_full = np.zeros(n, dtype=bool)
+        use_full[last_rows] = True
+        merged = pc.if_else(
+            pa.array(use_full), txt, prefixes
+        )
+        # runs are contiguous: offsets = [s0, s1, ..., sk, n]
+        if isinstance(merged, pa.ChunkedArray):
+            merged = merged.combine_chunks()
+        la = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate([starts, [n]]), pa.int64()),
+            merged,
+        )
+        joined = pc.binary_join(la, "")
+        ids_col = tbl[id_col]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        run_ids = ids_col.take(pa.array(starts, pa.int64()))
+        return joined, run_ids
+
+    def block_pass(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return out_schema.empty_table()
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        new_doc = np.concatenate([[True], ids[1:] != ids[:-1]])
+        starts = np.flatnonzero(new_doc)
+        ends = np.concatenate([starts[1:], [len(b)]])
+        joined, run_ids = _assemble_runs(b, starts, ends)
+        n_runs = len(starts)
+        # first and last doc of the block are boundary fragments; interior
+        # docs are complete
+        is_frag = np.zeros(n_runs, dtype=bool)
+        is_frag[0] = True
+        is_frag[-1] = True
+        chunk_ids = b[chunk_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        # for fragments: the prefix-joined text INCLUDES the final row's
+        # full text; the stitcher needs the prefix-only body + the tail
+        # chunk separately, so re-join fragments without their tail row
+        frag_rows = np.flatnonzero(is_frag)
+        frag_first_chunk = np.full(n_runs, -1, dtype=np.int64)
+        frag_first_chunk[frag_rows] = chunk_ids[starts[frag_rows]]
+        frag_tail = [None] * n_runs
+        frag_body = {}
+        prefixes = pc.utf8_slice_codeunits(txt, start=0, stop=stride)
+        for r in frag_rows:
+            s, e = int(starts[r]), int(ends[r])
+            frag_tail[r] = txt[e - 1].as_py()
+            frag_body[r] = "".join(
+                prefixes.slice(s, e - 1 - s).to_pylist()
+            )  # ≤ 2 runs per block, body only — bounded work
+        doc_text = joined.to_pylist()
+        for r in frag_rows:
+            doc_text[r] = frag_body[r]
+        out = pa.table(
+            {
+                id_col: pa.array(run_ids.to_pylist(), pa.int64()),
+                "doc_text": pa.array(doc_text, pa.string()),
+                "n_chars": pc.cast(
+                    pc.utf8_length(pa.array(doc_text, pa.string())), pa.int64()
+                ),
+                "frag_first_chunk": pa.array(frag_first_chunk, pa.int64()),
+                "frag_tail": pa.array(frag_tail, pa.string()),
+                "is_frag": pa.array(is_frag),
+            },
+            schema=out_schema,
+        )
+        return out
+
+    blocks = srt.map_batches(
+        block_pass, batch_size=None, batch_format="pyarrow"
+    ).materialize()
+
+    complete = blocks.filter(expr="is_frag == False").select_columns(
+        [id_col, "doc_text", "n_chars"]
+    )
+
+    # stitch boundary fragments on the driver — O(blocks) rows
+    frags = blocks.filter(expr="is_frag == True").to_pandas()
+    rows = []
+    if len(frags):
+        for did, g in frags.groupby(id_col, sort=True):
+            g = g.sort_values("frag_first_chunk")
+            parts = []
+            tails = g["frag_tail"].tolist()
+            bodies = g["doc_text"].tolist()
+            for i in range(len(g)):
+                if i < len(g) - 1:
+                    parts.append(bodies[i])
+                    parts.append(tails[i][:stride])  # interior fragment tail
+                else:
+                    parts.append(bodies[i])
+                    parts.append(tails[i])  # global last chunk stays whole
+            t = "".join(parts)
+            rows.append((int(did), t, len(t)))
+    stitched = pd.DataFrame(rows, columns=[id_col, "doc_text", "n_chars"])
+    if len(stitched) == 0:
+        return complete
+    stitched_ds = rd.from_pandas(stitched).map_batches(
+        lambda t: pa.table(
+            {
+                id_col: pc.cast(t[id_col], pa.int64()),
+                "doc_text": pc.cast(t["doc_text"], pa.string()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return complete.union(stitched_ds)
