@@ -1960,6 +1960,42 @@ def q_rollup(sf_dir: str):
     return rollup_sum_count(ds, keys=["lang", "source"], value_col="n_chars")
 
 
+def q_corr_by_group(sf_dir: str):
+    """Pearson correlation + OLS regression of l_extendedprice on
+    l_quantity per l_returnflag — the bivariate extension of the zonal
+    (sum, sumsq) moment shape (stages/bivar.py:grouped_corr): one pass of
+    in-batch six-moment partials, one group-count-sized hash aggregate,
+    driver finalize.  Sample semantics match SQL corr/regr_slope; 6-dp
+    rounding absorbs summation-order float drift."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.bivar import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = grouped_corr(
+        ds, keys=["l_returnflag"], x_col="l_quantity", y_col="l_extendedprice"
+    )
+    for c in ("corr", "slope", "intercept"):
+        out[c] = out[c].round(6)
+    return out
+
+
+def q_mode_per_group(sf_dir: str):
+    """Modal category per group (dominant lang per source,
+    stages/rank.py:mode_per_group): (key, value) count partials → pair
+    aggregate → associative per-block argmax → blocks×keys driver merge.
+    Ties break to the smallest value, matching the ROW_NUMBER oracle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.rank import mode_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    return mode_per_group(ds, key_col="source", value_col="lang")
+
+
 def q_json_extract_agg(sf_dir: str):
     """Flat-JSON scalar extraction over the events payload column + a
     per-event-type rollup (n, sum_k, avg_k).  Extraction is one RE2 kernel
@@ -2430,6 +2466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assemble_chunks": q_assemble_chunks,
         "json_extract_agg": q_json_extract_agg,
         "rollup": q_rollup,
+        "corr_by_group": q_corr_by_group,
+        "mode_per_group": q_mode_per_group,
         "weighted_sample": q_weighted_sample,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
@@ -2811,6 +2849,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY ROLLUP(lang, source)
             ORDER BY lang, source, n
+        """,
+        "corr_by_group": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr,
+                   round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+                   round(regr_intercept(l_extendedprice, l_quantity), 6)
+                       AS intercept
+            FROM lineitem
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "mode_per_group": """
+            SELECT source, lang AS mode_value, n
+            FROM (
+                SELECT source, lang, count(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY count(*) DESC, lang ASC) AS rn
+                FROM documents GROUP BY source, lang)
+            WHERE rn = 1 ORDER BY source
         """,
         "json_extract_agg": """
             SELECT event_type,

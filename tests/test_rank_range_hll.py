@@ -514,3 +514,94 @@ def test_sample_n_per_group_deterministic(ray_session):
             got.sort_values("sample_rank")["doc_id"].to_numpy(),
             g["doc_id"].to_numpy()[order],
         ), lang
+
+
+class TestBivarMode:
+    def test_grouped_corr_matches_pandas(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.bivar import grouped_corr
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        key = rng.choice(["a", "b", "c"], n)
+        x = rng.normal(10, 3, n)
+        y = 2.5 * x + rng.normal(0, 4, n)
+        df = pd.DataFrame({"k": key, "x": x, "y": y})
+        got = grouped_corr(
+            rd.from_pandas(df).repartition(7), keys=["k"], x_col="x", y_col="y"
+        )
+        for _, row in got.iterrows():
+            g = df[df["k"] == row["k"]]
+            assert row["n"] == len(g)
+            assert abs(row["corr"] - g["x"].corr(g["y"])) < 1e-9
+            sl, ic = np.polyfit(g["x"], g["y"], 1)
+            assert abs(row["slope"] - sl) < 1e-7
+            assert abs(row["intercept"] - ic) < 1e-6
+
+    def test_grouped_corr_degenerate_and_nulls(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.bivar import grouped_corr
+
+        df = pd.DataFrame(
+            {
+                "k": ["const", "const", "single", "nulls", "nulls", "nulls"],
+                "x": [5.0, 5.0, 1.0, 1.0, None, 3.0],
+                "y": [1.0, 2.0, 2.0, 2.0, 9.0, 4.0],
+            }
+        )
+        got = grouped_corr(rd.from_pandas(df), keys=["k"], x_col="x", y_col="y")
+        got = got.set_index("k")
+        # zero x-variance: corr/slope NULL like SQL
+        assert np.isnan(got.loc["const", "corr"])
+        assert np.isnan(got.loc["const", "slope"])
+        # single row: n < 2 -> NULL
+        assert got.loc["single", "n"] == 1
+        assert np.isnan(got.loc["single", "corr"])
+        # null x excluded from n (SQL aggregate semantics)
+        assert got.loc["nulls", "n"] == 2
+        assert abs(got.loc["nulls", "corr"] - 1.0) < 1e-12
+
+    def test_mode_per_group_tie_break_and_partitioning(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.rank import mode_per_group
+
+        # exact tie between "b" and "a" in key k1 -> smallest value wins
+        df = pd.DataFrame(
+            {
+                "k": ["k1"] * 4 + ["k2"] * 3,
+                "v": ["b", "b", "a", "a", "z", "z", "y"],
+            }
+        )
+        for parts in (1, 3):
+            got = mode_per_group(
+                rd.from_pandas(df).repartition(parts), key_col="k", value_col="v"
+            ).set_index("k")
+            assert got.loc["k1", "mode_value"] == "a"
+            assert got.loc["k1", "n"] == 2
+            assert got.loc["k2", "mode_value"] == "z"
+            assert got.loc["k2", "n"] == 2
+
+    def test_mode_per_group_many_values(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.rank import mode_per_group
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 50, 20000).astype(str),
+                "v": rng.integers(0, 400, 20000).astype(str),
+            }
+        )
+        got = mode_per_group(
+            rd.from_pandas(df).repartition(9), key_col="k", value_col="v"
+        )
+        want = (
+            df.groupby(["k", "v"], as_index=False)
+            .size()
+            .sort_values(["k", "size", "v"], ascending=[True, False, True])
+            .groupby("k", as_index=False)
+            .first()
+        )
+        merged = got.merge(want, on="k")
+        assert (merged["mode_value"] == merged["v"]).all()
+        assert (merged["n"] == merged["size"]).all()

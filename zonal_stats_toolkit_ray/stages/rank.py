@@ -61,6 +61,79 @@ def topk_per_group_batch(
     return batch.take(pa.array(np.sort(keep)))
 
 
+def mode_batch(
+    batch: pa.Table, *, key_col: str, value_col: str, n_col: str = "n"
+) -> pa.Table:
+    """Local argmax per key over (key, value, n) count rows: keep the row
+    with the highest ``n`` per key, ties broken by ascending ``value``
+    (deterministic, matches ``ROW_NUMBER … ORDER BY n DESC, value ASC``).
+    Associative — safe to re-apply over concatenations of its own output."""
+    if len(batch) == 0:
+        return batch
+    kcol = batch[key_col]
+    if isinstance(kcol, pa.ChunkedArray):
+        kcol = kcol.combine_chunks()
+    codes = np.asarray(kcol.dictionary_encode().indices, dtype=np.int64)
+    counts = batch[n_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    vcol = batch[value_col]
+    if isinstance(vcol, pa.ChunkedArray):
+        vcol = vcol.combine_chunks()
+    # tie-break ascending value: encode value order as a sortable int rank
+    vrank = np.asarray(pc.rank(vcol, sort_keys="ascending", tiebreaker="dense"))
+    order = np.lexsort((vrank, -counts, codes))
+    sc = codes[order]
+    first = np.concatenate([[True], sc[1:] != sc[:-1]])
+    return batch.take(pa.array(np.sort(order[first])))
+
+
+def mode_per_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Most frequent ``value_col`` per ``key_col`` (the modal category —
+    e.g. dominant language per source/host) → DataFrame(key, mode_value, n).
+
+    Shape: in-batch (key, value) count partials (distinct pairs per block,
+    never input rows) → one hash aggregate over the pair universe → a local
+    argmax kernel per output block (≤ #keys rows each) → driver merge of
+    blocks × keys candidate rows with the SAME associative kernel.  The
+    driver frame is O(blocks × keys) regardless of value-vocabulary size;
+    ties break to the smallest value (deterministic)."""
+    from ray.data.aggregate import Sum
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], value_col: b[value_col]})
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g[key_col],
+                value_col: g[value_col],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, value_col])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    kw = dict(key_col=key_col, value_col=value_col)
+    local = pairs.map_batches(mode_batch, fn_kwargs=kw, batch_format="pyarrow")
+    frame = local.to_pandas()  # ≤ blocks × keys rows
+    if len(frame) == 0:
+        return pd.DataFrame(columns=[key_col, "mode_value", "n"])
+    top = mode_batch(pa.Table.from_pandas(frame, preserve_index=False), **kw)
+    out = top.to_pandas().rename(columns={value_col: "mode_value"})
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(key_col).reset_index(drop=True)[[key_col, "mode_value", "n"]]
+    )
+
+
 def topk_per_group(
     ds,
     *,
