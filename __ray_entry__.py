@@ -1996,6 +1996,46 @@ def q_mode_per_group(sf_dir: str):
     return mode_per_group(ds, key_col="source", value_col="lang")
 
 
+def q_link_graph(sf_dir: str):
+    """Host-level link graph from raw html (stages/web.py:link_graph) —
+    the PageRank/domain-signal input step.  The synthetic corpus html has
+    no anchors, so the fixture PLANTS ``doc_id % 4`` deterministic
+    ``<a href=…>`` tags per page (same construction in the SQL oracle via
+    unnest(generate_series)); extraction is Arrow split kernels + numpy
+    offset math (no extract-all regex exists in pyarrow), and only
+    edge-universe-sized (src_host, dst_host) count partials ever shuffle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
+    from zonal_stats_toolkit_ray.stages.web import link_graph
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+
+    def plant(t: pa.Table) -> pa.Table:
+        p = docs_batch_to_pages(t)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        anchors = np.full(len(ids), "", dtype=object)
+        for i in range(3):
+            a = (
+                '<a href="https://host'
+                + pd.Series((ids * 7 + i) % 20).astype(str)
+                + f'.example.com/p{i}">x</a>'
+            )
+            anchors = anchors + np.where(ids % 4 > i, a.to_numpy(dtype=object), "")
+        html = pc.binary_join_element_wise(
+            pc.cast(p["html"], pa.string()),
+            pa.array(anchors.tolist(), pa.string()),
+            "",
+        )
+        return p.set_column(
+            p.schema.get_field_index("html"), "html", pc.cast(html, pa.binary())
+        )
+
+    pages = ds.map_batches(plant, batch_format="pyarrow")
+    return link_graph(pages)
+
+
 def q_json_extract_agg(sf_dir: str):
     """Flat-JSON scalar extraction over the events payload column + a
     per-event-type rollup (n, sum_k, avg_k).  Extraction is one RE2 kernel
@@ -2468,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup": q_rollup,
         "corr_by_group": q_corr_by_group,
         "mode_per_group": q_mode_per_group,
+        "link_graph": q_link_graph,
         "weighted_sample": q_weighted_sample,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
@@ -2859,6 +2900,17 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "link_graph": """
+            SELECT src_host, dst_host, count(*) AS n_links
+            FROM (
+                SELECT source || '.example' AS src_host,
+                       'host' || CAST((doc_id * 7 + unnest(generate_series(
+                           0, CAST(doc_id % 4 AS BIGINT) - 1))) % 20 AS VARCHAR)
+                           || '.example.com' AS dst_host
+                FROM documents)
+            GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host
         """,
         "mode_per_group": """
             SELECT source, lang AS mode_value, n

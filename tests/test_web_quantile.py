@@ -262,3 +262,72 @@ class TestJsonScalar:
             t, json_col="props", key="score", value_type="float"
         )["score"].to_pylist()
         assert f[0] == 1.5 and f[1] == -2000.0 and f[3] is None
+
+
+class TestLinkGraph:
+    def test_extract_links_matches_re(self, ray_session):
+        import re
+
+        from zonal_stats_toolkit_ray.stages.web import extract_links_batch
+
+        htmls = [
+            b'<html><a href="https://a.com/x">1</a><a href="http://b.org/">2</a></html>',
+            b"<html>no anchors</html>",
+            b'<a href="/relative/path">rel</a><a href="https://c.net:8080/p?q=1">c</a>',
+            b'<a href="broken',  # no closing quote: piece runs to end
+            b"",
+        ]
+        urls = [f"https://src{i}.example/doc/{i}" for i in range(len(htmls))]
+        batch = pa.table(
+            {"url": pa.array(urls), "html": pa.array(htmls, pa.binary())}
+        )
+        got = extract_links_batch(batch).to_pandas()
+        want = []
+        for u, h in zip(urls, htmls):
+            for m in re.findall(r'href="([^"]*)', h.decode()):
+                am = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", m)
+                want.append(
+                    (re.match(r"https://([^/]+)", u).group(1),
+                     am.group(1) if am else None, m)
+                )
+        assert list(map(tuple, got.itertuples(index=False))) == want
+        # authority parsing: port kept, relative href -> null dst
+        assert got.loc[3, "dst_host"] == "c.net:8080"
+        assert got.loc[2, "dst_host"] is None or pd.isna(got.loc[2, "dst_host"])
+
+    def test_link_graph_aggregates(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.web import link_graph
+
+        rows = []
+        for i in range(200):
+            anchors = "".join(
+                f'<a href="https://h{(i + j) % 5}.com/p">x</a>' for j in range(i % 3)
+            )
+            rows.append(
+                {
+                    "url": f"https://s{i % 4}.example/doc/{i}",
+                    "html": f"<html>{anchors}</html>".encode(),
+                }
+            )
+        df = pd.DataFrame(rows)
+        got = link_graph(rd.from_pandas(df).repartition(6))
+        # brute force
+        import re
+
+        edges = {}
+        for r in rows:
+            src = re.match(r"https://([^/]+)", r["url"]).group(1)
+            for href in re.findall(r'href="([^"]*)"', r["html"].decode()):
+                dst = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", href).group(1)
+                edges[(src, dst)] = edges.get((src, dst), 0) + 1
+        want = (
+            pd.DataFrame(
+                [(s, d, n) for (s, d), n in edges.items()],
+                columns=["src_host", "dst_host", "n_links"],
+            )
+            .sort_values(["src_host", "dst_host"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)

@@ -90,6 +90,86 @@ def host_stats(
     ]
 
 
+# --- hyperlink extraction / host link graph --------------------------------
+# The web-graph bookkeeping step (PageRank inputs, domain-level spam
+# signals): pull every href out of the raw html bytes and aggregate the
+# host→host edge list.  pyarrow has no extract_ALL regex kernel, so the
+# exploder is built from plain Arrow split kernels + numpy offset math —
+# one split_pattern pass to cut at `href="`, one to cut each piece at the
+# closing quote — fully vectorized, no Python row loop, no parser state.
+
+
+def extract_links_batch(
+    batch: pa.Table, *, html_col: str = "html", url_col: str = "url"
+) -> pa.Table:
+    """Explodes every ``href="…"`` in ``html_col`` → one row per anchor:
+    (src_host, dst_host, href).  Anchors whose href has no parseable
+    authority get a null dst_host (kept — callers filter).  Assumes html
+    is valid UTF-8 (the corpus invariant; cast raises otherwise)."""
+    s = pc.fill_null(pc.cast(batch[html_col], pa.string()), "")
+    parts = pc.split_pattern(s, pattern='href="')
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offsets = np.asarray(parts.offsets)
+    counts = offsets[1:] - offsets[:-1]
+    # piece 0 of every row is the pre-first-href prefix — drop it
+    n_rows = len(batch)
+    parent = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    pos = np.arange(parent.size, dtype=np.int64) - np.repeat(offsets[:-1], counts)
+    keep = pos > 0
+    kept_vals = parts.values.take(pa.array(np.flatnonzero(keep)))
+    kept_parent = parent[keep]
+    # each kept piece starts with the href value; cut at the closing quote
+    href = pc.list_element(
+        pc.split_pattern(kept_vals, pattern='"', max_splits=1), 0
+    )
+    dst = pc.struct_field(pc.extract_regex(href, pattern=_HOST_PATTERN), "host")
+    src_urls = batch[url_col].take(pa.array(kept_parent))
+    src = pc.struct_field(pc.extract_regex(src_urls, pattern=_HOST_PATTERN), "host")
+    return pa.table({"src_host": src, "dst_host": dst, "href": href})
+
+
+def link_graph(
+    ds,
+    *,
+    html_col: str = "html",
+    url_col: str = "url",
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Host-level link graph → (src_host, dst_host, n_links), ascending.
+
+    One pass: per batch, explode anchors (``extract_links_batch``) and
+    immediately collapse to distinct (src_host, dst_host) count partials —
+    the exploded rows never leave the batch, only edge-universe-sized
+    partials shuffle into one hash aggregate.  Unparseable hrefs are
+    dropped here (no authority ⇒ not a host edge)."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        links = extract_links_batch(b, html_col=html_col, url_col=url_col)
+        links = links.filter(pc.is_valid(links["dst_host"]))
+        g = links.group_by(["src_host", "dst_host"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "src_host": g["src_host"],
+                "dst_host": g["dst_host"],
+                "n_links": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    edges = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["src_host", "dst_host"])
+        .aggregate(Sum("n_links", alias_name="n_links"))
+    )
+    out = edges.to_pandas()  # edge-universe-sized
+    out["n_links"] = out["n_links"].astype(np.int64)
+    return out.sort_values(["src_host", "dst_host"]).reset_index(drop=True)[
+        ["src_host", "dst_host", "n_links"]
+    ]
+
+
 # --- flat-JSON scalar extraction -------------------------------------------
 # Web-event payloads ship as JSON strings; pipelines constantly project one
 # scalar field out before aggregating.  There is no vectorized JSON parser
