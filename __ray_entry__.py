@@ -1996,6 +1996,40 @@ def q_mode_per_group(sf_dir: str):
     return mode_per_group(ds, key_col="source", value_col="lang")
 
 
+def q_funnel_stages(sf_dir: str):
+    """Per-user funnel (view → click → purchase) as a distributed fold
+    (stages/funnel.py): range sort splits hot users across blocks, each
+    block emits a composable transition VECTOR per user-run, the driver
+    folds user×block×4 summary ints.  Strict (ts, event_id) order makes
+    duplicate timestamps deterministic — same total order as the oracle's
+    ROW_NUMBER."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.funnel import funnel_stages
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return funnel_stages(ds, steps=["view", "click", "purchase"])
+
+
+def q_pivot_counts(sf_dir: str):
+    """Wide count pivot: sources × languages (stages/rollup.py:pivot_counts)
+    — the generic form of the reference's wide CSV pivot (runner.py:973-1019,
+    groups × rasters).  Categories are EXPLICIT (schema is a function of the
+    call, not the data); only pair-universe count partials shuffle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.rollup import pivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return pivot_counts(
+        ds,
+        index_col="source",
+        columns_col="lang",
+        categories=["de", "en", "es", "fr", "zh"],
+    )
+
+
 def q_link_graph(sf_dir: str):
     """Host-level link graph from raw html (stages/web.py:link_graph) —
     the PageRank/domain-signal input step.  The synthetic corpus html has
@@ -2509,6 +2543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_by_group": q_corr_by_group,
         "mode_per_group": q_mode_per_group,
         "link_graph": q_link_graph,
+        "pivot_counts": q_pivot_counts,
+        "funnel_stages": q_funnel_stages,
         "weighted_sample": q_weighted_sample,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
@@ -2900,6 +2936,39 @@ def oracle_sql() -> dict[str, str]:
                        AS intercept
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "funnel_stages": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            p1 AS (SELECT user_id, min(rn) AS rn1 FROM r
+                   WHERE event_type = 'view' GROUP BY user_id),
+            p2 AS (SELECT r.user_id, min(rn) AS rn2 FROM r JOIN p1 USING (user_id)
+                   WHERE event_type = 'click' AND rn > rn1 GROUP BY r.user_id),
+            p3 AS (SELECT r.user_id, min(rn) AS rn3 FROM r JOIN p2 USING (user_id)
+                   WHERE event_type = 'purchase' AND rn > rn2 GROUP BY r.user_id)
+            SELECT u.user_id,
+                   CASE WHEN rn3 IS NOT NULL THEN 3
+                        WHEN rn2 IS NOT NULL THEN 2
+                        WHEN rn1 IS NOT NULL THEN 1
+                        ELSE 0 END AS stage
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN p1 USING (user_id)
+            LEFT JOIN p2 USING (user_id)
+            LEFT JOIN p3 USING (user_id)
+            ORDER BY u.user_id
+        """,
+        "pivot_counts": """
+            SELECT source,
+                   count(*) FILTER (lang = 'de') AS n_de,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(*) FILTER (lang = 'es') AS n_es,
+                   count(*) FILTER (lang = 'fr') AS n_fr,
+                   count(*) FILTER (lang = 'zh') AS n_zh,
+                   count(*) AS total
+            FROM documents GROUP BY source ORDER BY source
         """,
         "link_graph": """
             SELECT src_host, dst_host, count(*) AS n_links

@@ -3,6 +3,7 @@
 import duckdb
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from zonal_stats_toolkit_ray.stages.rollup import rollup_sum_count
@@ -42,3 +43,41 @@ def test_rollup_three_keys_matches_duckdb(ray_session):
         + 1
     )
     assert len(got) == n_levels
+
+
+class TestPivotCounts:
+    def test_pivot_matches_pandas_and_fills_zero(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.rollup import pivot_counts
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["s1", "s2", "s3"], 1000),
+                "c": rng.choice(["a", "b"], 1000),
+            }
+        )
+        got = pivot_counts(
+            rd.from_pandas(df).repartition(5),
+            index_col="k",
+            columns_col="c",
+            categories=["a", "b", "never_seen"],
+        )
+        want = df.pivot_table(index="k", columns="c", aggfunc="size", fill_value=0)
+        for _, row in got.iterrows():
+            assert row["n_a"] == want.loc[row["k"], "a"]
+            assert row["n_b"] == want.loc[row["k"], "b"]
+            assert row["n_never_seen"] == 0
+            assert row["total"] == row["n_a"] + row["n_b"]
+
+    def test_pivot_unknown_category_raises(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.rollup import pivot_counts
+
+        df = pd.DataFrame({"k": ["x"], "c": ["surprise"]})
+        with pytest.raises(ValueError, match="surprise"):
+            pivot_counts(
+                rd.from_pandas(df), index_col="k", columns_col="c", categories=["a"]
+            )

@@ -21,6 +21,55 @@ import pyarrow.compute as pc
 ALL_TOKEN = "__ALL__"
 
 
+def pivot_counts(
+    ds,
+    *,
+    index_col: str,
+    columns_col: str,
+    categories: list[str],
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Wide count pivot — ``index_col`` rows × one int64 column per category
+    of ``columns_col`` (named ``n_<category>``), missing cells 0, plus a
+    ``total`` column.  The generic form of the reference's wide-CSV pivot
+    (runner.py:973-1019: groups × rasters), graft-generalized.
+
+    ``categories`` is EXPLICIT so the output schema is a function of the
+    call, not the data — at 100 TB a schema that depends on which values
+    happen to appear is a lineage hazard (and unseen values fail fast here
+    rather than silently widening).  Shape: in-batch (index, col) count
+    partials → one pair-universe hash aggregate → driver pivot of the tiny
+    pair frame."""
+    from ray.data.aggregate import Sum
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"i": b[index_col], "c": b[columns_col]})
+        g = t.group_by(["i", "c"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"i": g["i"], "c": g["c"], "n": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["i", "c"])
+        .aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()  # pair-universe-sized
+    seen = set(pairs["c"].unique())
+    unknown = seen - set(categories)
+    if unknown:
+        raise ValueError(f"values of {columns_col} outside categories: {sorted(unknown)}")
+    wide = (
+        pairs.pivot_table(index="i", columns="c", values="n", aggfunc="sum", fill_value=0)
+        .reindex(columns=categories, fill_value=0)
+        .astype("int64")
+    )
+    wide.columns = [f"n_{c}" for c in categories]
+    wide["total"] = wide.sum(axis=1).astype("int64")
+    wide = wide.reset_index().rename(columns={"i": index_col})
+    return wide.sort_values(index_col).reset_index(drop=True)
+
+
 def rollup_sum_count(
     ds,
     *,
