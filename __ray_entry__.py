@@ -1996,6 +1996,61 @@ def q_mode_per_group(sf_dir: str):
     return mode_per_group(ds, key_col="source", value_col="lang")
 
 
+def _plant_messy_urls(t: pa.Table) -> pa.Table:
+    """Fixture: deterministic MESSY urls keyed by doc_id (mixed-case scheme
+    and host, default :443 ports, tracking params, trailing slashes,
+    fragments) — many doc_ids share one canonical target (doc_id % 50).
+    The SQL oracle constructs the identical strings (see _canonical_sql)."""
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = t["source"].to_pandas().astype(str)
+    ids_s = pd.Series(ids).astype(str)
+    base_s = pd.Series(ids % 50).astype(str)
+    scheme = np.where(ids % 2 == 0, "HTTPS://", "https://")
+    host = np.where(ids % 3 == 0, src.str.upper(), src) + ".Example.com"
+    port = np.where(ids % 5 == 0, ":443", "")
+    q = np.select(
+        [ids % 4 == 1, ids % 4 == 2, ids % 4 == 3],
+        ["/", "?utm_source=x" + ids_s, "?id=" + base_s + "&utm_campaign=c"],
+        default="",
+    )
+    frag = np.where(ids % 7 == 0, "#frag", "")
+    url = scheme + host + port + "/page/" + base_s + q + frag
+    return pa.table({"doc_id": t["doc_id"], "url": pa.array(url.tolist(), pa.string())})
+
+
+def q_canonical_url(sf_dir: str):
+    """URL canonicalization (stages/web.py:canonicalize_url_batch): strip
+    fragment + tracking params, lowercase scheme/authority, drop default
+    ports, trim trailing slashes — one chain of vectorized RE2 kernels per
+    batch.  The oracle SQL is GENERATED from the same CANONICAL_* pattern
+    constants, so the two cannot drift."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.web import canonicalize_url_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    out = ds.map_batches(_plant_messy_urls, batch_format="pyarrow").map_batches(
+        canonicalize_url_batch, batch_format="pyarrow"
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dedup_canonical(sf_dir: str):
+    """Canonicalize-then-dedup composition — the crawl re-fetch collapse:
+    messy url variants → canonical form → exact dedup keyed on the
+    canonical string (min-doc_id winner, stages/dedup.py:exact_dedup's
+    hash-partitioned partial+final aggregate)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.dedup import exact_dedup
+    from zonal_stats_toolkit_ray.stages.web import canonicalize_url_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    canon = ds.map_batches(_plant_messy_urls, batch_format="pyarrow").map_batches(
+        canonicalize_url_batch, batch_format="pyarrow"
+    )
+    out = exact_dedup(canon, id_col="doc_id", text_col="canonical_url")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_funnel_stages(sf_dir: str):
     """Per-user funnel (view → click → purchase) as a distributed fold
     (stages/funnel.py): range sort splits hot users across blocks, each
@@ -2545,6 +2600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_graph": q_link_graph,
         "pivot_counts": q_pivot_counts,
         "funnel_stages": q_funnel_stages,
+        "canonical_url": q_canonical_url,
+        "dedup_canonical": q_dedup_canonical,
         "weighted_sample": q_weighted_sample,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
@@ -2675,6 +2732,55 @@ def _pii_sql() -> str:
           FROM documents)
         SELECT doc_id, {repl_expr} AS text, {', '.join(counts)}
         FROM aug ORDER BY doc_id
+    """
+
+
+_MESSY_URL_SQL = """
+    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+    || '.Example.com'
+    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+    || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+    || (CASE WHEN doc_id % 4 = 1 THEN '/'
+             WHEN doc_id % 4 = 2 THEN '?utm_source=x' || CAST(doc_id AS VARCHAR)
+             WHEN doc_id % 4 = 3 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                                     || '&utm_campaign=c'
+             ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+def _canonical_sql(select: str) -> str:
+    """DuckDB twin of canonicalize_url_batch, GENERATED from the same
+    CANONICAL_* constants (both engines are RE2 — byte-identical rewrites).
+    ``select`` is the final projection over CTE ``c(doc_id, url,
+    canonical_url)``."""
+    from zonal_stats_toolkit_ray.stages.web import (
+        CANONICAL_PORT_PATTERN,
+        CANONICAL_PRE_PATTERN,
+        CANONICAL_REST_STEPS,
+        CANONICAL_STEPS,
+    )
+
+    s = "url"
+    for pat, repl, g in CANONICAL_STEPS:
+        flag = ", 'g'" if g else ""
+        s = f"regexp_replace({s}, '{pat}', '{repl}'{flag})"
+    pre = f"lower(regexp_extract(s, '({CANONICAL_PRE_PATTERN})', 1))"
+    pre = f"regexp_replace({pre}, '{CANONICAL_PORT_PATTERN}', '')"
+    rest = f"regexp_replace(s, '{CANONICAL_PRE_PATTERN}', '')"
+    for pat, repl, g in CANONICAL_REST_STEPS:
+        flag = ", 'g'" if g else ""
+        rest = f"regexp_replace({rest}, '{pat}', '{repl}'{flag})"
+    return f"""
+        WITH raw AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+        st AS (SELECT doc_id, url, {s} AS s FROM raw),
+        c AS (SELECT doc_id, url,
+                     CASE WHEN regexp_matches(s, '{CANONICAL_PRE_PATTERN}')
+                          THEN {pre} || {rest}
+                          ELSE s END AS canonical_url
+              FROM st)
+        {select}
     """
 
 
@@ -2937,6 +3043,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        "canonical_url": _canonical_sql(
+            "SELECT doc_id, url, canonical_url FROM c ORDER BY doc_id"
+        ),
+        "dedup_canonical": _canonical_sql(
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
+            "FROM c GROUP BY canonical_url ORDER BY doc_id"
+        ),
         "funnel_stages": """
             WITH r AS (
               SELECT user_id, event_type,

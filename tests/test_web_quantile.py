@@ -331,3 +331,36 @@ class TestLinkGraph:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestCanonicalUrl:
+    def _canon(self, urls):
+        from zonal_stats_toolkit_ray.stages.web import canonicalize_url_batch
+
+        t = pa.table({"url": pa.array(urls, pa.string())})
+        return canonicalize_url_batch(t)["canonical_url"].to_pylist()
+
+    def test_cases(self, ray_session):
+        cases = {
+            "HTTPS://WWW.Site.COM:443/A/b/?utm_source=x&id=3#frag":
+                "https://www.site.com/A/b/?id=3",
+            "http://a.com:80/": "http://a.com",
+            "http://a.com:8080/p": "http://a.com:8080/p",  # non-default port kept
+            "https://a.com/p?utm_campaign=c": "https://a.com/p",
+            "https://a.com/p?utm_a=1&utm_b=2": "https://a.com/p",
+            "https://a.com/p?id=1&fbclid=xyz&q=2": "https://a.com/p?id=1&q=2",
+            "https://a.com///": "https://a.com",
+            "relative/path?utm_source=s": "relative/path",  # no authority: steps 1-3 only
+            "https://a.com/p": "https://a.com/p",
+        }
+        got = self._canon(list(cases))
+        assert got == list(cases.values()), list(zip(cases, got))
+
+    def test_idempotent(self, ray_session):
+        urls = [
+            "HTTPS://X.Com:443/a/?utm_source=1&k=2#f",
+            "http://y.org:80//",
+            "https://z.net/p?id=1",
+        ]
+        once = self._canon(urls)
+        assert self._canon(once) == once

@@ -170,6 +170,66 @@ def link_graph(
     ]
 
 
+# --- URL canonicalization ---------------------------------------------------
+# The crawl-dedup normalizer: two fetches of the same resource differ by
+# tracking params, fragments, case of scheme/host, default ports and
+# trailing slashes.  The step list below is the SINGLE source of truth —
+# the DuckDB oracle SQL is GENERATED from these same constants
+# (__ray_entry__._canonical_sql), so engine and oracle cannot drift.  Both
+# regex engines are RE2; replacements use \1-style rewrites valid in both.
+#
+# Documented caveat: a literal '&' in a PATH with no query string is
+# rewritten to '?' by the separator-fix step (step 3) — RFC-legal but
+# vanishingly rare in crawls; callers with such corpora should pre-escape.
+
+CANONICAL_PRE_PATTERN = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+CANONICAL_STEPS: tuple[tuple[str, str, bool], ...] = (
+    # (pattern, replacement, global)
+    (r"#.*$", "", False),  # 1. strip fragment
+    (r"[?&](utm_[a-z0-9]+|fbclid|gclid)=[^&#]*", "", True),  # 2. tracking params
+    (r"^([^?]*)&", r"\1?", False),  # 3. re-fix first separator if '?' was eaten
+)
+CANONICAL_PORT_PATTERN = r":(80|443)$"  # on the lowered authority prefix
+CANONICAL_REST_STEPS: tuple[tuple[str, str, bool], ...] = (
+    (r"(.*[^/])/+$", r"\1", False),  # 4a. strip trailing slashes
+    (r"^/+$", "", False),  # 4b. bare-slash path -> empty
+)
+
+
+def canonicalize_url_batch(
+    batch: pa.Table, *, url_col: str = "url", out_col: str = "canonical_url"
+) -> pa.Table:
+    """Adds ``out_col`` = canonical form of ``url_col``: fragment stripped,
+    utm_*/fbclid/gclid params dropped, scheme+authority lowercased, default
+    ports (:80/:443) removed, trailing path slashes trimmed.  Pure chain of
+    vectorized RE2 kernels (see CANONICAL_STEPS); URLs with no parseable
+    scheme://authority get steps 1-3 only (never null)."""
+    s = batch[url_col]
+    for pat, repl, g in CANONICAL_STEPS:
+        s = pc.replace_substring_regex(
+            s, pattern=pat, replacement=repl,
+            max_replacements=None if g else 1,
+        )
+    pre = pc.struct_field(
+        pc.extract_regex(s, pattern=f"(?P<pre>{CANONICAL_PRE_PATTERN})"), "pre"
+    )
+    rest = pc.replace_substring_regex(
+        s, pattern=CANONICAL_PRE_PATTERN, replacement="", max_replacements=1
+    )
+    pre2 = pc.replace_substring_regex(
+        pc.utf8_lower(pre), pattern=CANONICAL_PORT_PATTERN,
+        replacement="", max_replacements=1,
+    )
+    for pat, repl, g in CANONICAL_REST_STEPS:
+        rest = pc.replace_substring_regex(
+            rest, pattern=pat, replacement=repl,
+            max_replacements=None if g else 1,
+        )
+    joined = pc.binary_join_element_wise(pre2, rest, "")
+    canon = pc.if_else(pc.is_valid(pre), joined, s)
+    return batch.append_column(out_col, canon)
+
+
 # --- flat-JSON scalar extraction -------------------------------------------
 # Web-event payloads ship as JSON strings; pipelines constantly project one
 # scalar field out before aggregating.  There is no vectorized JSON parser
