@@ -2051,6 +2051,115 @@ def q_dedup_canonical(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) — every grouping subset from ONE input
+    pass (stages/rollup.py:cube_sum_count): finest-grain partials → hash
+    aggregate → each coarser grouping set re-aggregates the group-sized
+    frame (sum/count associative)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.rollup import cube_sum_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return cube_sum_count(ds, keys=["lang", "source"], value_col="n_chars")
+
+
+def q_except_distinct(sf_dir: str):
+    """SQL EXCEPT: (status, priority) pairs of big orders minus pairs of
+    urgent orders (stages/joins.py:except_distinct) — both sides collapse
+    distributed to distinct universes; only universe-sized frames reach the
+    driver anti-merge."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import except_distinct
+
+    cols = ["o_orderstatus", "o_orderpriority"]
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=cols + ["o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)).select(cols),
+        batch_format="pyarrow",
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=cols
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    from zonal_stats_toolkit_ray.stages.joins import except_distinct as _ed
+
+    return _ed(big, urgent, cols)
+
+
+def q_distinct_count(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: suppliers per returnflag —
+    two-level distinct (in-batch drop-duplicates combiner → pair hash
+    aggregate → per-key count); only the distinct pair universe shuffles
+    (stages/joins.py:distinct_rows)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from zonal_stats_toolkit_ray.stages.joins import distinct_rows
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_suppkey"]
+    )
+    pairs = distinct_rows(ds, ["l_returnflag", "l_suppkey"])
+    out = (
+        pairs.groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_supp"))
+        .to_pandas()
+    )
+    out["n_supp"] = out["n_supp"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_three_way_join(sf_dir: str):
+    """Three-table join chain lineitem ⋈ orders ⋈ customer → per-segment
+    revenue rollup.  Each hash_join auto-routes (broadcast fallback under
+    threshold, native shuffle above); the rollup is in-batch partials +
+    driver merge so the joined rows never re-shuffle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    j1 = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j2 = hash_join(j1, cust, on="o_custkey", right_on="c_custkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"c_mktsegment": b["c_mktsegment"], "rev": rev})
+        g = t.group_by("c_mktsegment").aggregate([("rev", "sum"), ("rev", "count")])
+        return pa.table(
+            {
+                "c_mktsegment": g["c_mktsegment"],
+                "revenue": g["rev_sum"],
+                "n_items": pc.cast(g["rev_count"], pa.int64()),
+            }
+        )
+
+    p = j2.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        p.groupby("c_mktsegment", as_index=False)
+        .agg(revenue=("revenue", "sum"), n_items=("n_items", "sum"))
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("c_mktsegment").reset_index(drop=True)[
+        ["c_mktsegment", "n_items", "revenue"]
+    ]
+
+
 def q_funnel_stages(sf_dir: str):
     """Per-user funnel (view → click → purchase) as a distributed fold
     (stages/funnel.py): range sort splits hot users across blocks, each
@@ -2602,6 +2711,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": q_funnel_stages,
         "canonical_url": q_canonical_url,
         "dedup_canonical": q_dedup_canonical,
+        "cube": q_cube,
+        "except_distinct": q_except_distinct,
+        "distinct_count": q_distinct_count,
+        "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
         "repetition_ratio": q_repetition_ratio,
         "url_host_stats": q_url_host_stats,
@@ -3050,6 +3163,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
             "FROM c GROUP BY canonical_url ORDER BY doc_id"
         ),
+        "cube": """
+            SELECT coalesce(lang, '__ALL__') AS lang,
+                   coalesce(source, '__ALL__') AS source,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS DOUBLE) AS sum_v
+            FROM documents
+            GROUP BY CUBE(lang, source)
+            ORDER BY lang, source, n
+        """,
+        "except_distinct": """
+            SELECT o_orderstatus, o_orderpriority
+            FROM orders WHERE o_totalprice > 200000.0
+            EXCEPT
+            SELECT o_orderstatus, o_orderpriority
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "distinct_count": """
+            SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "three_way_join": """
+            SELECT c_mktsegment,
+                   count(*) AS n_items,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
         "funnel_stages": """
             WITH r AS (
               SELECT user_id, event_type,

@@ -230,3 +230,21 @@ class TestAsofChunked:
         want[ok] = df["value"].to_numpy()[click_idx[pos[ok]]]
         got = out["last_click_value"].to_numpy()
         assert np.allclose(got, want, equal_nan=True)
+
+
+class TestExceptDistinct:
+    def test_except_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.joins import except_distinct
+
+        a = pd.DataFrame({"x": ["a", "a", "b", "c"], "y": [1, 1, 2, 3]})
+        b = pd.DataFrame({"x": ["b", "d"], "y": [2, 4]})
+        got = except_distinct(
+            rd.from_pandas(a).repartition(2), rd.from_pandas(b), ["x", "y"]
+        )
+        want = pd.DataFrame({"x": ["a", "c"], "y": [1, 3]})
+        pd.testing.assert_frame_equal(got, want)
+        # A ⊆ B -> empty
+        empty = except_distinct(rd.from_pandas(b), rd.from_pandas(b), ["x", "y"])
+        assert len(empty) == 0

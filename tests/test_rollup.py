@@ -81,3 +81,29 @@ class TestPivotCounts:
             pivot_counts(
                 rd.from_pandas(df), index_col="k", columns_col="c", categories=["a"]
             )
+
+
+class TestCube:
+    def test_cube_matches_duckdb(self, ray_session):
+        from zonal_stats_toolkit_ray.stages.rollup import cube_sum_count
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y"], 500),
+                "b": rng.choice(["p", "q", "r"], 500),
+                "v": rng.integers(0, 100, 500),
+            }
+        )
+        got = cube_sum_count(
+            rd.from_pandas(df).repartition(4), keys=["a", "b"], value_col="v"
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            """SELECT coalesce(a,'__ALL__') a, coalesce(b,'__ALL__') b,
+                      count(*) n, CAST(sum(v) AS DOUBLE) sum_v
+               FROM t GROUP BY CUBE(a,b) ORDER BY a,b,n"""
+        ).df()
+        want["n"] = want["n"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)

@@ -495,3 +495,41 @@ def range_join_broadcast(
         return out
 
     return ds.map_batches(match, batch_format="pyarrow")
+
+
+def distinct_rows(ds, cols: list[str], *, num_partitions: int = 4):
+    """Distinct tuples of ``cols`` → Dataset, via the in-batch
+    drop-duplicates combiner + one hash aggregate (the union_distinct
+    shape): only the per-block distinct universe shuffles."""
+    from ray.data.aggregate import Count
+
+    def combiner(b: pa.Table) -> pa.Table:
+        return b.select(cols).group_by(cols).aggregate([])
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(cols)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(cols)
+    )
+
+
+def except_distinct(
+    a, b, cols: list[str], *, num_partitions: int = 4
+) -> "pd.DataFrame":
+    """SQL ``EXCEPT`` (distinct rows of ``a`` minus rows of ``b``, compared
+    on ``cols``) → DataFrame, ascending.
+
+    Both sides first collapse DISTRIBUTED to their distinct universes
+    (nothing row-sized crosses the wire); the subtraction then runs on the
+    two universe-sized frames in the driver via an indicator anti-merge.
+    Valid whenever the distinct universes fit the driver — the categorical/
+    reporting regime EXCEPT exists for; for high-cardinality universes use
+    ``semi_join(anti=True)`` on a key column instead (documented, not
+    silently wrong: this collects universes, never inputs)."""
+    da = distinct_rows(a, cols, num_partitions=num_partitions).to_pandas()
+    db = distinct_rows(b, cols, num_partitions=num_partitions).to_pandas()
+    m = da.merge(db, on=cols, how="left", indicator=True)
+    out = m[m["_merge"] == "left_only"][cols]
+    return out.sort_values(cols).reset_index(drop=True)

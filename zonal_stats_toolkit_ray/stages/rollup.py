@@ -70,6 +70,70 @@ def pivot_counts(
     return wide.sort_values(index_col).reset_index(drop=True)
 
 
+def cube_sum_count(
+    ds,
+    *,
+    keys: list[str],
+    value_col: str,
+    num_partitions: int = 4,
+    all_token: str = ALL_TOKEN,
+) -> pd.DataFrame:
+    """``GROUP BY CUBE(*keys)`` with ``sum(value_col)`` and ``count(*)`` —
+    every subset of the key set, not just prefixes.
+
+    Same one-input-pass shape as :func:`rollup_sum_count`: the finest grain
+    aggregates once, and every coarser grouping set re-aggregates the
+    finest (group-universe-sized) frame in the driver — sum/count are
+    associative, so no grouping set ever rereads the corpus."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {**{k: b[k] for k in keys}, "v": pc.cast(b[value_col], pa.float64())}
+        )
+        g = t.group_by(keys).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": pc.cast(g["v_count"], pa.int64()),
+                "sum_v": pc.cast(g["v_sum"], pa.float64()),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+        .to_pandas()
+    )
+    frames: list[pd.DataFrame] = []
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(keys, r):
+            if r == len(keys):
+                frames.append(finest.copy())
+                continue
+            if r == 0:
+                row = {k: all_token for k in keys}
+                row["n"] = np.int64(finest["n"].sum())
+                row["sum_v"] = float(finest["sum_v"].sum())
+                frames.append(pd.DataFrame([row]))
+                continue
+            g = finest.groupby(list(kept), as_index=False)[["n", "sum_v"]].sum()
+            for k in keys:
+                if k not in kept:
+                    g[k] = all_token
+            frames.append(g[keys + ["n", "sum_v"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_v"] = out["sum_v"].astype("float64")
+    return out.sort_values(keys + ["n"]).reset_index(drop=True)
+
+
 def rollup_sum_count(
     ds,
     *,
