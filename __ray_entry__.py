@@ -2051,6 +2051,43 @@ def q_dedup_canonical(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_spatial_bbox(sf_dir: str):
+    """Z-order partitioned spatial layout (stages/spatial_index.py): points
+    hive-partitioned by the Morton code of their coarse grid cell; a bbox
+    query reads ONLY intersecting ``zb=`` partitions (pruning at the read —
+    asserted) then applies the exact vectorized filter.  Coordinates are a
+    deterministic integer function of doc_id (identical IEEE arithmetic in
+    the SQL oracle), so the pruned result must equal a full-scan filter."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.spatial_index import (
+        spatial_bbox_query,
+        spatial_write_partitioned,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon = (ids * 7919 % 36000) / 100.0 - 180.0
+        lat = (ids * 104729 % 18000) / 100.0 - 90.0
+        return pa.table(
+            {"doc_id": t["doc_id"], "lon": pa.array(lon), "lat": pa.array(lat)}
+        )
+
+    idx = "/tmp/graft_spatial_index"
+    spatial_write_partitioned(
+        ds.map_batches(plant, batch_format="pyarrow"), idx, grid_bits=3
+    )
+    stats: dict = {}
+    out = spatial_bbox_query(
+        idx, (-60.0, -30.0, 20.0, 40.0),
+        columns=["doc_id", "lon", "lat"], stats_out=stats,
+    )
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert stats["buckets_probed"] < stats["dirs_total"], stats  # pruned read
+    return df[["doc_id", "lon", "lat"]]
+
+
 def q_cube(sf_dir: str):
     """GROUP BY CUBE(lang, source) — every grouping subset from ONE input
     pass (stages/rollup.py:cube_sum_count): finest-grain partials → hash
@@ -2712,6 +2749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_url": q_canonical_url,
         "dedup_canonical": q_dedup_canonical,
         "cube": q_cube,
+        "spatial_bbox": q_spatial_bbox,
         "except_distinct": q_except_distinct,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
@@ -3163,6 +3201,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
             "FROM c GROUP BY canonical_url ORDER BY doc_id"
         ),
+        "spatial_bbox": """
+            SELECT doc_id, lon, lat FROM (
+                SELECT doc_id,
+                       CAST(doc_id * 7919 % 36000 AS DOUBLE) / 100.0 - 180.0
+                           AS lon,
+                       CAST(doc_id * 104729 % 18000 AS DOUBLE) / 100.0 - 90.0
+                           AS lat
+                FROM documents)
+            WHERE lon >= -60.0 AND lon <= 20.0
+              AND lat >= -30.0 AND lat <= 40.0
+            ORDER BY doc_id
+        """,
         "cube": """
             SELECT coalesce(lang, '__ALL__') AS lang,
                    coalesce(source, '__ALL__') AS source,
