@@ -2051,6 +2051,50 @@ def q_dedup_canonical(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_connected_components(sf_dir: str):
+    """Distributed connected components over an edge Dataset
+    (stages/dedup.py:distributed_connected_components — min-label
+    propagation + driver pointer jumping; edges never reach the driver).
+    This is the dedup clustering engine exposed directly, hash-checked
+    against a WITH RECURSIVE reachability oracle.  Fixture: chain edges
+    (i, i−1) for i % 10 ≠ 0 → components of 10 consecutive ids (diameter 9
+    exercises multiple propagation rounds)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.dedup import (
+        distributed_connected_components,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 10 != 0
+        return pa.table({"a": pa.array(ids[m]), "b": pa.array(ids[m] - 1)})
+
+    cc = distributed_connected_components(
+        ds.map_batches(edges, batch_format="pyarrow")
+    )
+    return cc.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mad_by_group(sf_dir: str):
+    """Exact per-group median + median absolute deviation (robust
+    dispersion) — two passes of the salted grouped-percentile machinery
+    over ONE materialized slim projection (stages/bivar.py:mad_by_group).
+    l_quantity is integral, so float32 percentile downcasting is exact and
+    both engines interpolate identically."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.bivar import mad_by_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    out = mad_by_group(ds, key_col="l_returnflag", value_col="l_quantity")
+    out["median"] = out["median"].round(6)
+    out["mad"] = out["mad"].round(6)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_spatial_bbox(sf_dir: str):
     """Z-order partitioned spatial layout (stages/spatial_index.py): points
     hive-partitioned by the Morton code of their coarse grid cell; a bbox
@@ -2750,6 +2794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical": q_dedup_canonical,
         "cube": q_cube,
         "spatial_bbox": q_spatial_bbox,
+        "mad_by_group": q_mad_by_group,
+        "connected_components": q_connected_components,
         "except_distinct": q_except_distinct,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
@@ -3201,6 +3247,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
             "FROM c GROUP BY canonical_url ORDER BY doc_id"
         ),
+        "connected_components": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS a, doc_id - 1 AS b
+              FROM documents WHERE doc_id % 10 != 0),
+            ue AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            lab(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT ue.a, lab.label FROM lab JOIN ue ON lab.node = ue.b)
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM lab GROUP BY node ORDER BY node
+        """,
+        "mad_by_group": """
+            WITH m AS (
+              SELECT l_returnflag, median(l_quantity) AS med
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT m.l_returnflag,
+                   round(m.med, 6) AS median,
+                   round(median(abs(l_quantity - m.med)), 6) AS mad
+            FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+            GROUP BY m.l_returnflag, m.med
+            ORDER BY m.l_returnflag
+        """,
         "spatial_bbox": """
             SELECT doc_id, lon, lat FROM (
                 SELECT doc_id,

@@ -605,3 +605,32 @@ class TestBivarMode:
         merged = got.merge(want, on="k")
         assert (merged["mode_value"] == merged["v"]).all()
         assert (merged["n"] == merged["size"]).all()
+
+
+class TestMad:
+    def test_mad_matches_pandas_both_regimes(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.bivar import mad_by_group
+
+        rng = np.random.default_rng(17)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 4000),
+                "v": rng.integers(0, 1000, 4000).astype(np.float64),
+            }
+        )
+        want = {}
+        for k, g in df.groupby("k"):
+            med = np.percentile(g["v"], 50)
+            want[k] = (med, np.percentile(np.abs(g["v"] - med), 50))
+        for thr in (2_000_000, 0):  # driver regime and forced salted shuffle
+            got = mad_by_group(
+                rd.from_pandas(df).repartition(6),
+                key_col="k",
+                value_col="v",
+                driver_threshold=thr,
+            )
+            for _, row in got.iterrows():
+                m, d = want[row["k"]]
+                assert abs(row["median"] - m) < 1e-9, (thr, row)
+                assert abs(row["mad"] - d) < 1e-9, (thr, row)

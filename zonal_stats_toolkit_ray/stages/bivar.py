@@ -95,6 +95,67 @@ def finalize_bivar(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def mad_by_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    driver_threshold: int = 2_000_000,
+) -> pd.DataFrame:
+    """EXACT median absolute deviation per group → DataFrame(key, median,
+    mad) — the robust-dispersion twin of the zonal stdev (runner.py:906-916
+    computes σ; MAD is the outlier-resistant quality-filter variant).
+
+    Two passes of the adaptive grouped-percentile machinery
+    (stages/zonal.py:group_percentiles_ds — salted two-level shuffle above
+    ``driver_threshold``): pass 1 finds each group's median, pass 2 the
+    median of |value − median|.  The slim (group_key, value) projection is
+    materialized ONCE and feeds both passes (the dedup `_slim_input`
+    philosophy — never re-execute the upstream twice); group medians
+    broadcast via ``ray.put`` for the vectorized deviation map."""
+    from .zonal import group_percentiles_ds
+
+    def proj(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "group_key": pc.cast(b[key_col], pa.string()),
+                "value": pc.cast(b[value_col], pa.float64()),
+            }
+        )
+
+    slim = ds.map_batches(proj, batch_format="pyarrow").materialize()
+    med = group_percentiles_ds(slim, [50.0], driver_threshold=driver_threshold)
+    items = sorted(med.items())
+    key_arr = pa.array([k for k, _ in items], pa.string())
+    med_arr = np.array([v[0] for _, v in items], dtype=np.float64)
+    try:
+        import ray
+
+        ref = ray.put((key_arr, med_arr)) if ray.is_initialized() else (key_arr, med_arr)
+    except ImportError:
+        ref = (key_arr, med_arr)
+
+    def dev(b: pa.Table, *, _ref=ref) -> pa.Table:
+        from .joins import _resolve_ref
+
+        keys, meds = _resolve_ref(_ref)
+        idx = pc.index_in(b["group_key"], value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
+        d = np.abs(b["value"].to_numpy(zero_copy_only=False) - meds[idx])
+        return pa.table({"group_key": b["group_key"], "value": pa.array(d)})
+
+    mad = group_percentiles_ds(
+        slim.map_batches(dev, batch_format="pyarrow"),
+        [50.0],
+        driver_threshold=driver_threshold,
+    )
+    return pd.DataFrame(
+        [(k, med[k][0], mad[k][0]) for k, _ in items],
+        columns=[key_col, "median", "mad"],
+    )
+
+
 def grouped_corr(
     ds,
     *,
