@@ -2051,6 +2051,17 @@ def q_dedup_canonical(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_string_agg(sf_dir: str):
+    """Ordered string_agg per group (stages/rollup.py:string_agg_sorted):
+    range sort splits hot keys across blocks, one vectorized binary_join
+    per block, ordered driver stitch of ≤ keys×blocks fragments."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.rollup import string_agg_sorted
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return string_agg_sorted(ds, key_col="source", val_col="lang")
+
+
 def q_connected_components(sf_dir: str):
     """Distributed connected components over an edge Dataset
     (stages/dedup.py:distributed_connected_components — min-label
@@ -2796,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_bbox": q_spatial_bbox,
         "mad_by_group": q_mad_by_group,
         "connected_components": q_connected_components,
+        "string_agg": q_string_agg,
         "except_distinct": q_except_distinct,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
@@ -3247,6 +3259,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
             "FROM c GROUP BY canonical_url ORDER BY doc_id"
         ),
+        "string_agg": """
+            SELECT source,
+                   string_agg(lang, ',' ORDER BY lang) AS agg,
+                   count(*) AS n
+            FROM documents GROUP BY source ORDER BY source
+        """,
         "connected_components": """
             WITH RECURSIVE e AS (
               SELECT doc_id AS a, doc_id - 1 AS b

@@ -107,3 +107,25 @@ class TestCube:
         ).df()
         want["n"] = want["n"].astype("int64")
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestStringAgg:
+    def test_matches_duckdb_with_hot_key(self, ray_session):
+        from zonal_stats_toolkit_ray.stages.rollup import string_agg_sorted
+
+        rng = np.random.default_rng(19)
+        n = 30_000
+        # 90% of rows in one key -> the range sort must split it
+        keys = np.where(rng.random(n) < 0.9, "hot", rng.choice(["a", "b"], n))
+        df = pd.DataFrame({"k": keys, "v": rng.integers(0, 50, n).astype(str)})
+        got = string_agg_sorted(
+            rd.from_pandas(df).repartition(12), key_col="k", val_col="v"
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        want = con.sql(
+            "SELECT k, string_agg(v, ',' ORDER BY v) agg, count(*) n "
+            "FROM t GROUP BY k ORDER BY k"
+        ).df()
+        want["n"] = want["n"].astype("int64")
+        pd.testing.assert_frame_equal(got, want)

@@ -70,6 +70,63 @@ def pivot_counts(
     return wide.sort_values(index_col).reset_index(drop=True)
 
 
+def string_agg_sorted(
+    ds,
+    *,
+    key_col: str,
+    val_col: str,
+    sep: str = ",",
+) -> pd.DataFrame:
+    """SQL ``string_agg(val, sep ORDER BY val)`` per key → DataFrame(key,
+    agg, n), key ascending.
+
+    Scale shape (sandbox lesson #24): range sort by (key, val) — a hot
+    key's rows SPLIT across blocks — then each block joins its key-runs
+    with one vectorized ``pc.binary_join`` (a ListArray over run offsets,
+    no Python row loop) and emits (key, fragment, count) rows.  Ray
+    preserves block order after a sort, so the driver stitch concatenates
+    fragments in frame order — ≤ keys × blocks fragment rows, result-sized
+    like any string_agg.  Fragment order between ties is irrelevant: equal
+    values produce identical fragments."""
+    s = ds.sort([key_col, val_col])
+
+    def frag(b: pa.Table) -> pa.Table:
+        n = len(b)
+        if n == 0:
+            return pa.table(
+                {key_col: pa.array([], pa.string()),
+                 "frag": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        keys = b[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        codes = np.asarray(keys.dictionary_encode().indices, dtype=np.int64)
+        starts = np.flatnonzero(np.concatenate([[True], codes[1:] != codes[:-1]]))
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        vals = pc.cast(b[val_col], pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts)),
+                "frag": joined,
+                "n": pa.array((offsets[1:] - offsets[:-1]).astype(np.int64)),
+            }
+        )
+
+    frags = s.map_batches(frag, batch_size=None, batch_format="pyarrow").to_pandas()
+    if len(frags) == 0:
+        return pd.DataFrame(columns=[key_col, "agg", "n"])
+    out = frags.groupby(key_col, sort=False).agg(
+        agg=("frag", sep.join), n=("n", "sum")
+    ).reset_index()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(key_col).reset_index(drop=True)[[key_col, "agg", "n"]]
+
+
 def cube_sum_count(
     ds,
     *,
