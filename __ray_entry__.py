@@ -2051,6 +2051,91 @@ def q_dedup_canonical(sf_dir: str):
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_revisits(sf_dir: str):
+    """Windowed re-crawl dedup: keep the FIRST fetch per (url, time
+    window) — the crawl-frontier collapse for repeatedly-fetched pages.
+    Pure partial+final aggregate: in-batch (url, window) min/count partials
+    → one pair-universe hash aggregate; nothing row-sized shuffles.
+    Fixture: urls collide on doc_id % 100 (revisits), warc_ts is the
+    deterministic 1 s/doc ramp, window = 60 s."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+    from zonal_stats_toolkit_ray.sources.pages import _EPOCH_2024
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    win_us = 60_000_000
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = t["source"].to_pandas().astype(str)
+        url = ("https://" + src + ".example/doc/" + pd.Series(ids % 100).astype(str))
+        ts = _EPOCH_2024 + ids * 1_000_000
+        win = ts // win_us
+        p = pa.table(
+            {
+                "url": pa.array(url.tolist(), pa.string()),
+                "win": pa.array(win),
+                "first_id": pa.array(ids),
+            }
+        )
+        g = p.group_by(["url", "win"]).aggregate(
+            [("first_id", "min"), ("first_id", "count")]
+        )
+        return pa.table(
+            {
+                "url": g["url"],
+                "win": g["win"],
+                "first_id": g["first_id_min"],
+                "n_fetches": pc.cast(g["first_id_count"], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(4)
+        .groupby(["url", "win"])
+        .aggregate(Min("first_id", alias_name="first_id"),
+                   Sum("n_fetches", alias_name="n_fetches"))
+        .to_pandas()
+    )
+    out["first_id"] = out["first_id"].astype("int64")
+    out["n_fetches"] = out["n_fetches"].astype("int64")
+    return out.sort_values(["url", "win"]).reset_index(drop=True)[
+        ["url", "win", "first_id", "n_fetches"]
+    ]
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi join (stages/joins.py:bloom_semi_join): the build
+    side's keys compress to a fixed bit array built DISTRIBUTED (one
+    OR-mergeable partial per block), the probe side pre-filters against the
+    broadcast bits, and a hash join over the survivors removes Bloom false
+    positives — so the result is EXACT and the oracle is the plain semi
+    join.  fp_rate is set high (0.2) to guarantee FPs actually occur and
+    the verify stage is exercised."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import bloom_semi_join
+
+    hot = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    out = bloom_semi_join(li, hot, on="l_orderkey", right_on="o_orderkey", fp_rate=0.2)
+    return (
+        out.to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+
+
 def q_string_agg(sf_dir: str):
     """Ordered string_agg per group (stages/rollup.py:string_agg_sorted):
     range sort splits hot keys across blocks, one vectorized binary_join
@@ -2808,6 +2893,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_group": q_mad_by_group,
         "connected_components": q_connected_components,
         "string_agg": q_string_agg,
+        "bloom_semi_join": q_bloom_semi_join,
+        "dedup_revisits": q_dedup_revisits,
         "except_distinct": q_except_distinct,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
@@ -3259,6 +3346,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dupes "
             "FROM c GROUP BY canonical_url ORDER BY doc_id"
         ),
+        "dedup_revisits": """
+            SELECT 'https://' || source || '.example/doc/'
+                       || CAST(doc_id % 100 AS VARCHAR) AS url,
+                   (1704067200000000 + doc_id * 1000000) // 60000000 AS win,
+                   min(doc_id) AS first_id,
+                   count(*) AS n_fetches
+            FROM documents
+            GROUP BY url, win
+            ORDER BY url, win
+        """,
+        "bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+            ORDER BY l_orderkey, l_linenumber
+        """,
         "string_agg": """
             SELECT source,
                    string_agg(lang, ',' ORDER BY lang) AS agg,

@@ -248,3 +248,47 @@ class TestExceptDistinct:
         # A ⊆ B -> empty
         empty = except_distinct(rd.from_pandas(b), rd.from_pandas(b), ["x", "y"])
         assert len(empty) == 0
+
+
+class TestBloomSemiJoin:
+    def test_exact_despite_false_positives(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.joins import bloom_semi_join
+
+        rng = np.random.default_rng(23)
+        probe = pd.DataFrame(
+            {"k": rng.integers(0, 10_000, 20_000).astype(np.int64),
+             "v": np.arange(20_000, dtype=np.int64)}
+        )
+        build = pd.DataFrame({"bk": rng.choice(10_000, 300, replace=False).astype(np.int64)})
+        # fp_rate 0.5 -> tiny filter, many false positives; verify must fix
+        got = bloom_semi_join(
+            rd.from_pandas(probe).repartition(6),
+            rd.from_pandas(build).repartition(3),
+            on="k", right_on="bk", fp_rate=0.5,
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+        want = (
+            probe[probe["k"].isin(build["bk"])]
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "v"]], want)
+
+    def test_inexact_superset_no_false_negatives(self, ray_session):
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.joins import bloom_semi_join
+
+        rng = np.random.default_rng(29)
+        probe = pd.DataFrame({"k": rng.integers(0, 5000, 8000).astype(np.int64)})
+        build = pd.DataFrame({"k": rng.choice(5000, 200, replace=False).astype(np.int64)})
+        got = bloom_semi_join(
+            rd.from_pandas(probe), rd.from_pandas(build), on="k",
+            fp_rate=0.3, exact=False,
+        ).to_pandas()
+        true_mask = probe["k"].isin(build["k"])
+        # superset: every true match present
+        assert true_mask.sum() <= len(got)
+        got_keys = set(got["k"].tolist())
+        assert set(probe.loc[true_mask, "k"].tolist()) <= got_keys

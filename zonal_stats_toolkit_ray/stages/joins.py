@@ -533,3 +533,70 @@ def except_distinct(
     m = da.merge(db, on=cols, how="left", indicator=True)
     out = m[m["_merge"] == "left_only"][cols]
     return out.sort_values(cols).reset_index(drop=True)
+
+
+def bloom_semi_join(
+    left,
+    right,
+    *,
+    on: str,
+    right_on: str | None = None,
+    capacity: int | None = None,
+    fp_rate: float = 0.01,
+    exact: bool = True,
+    num_partitions: int | None = None,
+):
+    """Semi join for a build side too big to broadcast RAW: build a Bloom
+    filter of the build keys DISTRIBUTED — each build block emits one
+    fixed-size bit-array partial (the mergeable-sketch shape of
+    stages/lm.py), the driver ORs blocks×(m/8) bytes — broadcast ONLY the
+    bits, pre-filter probe rows vectorized per batch, then (``exact=True``)
+    remove Bloom false positives by hash-joining the (already ≈result-
+    sized) survivors against the distinct build keys.  ``exact=False``
+    skips the verify and returns the superset (no false NEGATIVES ever —
+    every true match survives the filter).
+
+    At 100 TB this replaces shuffling the whole probe side into a semi
+    join: the exchange shrinks to survivors ≈ |result| + fp_rate·|probe|.
+    ``capacity`` sizes the filter (defaults to one count() pass over the
+    build side); keys must be integer-typed (hashed via the filter's
+    SplitMix64 double-hash remix)."""
+    import ray
+
+    from .split import BloomFilter
+
+    right_on = right_on or on
+    keys_ds = distinct_rows(right.select_columns([right_on]), [right_on])
+    if capacity is None:
+        capacity = keys_ds.count()
+    proto = BloomFilter(max(capacity, 1), fp_rate=fp_rate)
+    m, k, nwords = proto.m, proto.k, proto.bits.size
+
+    def build_partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter.__new__(BloomFilter)
+        f.m, f.k = m, k
+        f.bits = np.zeros(nwords, dtype=np.uint64)
+        h = b[right_on].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        f.add_many(h)
+        return pa.table({"bits": pa.array([f.bits.tobytes()], pa.large_binary())})
+
+    parts = keys_ds.map_batches(build_partial, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(nwords, dtype=np.uint64)
+    for raw in parts["bits"]:
+        bits |= np.frombuffer(raw, dtype=np.uint64)
+    ref = ray.put((bits, m, k)) if ray.is_initialized() else (bits, m, k)
+
+    def prefilter(b: pa.Table, *, _ref=ref) -> pa.Table:
+        pack = _resolve_ref(_ref)
+        f = BloomFilter.__new__(BloomFilter)
+        f.bits, f.m, f.k = pack
+        h = b[on].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return b.filter(pa.array(f.contains_many(h)))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow")
+    if not exact:
+        return survivors
+    return hash_join(
+        survivors, keys_ds, on=on, right_on=right_on,
+        how="inner", num_partitions=num_partitions,
+    )
