@@ -1197,6 +1197,49 @@ def q_rolling_stats(sf_dir: str):
     return out[["event_id", "user_id", "roll_n", "roll_sum"]]
 
 
+def q_interval_coverage(sf_dir: str):
+    """Gaps-and-islands interval union per user (stages/intervals.py):
+    each event covers [ts, ts + 60*|value|] seconds; connected intervals
+    merge into islands via the sorted-block + boundary-stitch shape
+    (session_windows' scale path), then a partials reduce reports island
+    count / covered seconds / longest island per user."""
+    from zonal_stats_toolkit_ray.stages.intervals import interval_coverage
+    from zonal_stats_toolkit_ray.stages.window import _ts_seconds
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        s = _ts_seconds(b["ts"])
+        e = s + 60.0 * np.abs(b["value"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "start": pa.array(s, pa.float64()),
+                "end": pa.array(e, pa.float64()),
+            }
+        )
+
+    out = interval_coverage(ds.map_batches(mk_iv, batch_format="pyarrow"))
+    out["covered_s"] = out["covered_s"].round(6)
+    out["max_island_s"] = out["max_island_s"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user LAG-gap statistics (stages/intervals.py:event_gaps): one
+    distributed (user, ts) sort, per-block vectorized diff partials, tiny
+    boundary stitch — never a per-key event materialization."""
+    from zonal_stats_toolkit_ray.stages.intervals import event_gaps
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = event_gaps(ds)
+    out["avg_gap_s"] = out["avg_gap_s"].round(6)
+    out["max_gap_s"] = out["max_gap_s"].round(6)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_sessions(sf_dir: str):
     from zonal_stats_toolkit_ray.stages.window import session_windows
     import ray.data as rd
@@ -2923,6 +2966,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
         "rolling_stats": q_rolling_stats,
+        "interval_coverage": q_interval_coverage,
+        "event_gaps": q_event_gaps,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4105,6 +4150,43 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                    AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "interval_coverage": """
+            WITH iv AS (
+                SELECT user_id, epoch(ts) AS s,
+                       epoch(ts) + 60.0 * abs(value) AS e
+                FROM events
+            ), m AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS cm
+                FROM iv
+            ), g AS (
+                SELECT user_id, s, e,
+                       SUM(CASE WHEN cm IS NULL OR s > cm THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY s, e) AS gid
+                FROM m
+            ), isl AS (
+                SELECT user_id, gid, MIN(s) AS st, MAX(e) AS en
+                FROM g GROUP BY user_id, gid
+            )
+            SELECT user_id, COUNT(*) AS n_islands,
+                   round(SUM(en - st), 6) AS covered_s,
+                   round(MAX(en - st), 6) AS max_island_s
+            FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "event_gaps": """
+            WITH d AS (
+                SELECT user_id, epoch(ts) AS t,
+                       epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events, COUNT(gap) AS n_gaps,
+                   round(AVG(gap), 6) AS avg_gap_s,
+                   round(MAX(gap), 6) AS max_gap_s
+            FROM d GROUP BY user_id ORDER BY user_id
         """,
         "sessions": """
             WITH d AS (

@@ -1,0 +1,184 @@
+"""interval_union / interval_coverage / event_gaps — equality against a
+single-process brute force, including a hot-key stress where one key spans
+many sorted blocks (the boundary-stitch path)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _brute_coverage(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for k, g in df.groupby("user_id"):
+        g = g.sort_values(["start", "end"]).reset_index(drop=True)
+        islands = []
+        cur_s, cur_e = None, None
+        for s, e in zip(g["start"], g["end"]):
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    islands.append((cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        islands.append((cur_s, cur_e))
+        cov = [e - s for s, e in islands]
+        rows.append((k, len(islands), sum(cov), max(cov)))
+    return pd.DataFrame(
+        rows, columns=["user_id", "n_islands", "covered_s", "max_island_s"]
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+def _brute_gaps(df: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for k, g in df.groupby("user_id"):
+        ts = np.sort(g["ts_s"].to_numpy())
+        d = np.diff(ts)
+        rows.append(
+            (
+                k,
+                len(ts),
+                len(d),
+                float(d.mean()) if d.size else np.nan,
+                float(d.max()) if d.size else np.nan,
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["user_id", "n_events", "n_gaps", "avg_gap_s", "max_gap_s"]
+    ).sort_values("user_id").reset_index(drop=True)
+
+
+def _mk_intervals(n, n_keys, seed=7):
+    rng = np.random.default_rng(seed)
+    k = rng.integers(0, n_keys, n)
+    s = rng.uniform(0, 1e5, n)
+    dur = rng.uniform(0, 500, n)
+    return pd.DataFrame({"user_id": k, "start": s, "end": s + dur})
+
+
+@pytest.mark.parametrize("n_keys", [1, 3, 40])
+def test_interval_coverage_matches_brute(ray_session, n_keys):
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import interval_coverage
+
+    df = _mk_intervals(5000, n_keys)
+    ds = rd.from_pandas(df).repartition(16)
+    got = (
+        interval_coverage(ds)
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = _brute_coverage(df)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_interval_union_hot_key_spans_blocks(ray_session):
+    """One key, 60k intervals over 32 blocks — every block boundary is a
+    potential island split; islands must chain across blocks."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import interval_union
+
+    rng = np.random.default_rng(3)
+    s = np.sort(rng.uniform(0, 1e6, 60_000))
+    # alternate long overlapping runs and hard gaps
+    dur = np.where(rng.random(60_000) < 0.9, 40.0, 0.5)
+    df = pd.DataFrame({"user_id": np.zeros(60_000, dtype=np.int64),
+                       "start": s, "end": s + dur})
+    ds = rd.from_pandas(df).repartition(32)
+    got = interval_union(ds).to_pandas().sort_values("start").reset_index(drop=True)
+    exp = _brute_coverage(df)
+    assert len(got) == int(exp["n_islands"].iloc[0])
+    assert got["n_intervals"].sum() == 60_000
+    np.testing.assert_allclose(
+        (got["end"] - got["start"]).sum(), exp["covered_s"].iloc[0], rtol=1e-12
+    )
+
+
+def test_interval_union_giant_interval_absorbs_interior_islands(ray_session):
+    """A huge interval near the start swallows islands that are interior
+    (non-boundary) in later sorted blocks — the absorb-routing path."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import (
+        interval_coverage,
+        interval_union,
+    )
+
+    rng = np.random.default_rng(9)
+    s = rng.uniform(0, 1e5, 4000)
+    df = pd.DataFrame(
+        {"user_id": np.zeros(4000, dtype=np.int64), "start": s, "end": s + 1.0}
+    )
+    # giant interval covering [0, 60000]: everything below 60000 is ONE island
+    df.loc[0, ["start", "end"]] = (0.0, 60_000.0)
+    ds = rd.from_pandas(df).repartition(16)
+    got = interval_coverage(ds)
+    exp = _brute_coverage(df)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False, atol=1e-9
+    )
+    # and the skew (map_groups) regime is identical
+    isl_a = (
+        interval_union(ds)
+        .to_pandas()
+        .sort_values(["user_id", "start"])
+        .reset_index(drop=True)
+    )
+    isl_b = (
+        interval_union(ds, stitch_driver_threshold=0)
+        .to_pandas()
+        .sort_values(["user_id", "start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(isl_a, isl_b, check_dtype=False, atol=1e-12)
+
+
+def test_event_gaps_matches_brute_with_skew(ray_session):
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import event_gaps
+
+    rng = np.random.default_rng(11)
+    # key 0 is pathologically hot (spans many blocks); keys 1..9 sparse;
+    # key 99 has a single event (NaN gap stats)
+    k = np.concatenate(
+        [np.zeros(20_000, dtype=np.int64), rng.integers(1, 10, 500), [99]]
+    )
+    tus = (rng.uniform(0, 1e6, k.size) * 1e6).astype("int64")
+    df = pd.DataFrame(
+        {"user_id": k, "ts": pd.to_datetime(tus, unit="us"), "ts_s": tus / 1e6}
+    )
+    ds = rd.from_pandas(df[["user_id", "ts"]]).repartition(24)
+    got = event_gaps(ds).sort_values("user_id").reset_index(drop=True)
+    exp = _brute_gaps(df)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, atol=1e-9)
+
+
+def test_event_gaps_tie_robust(ray_session):
+    """Duplicate (key, ts) rows: gap multiset is permutation-invariant."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import event_gaps
+
+    ts = pd.to_datetime([0, 1000, 1000, 1000, 5000], unit="s")
+    df = pd.DataFrame({"user_id": [1] * 5, "ts": ts})
+    ds = rd.from_pandas(df).repartition(3)
+    got = event_gaps(ds)
+    assert got["n_gaps"].iloc[0] == 4
+    assert got["max_gap_s"].iloc[0] == 4000.0
+    assert abs(got["avg_gap_s"].iloc[0] - 1250.0) < 1e-9
+
+
+def test_gaps_merge_above_driver_threshold(ray_session):
+    """Force the map_groups merge regime; equal to the driver regime."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import event_gaps
+
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 6, 3000)
+    ts = pd.to_datetime((rng.uniform(0, 1e5, 3000) * 1e6).astype("int64"), unit="us")
+    df = pd.DataFrame({"user_id": k, "ts": ts})
+    ds = rd.from_pandas(df).repartition(8)
+    a = event_gaps(ds).sort_values("user_id").reset_index(drop=True)
+    b = (
+        event_gaps(ds, merge_driver_threshold=0)
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-12)
