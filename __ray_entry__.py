@@ -1197,6 +1197,17 @@ def q_rolling_stats(sf_dir: str):
     return out[["event_id", "user_id", "roll_n", "roll_sum"]]
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc codepoint Shannon entropy (stages/text.py:char_entropy_batch):
+    one UTF-32 decode + np.unique + scatter-add per batch; full DuckDB
+    value oracle via the string_split/unicode() unnest (char_lm pattern)."""
+    from zonal_stats_toolkit_ray.stages.text import char_entropy_batch
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(char_entropy_batch, batch_format="pyarrow")
+
+
 def q_interval_coverage(sf_dir: str):
     """Gaps-and-islands interval union per user (stages/intervals.py):
     each event covers [ts, ts + 60*|value|] seconds; connected intervals
@@ -2968,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_stats": q_rolling_stats,
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
+        "char_entropy": q_char_entropy,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4175,6 +4187,30 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "char_entropy": """
+            WITH cp AS (
+              SELECT doc_id,
+                     unnest(list_transform(string_split(text, ''),
+                                           c -> unicode(c))) AS u
+              FROM documents WHERE len(text) > 0
+            ), cnt AS (
+              SELECT doc_id, u, COUNT(*) AS c FROM cp GROUP BY doc_id, u
+            ), tot AS (
+              SELECT doc_id, SUM(c) AS big_l, COUNT(*) AS n_distinct
+              FROM cnt GROUP BY doc_id
+            ), ent AS (
+              SELECT c.doc_id, t.n_distinct,
+                     ROUND(-SUM((c.c / t.big_l) * log2(c.c / t.big_l)), 6)
+                         + 0.0 AS entropy_bits
+              FROM cnt c JOIN tot t USING (doc_id)
+              GROUP BY c.doc_id, t.n_distinct
+            )
+            SELECT d.doc_id,
+                   COALESCE(e.n_distinct, 0) AS n_distinct,
+                   COALESCE(e.entropy_bits, 0.0) AS entropy_bits
+            FROM documents d LEFT JOIN ent e USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "event_gaps": """
             WITH d AS (

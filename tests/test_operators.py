@@ -1131,3 +1131,51 @@ class TestWeightedSample:
             out.sort_values("doc_id").reset_index(drop=True),
             out2.sort_values("doc_id").reset_index(drop=True),
         )
+
+
+class TestCharEntropy:
+    def test_edge_cases_and_known_values(self):
+        import math
+        import pyarrow as pa
+        from zonal_stats_toolkit_ray.stages.text import char_entropy_batch
+
+        batch = pa.table(
+            {
+                "doc_id": [0, 1, 2, 3, 4],
+                "text": [
+                    "",            # empty → 0 bits, 0 distinct
+                    "aaaa",        # single symbol → exactly 0.0 (not -0.0)
+                    "abab",        # uniform 2 symbols → 1 bit
+                    "abcd",        # uniform 4 symbols → 2 bits
+                    "a\U0001F600a\U0001F600",  # astral chars count as ONE cp
+                ],
+            }
+        )
+        out = char_entropy_batch(batch).to_pandas()
+        assert out["n_distinct"].tolist() == [0, 1, 2, 4, 2]
+        assert out["entropy_bits"].tolist() == [0.0, 0.0, 1.0, 2.0, 1.0]
+        # -0.0 normalization: the hash-compare distinguishes signed zeros
+        assert all(math.copysign(1.0, v) > 0 for v in out["entropy_bits"])
+
+    def test_matches_pure_python(self):
+        import collections
+        import math
+        import numpy as np
+        import pyarrow as pa
+        from zonal_stats_toolkit_ray.stages.text import char_entropy_batch
+
+        rng = np.random.default_rng(4)
+        texts = [
+            "".join(rng.choice(list("abcdefg \né\U0001F600"), size=n))
+            for n in rng.integers(0, 60, 50)
+        ]
+        out = char_entropy_batch(
+            pa.table({"doc_id": list(range(50)), "text": texts})
+        ).to_pandas()
+        for i, t in enumerate(texts):
+            c = collections.Counter(t)
+            ent = -sum(
+                (n / len(t)) * math.log2(n / len(t)) for n in c.values()
+            ) if t else 0.0
+            assert abs(out["entropy_bits"][i] - round(ent, 6)) < 1e-9
+            assert out["n_distinct"][i] == len(c)

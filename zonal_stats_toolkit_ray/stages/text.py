@@ -1011,3 +1011,45 @@ def assemble_chunks(
         batch_format="pyarrow",
     )
     return complete.union(stitched_ds)
+
+
+def char_entropy_batch(
+    batch: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-document Shannon entropy (bits/char) over Unicode codepoints —
+    the information-density quality signal (low entropy = repetitive or
+    degenerate text; pairs with repetition_ratio's n-gram view).
+
+    Fully vectorized: one UTF-32 decode of the batch (``lm._doc_codepoints``
+    — codepoints match DuckDB's ``unicode()`` exactly, astral chars
+    included), one ``np.unique`` over combined (doc, codepoint) keys, and
+    scatter-adds for the per-doc reductions — no Python row loop.
+
+    Output: (id, n_distinct int64, entropy_bits double rounded 6dp).
+    Empty docs score 0.0 with 0 distinct chars; ``+ 0.0`` normalizes the
+    IEEE -0.0 a single-char doc would otherwise produce (the value hash
+    distinguishes -0.0 from 0.0; DuckDB's ``-SUM(...)`` yields the same
+    -0.0 and gets the same normalization in the oracle SQL).
+    """
+    from .lm import _doc_codepoints
+
+    cps, lens = _doc_codepoints(batch[text_col])
+    ndocs = len(lens)
+    ent = np.zeros(ndocs, dtype=np.float64)
+    ndist = np.zeros(ndocs, dtype=np.int64)
+    if cps.size:
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        # 0x110000 > max codepoint: the combined key is collision-free
+        key = doc_idx * np.int64(0x110000) + cps
+        uk, counts = np.unique(key, return_counts=True)
+        udoc = uk // np.int64(0x110000)
+        p = counts / lens[udoc].astype(np.float64)
+        np.add.at(ent, udoc, -p * np.log2(p))
+        np.add.at(ndist, udoc, 1)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_distinct": pa.array(ndist, pa.int64()),
+            "entropy_bits": pa.array(np.round(ent, 6) + 0.0, pa.float64()),
+        }
+    )
