@@ -1197,6 +1197,32 @@ def q_rolling_stats(sf_dir: str):
     return out[["event_id", "user_id", "roll_n", "roll_sum"]]
 
 
+_PCA_ORACLE_DIR = "/tmp/graft_pca_oracle"
+
+
+def q_pca_project(sf_dir: str):
+    """Distributed PCA over embeddings (stages/pca.py): one moment-partial
+    pass (fixed (d + d² + 1)-double row per block, driver eigh on the d×d
+    covariance), then a broadcast-components projection pass.  The engine
+    exports (dim, mean, c1..c4); the oracle re-derives every projection
+    with a parallel-unnest dot product — a full value oracle."""
+    from zonal_stats_toolkit_ray.stages.pca import (
+        pca_project,
+        pca_train,
+        write_pca_oracle,
+    )
+    import ray.data as rd
+
+    os.makedirs(_PCA_ORACLE_DIR, exist_ok=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mean, comps, _ = pca_train(ds, k=4)
+    write_pca_oracle(mean, comps, os.path.join(_PCA_ORACLE_DIR, "components.parquet"))
+    out = pca_project(ds, mean, comps).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_char_entropy(sf_dir: str):
     """Per-doc codepoint Shannon entropy (stages/text.py:char_entropy_batch):
     one UTF-32 decode + np.unique + scatter-add per batch; full DuckDB
@@ -2980,6 +3006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
+        "pca_project": q_pca_project,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4187,6 +4214,23 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "pca_project": """
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            )
+            SELECT e.vec_id,
+                   ROUND(SUM((e.v - m.mean) * m.c1), 6) + 0.0 AS pc1,
+                   ROUND(SUM((e.v - m.mean) * m.c2), 6) + 0.0 AS pc2,
+                   ROUND(SUM((e.v - m.mean) * m.c3), 6) + 0.0 AS pc3,
+                   ROUND(SUM((e.v - m.mean) * m.c4), 6) + 0.0 AS pc4
+            FROM e
+            JOIN read_parquet('/tmp/graft_pca_oracle/components.parquet') m
+              USING (dim)
+            GROUP BY e.vec_id ORDER BY e.vec_id
         """,
         "char_entropy": """
             WITH cp AS (
