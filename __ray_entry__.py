@@ -1223,6 +1223,29 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_kmeans_assign(sf_dir: str):
+    """Distributed Euclidean k-means (stages/kmeans.py): k-means++ init on
+    an unbiased hash sample, then 5 full-corpus Lloyd passes (one fixed
+    k·d-double partial per block per pass, driver update), assignments via
+    broadcast centroids.  Oracle re-derives every argmin from the exported
+    (cid, dim, w) table with ROW_NUMBER over SUM((v-w)^2)."""
+    from zonal_stats_toolkit_ray.stages.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+        write_centroids_oracle,
+    )
+    import ray.data as rd
+
+    os.makedirs(_PCA_ORACLE_DIR, exist_ok=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, _ = kmeans_fit(ds, k=8, iters=5)
+    write_centroids_oracle(cent, os.path.join(_PCA_ORACLE_DIR, "centroids.parquet"))
+    out = kmeans_assign(ds, cent).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_char_entropy(sf_dir: str):
     """Per-doc codepoint Shannon entropy (stages/text.py:char_entropy_batch):
     one UTF-32 decode + np.unique + scatter-add per batch; full DuckDB
@@ -3007,6 +3030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
         "pca_project": q_pca_project,
+        "kmeans_assign": q_kmeans_assign,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4214,6 +4238,27 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "kmeans_assign": """
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ), d AS (
+              SELECT e.vec_id, c.cid, SUM((e.v - c.w) * (e.v - c.w)) AS d2
+              FROM e
+              JOIN read_parquet('/tmp/graft_pca_oracle/centroids.parquet') c
+                USING (dim)
+              GROUP BY e.vec_id, c.cid
+            ), r AS (
+              SELECT vec_id, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, cid) AS rn
+              FROM d
+            )
+            SELECT vec_id, cid AS cluster_id FROM r WHERE rn = 1
+            ORDER BY vec_id
         """,
         "pca_project": """
             WITH e AS (
