@@ -1223,6 +1223,31 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_triangle_stats(sf_dir: str):
+    """Distributed triangle counting + local clustering coefficient
+    (stages/triangles.py — degree-oriented wedge-close): canonical
+    distinct edges, degree-vector broadcast, per-apex wedge generation,
+    dual-regime hash-join close.  Fixture: the q_pagerank 3-out-regular
+    deterministic graph (dst = (id·m + c) mod N), identical integer
+    construction in the SQL oracle's 3-way self-join."""
+    from zonal_stats_toolkit_ray.stages.triangles import triangle_stats
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = ds.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(ids * 3 + 1) % n, (ids * 4 + 2) % n, (ids * 5 + 3) % n]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return triangle_stats(e).sort_values("node").reset_index(drop=True)
+
+
 def q_kmeans_assign(sf_dir: str):
     """Distributed Euclidean k-means (stages/kmeans.py): k-means++ init on
     an unbiased hash sample, then 5 full-corpus Lloyd passes (one fixed
@@ -3031,6 +3056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": q_char_entropy,
         "pca_project": q_pca_project,
         "kmeans_assign": q_kmeans_assign,
+        "triangle_stats": q_triangle_stats,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4238,6 +4264,49 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "triangle_stats": """
+            WITH n AS (SELECT COUNT(*) AS n FROM documents),
+            raw AS (
+              SELECT doc_id AS s, (doc_id * 3 + 1) % (SELECT n FROM n) AS d
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 4 + 2) % (SELECT n FROM n)
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 5 + 3) % (SELECT n FROM n)
+              FROM documents
+            ),
+            e AS (
+              SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b
+              FROM raw WHERE s <> d
+            ),
+            deg AS (
+              SELECT node, COUNT(*) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY node
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            pern AS (
+              SELECT node, COUNT(*) AS triangles FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   COALESCE(p.triangles, 0) AS triangles,
+                   ROUND(CASE WHEN d.degree >= 2
+                              THEN 2.0 * COALESCE(p.triangles, 0)
+                                   / (d.degree * (d.degree - 1.0))
+                              ELSE 0.0 END, 6) + 0.0 AS clustering
+            FROM deg d LEFT JOIN pern p USING (node)
+            ORDER BY d.node
         """,
         "kmeans_assign": """
             WITH e AS (
