@@ -1223,6 +1223,18 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_df_by_lang(sf_dir: str):
+    """Per-language document-frequency top-10
+    (stages/text.py:doc_frequency_by_group): grouped distinct partials →
+    one (lang, token) hash aggregate → per-block grouped top-n lexsort →
+    bounded driver merge."""
+    from zonal_stats_toolkit_ray.stages.text import doc_frequency_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return doc_frequency_by_group(ds, top_n=10)
+
+
 def q_triangle_stats(sf_dir: str):
     """Distributed triangle counting + local clustering coefficient
     (stages/triangles.py — degree-oriented wedge-close): canonical
@@ -3057,6 +3069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": q_pca_project,
         "kmeans_assign": q_kmeans_assign,
         "triangle_stats": q_triangle_stats,
+        "df_by_lang": q_df_by_lang,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4264,6 +4277,26 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "df_by_lang": r"""
+            WITH toks AS (
+              SELECT lang,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'), x -> x <> ''
+                     ))) AS token,
+                     doc_id
+              FROM documents
+            ), df AS (
+              SELECT lang, token, COUNT(DISTINCT doc_id) AS df
+              FROM toks GROUP BY lang, token
+            ), r AS (
+              SELECT lang, token, df,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY df DESC, token) AS rn
+              FROM df
+            )
+            SELECT lang, token, df FROM r WHERE rn <= 10
+            ORDER BY lang, df DESC, token
         """,
         "triangle_stats": """
             WITH n AS (SELECT COUNT(*) AS n FROM documents),

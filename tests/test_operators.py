@@ -1179,3 +1179,56 @@ class TestCharEntropy:
             ) if t else 0.0
             assert abs(out["entropy_bits"][i] - round(ent, 6)) < 1e-9
             assert out["n_distinct"][i] == len(c)
+
+
+class TestDocFrequencyByGroup:
+    def test_matches_pandas_reference(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        import numpy as np
+        from zonal_stats_toolkit_ray.stages.text import doc_frequency_by_group
+
+        rng = np.random.default_rng(8)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+        langs = ["en", "de", "fr"]
+        rows = []
+        for i in range(300):
+            lang = langs[rng.integers(0, 3)]
+            toks = rng.choice(vocab, size=rng.integers(1, 8))
+            rows.append((i, lang, " ".join(toks)))
+        df = pd.DataFrame(rows, columns=["doc_id", "lang", "text"])
+        got = doc_frequency_by_group(
+            rd.from_pandas(df).repartition(9), top_n=3
+        )
+        exp = (
+            df.assign(token=df["text"].str.lower().str.split())
+            .explode("token")
+            .drop_duplicates(["doc_id", "lang", "token"])
+            .groupby(["lang", "token"])
+            .size()
+            .reset_index(name="df")
+            .sort_values(["lang", "df", "token"], ascending=[True, False, True])
+            .groupby("lang")
+            .head(3)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp, check_dtype=False
+        )
+
+    def test_doc_never_double_counted_within_group(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from zonal_stats_toolkit_ray.stages.text import doc_frequency_by_group
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "lang": ["en", "en", "de"],
+                "text": ["dup dup dup", "dup x", "dup"],
+            }
+        )
+        got = doc_frequency_by_group(rd.from_pandas(df), top_n=10)
+        en_dup = got[(got["lang"] == "en") & (got["token"] == "dup")]["df"].iloc[0]
+        de_dup = got[(got["lang"] == "de") & (got["token"] == "dup")]["df"].iloc[0]
+        assert en_dup == 2 and de_dup == 1

@@ -1053,3 +1053,113 @@ def char_entropy_batch(
             "entropy_bits": pa.array(np.round(ent, 6) + 0.0, pa.float64()),
         }
     )
+
+
+def doc_frequency_by_group_batch(
+    batch: pa.Table, *, group_col: str = "lang", text_col: str = "text"
+) -> pa.Table:
+    """map_batches stage: documents → (group, token, df) partial rows,
+    df = distinct documents of this batch's GROUP containing the token —
+    the grouped sibling of :func:`doc_frequency_batch` (per-language
+    vocabulary statistics: the language-balancing / per-lang stopword
+    view of the corpus).  Exact for the same reason: a document never
+    spans batches, so per-batch distinct sums associatively."""
+    t = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+    toks = pc.split_pattern_regex(t, r"\s+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    doc_ids = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    gcol = batch[group_col]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    groups = gcol.take(pa.array(doc_ids))
+    nonempty = pc.not_equal(flat, "")
+    ne = nonempty.to_numpy(zero_copy_only=False)
+    pairs = pa.table(
+        {
+            "g": pc.filter(groups, nonempty),
+            "d": pa.array(doc_ids[ne]),
+            "token": pc.filter(flat, nonempty),
+        }
+    )
+    distinct = pairs.group_by(["g", "d", "token"]).aggregate([])
+    df = distinct.group_by(["g", "token"]).aggregate([("d", "count")])
+    return pa.table(
+        {
+            group_col: df["g"],
+            "token": df["token"],
+            "df": pc.cast(df["d_count"], pa.int64()),
+        }
+    )
+
+
+def doc_frequency_by_group(
+    ds,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 10,
+    num_partitions: int | None = None,
+):
+    """Top ``top_n`` tokens per group by document frequency (df desc,
+    token asc) → DataFrame(group, token, df).
+
+    Shape: in-batch grouped distinct partials → coalesce → one hash
+    aggregate over the (group, token) universe → per-block grouped top-n
+    (vectorized lexsort) → driver merge of blocks × groups × n rows.  The
+    driver merge is bounded because group universes (languages, sources)
+    are bounded; for unbounded group counts use ``rank.topk_per_group``'s
+    tree combine on the aggregated (group, token, df) rows instead."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        doc_frequency_by_group_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(group_col=group_col, text_col=text_col),
+    ).repartition(num_partitions or 4)
+    agg = partials.groupby([group_col, "token"]).aggregate(Sum("df", alias_name="df"))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        if group_col not in b.column_names:  # schemaless empty partition
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                }
+            )
+        b = pa.table(
+            {
+                group_col: pc.cast(b[group_col], pa.string()),
+                "token": pc.cast(b["token"], pa.string()),
+                "df": pc.cast(b["df"], pa.int64()),
+            }
+        )
+        if len(b) == 0:
+            return b
+        gc = b[group_col].combine_chunks() if isinstance(
+            b[group_col], pa.ChunkedArray
+        ) else b[group_col]
+        codes = np.asarray(gc.dictionary_encode().indices, dtype=np.int64)
+        tok = b["token"]
+        trank = np.asarray(pc.rank(tok, sort_keys="ascending", tiebreaker="dense"))
+        dfv = b["df"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((trank, -dfv, codes))
+        sc = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        run_of = np.searchsorted(starts, np.arange(sc.size), side="right") - 1
+        rank = np.arange(sc.size) - starts[run_of]
+        keep = order[rank < top_n]
+        return b.take(pa.array(np.sort(keep)))
+
+    local = agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    out = (
+        local.sort_values(
+            [group_col, "df", "token"], ascending=[True, False, True], kind="stable"
+        )
+        .groupby(group_col, sort=True)
+        .head(top_n)
+        .reset_index(drop=True)
+    )
+    return out[[group_col, "token", "df"]]
