@@ -1223,6 +1223,35 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_nb_classify(sf_dir: str):
+    """Naive Bayes char-bigram classifier (stages/lm.py:nb_train/
+    nb_classify — the fastText-shaped supervised filter): one training
+    pass of per-(block, label) fixed-512KB count partials + priors, one
+    broadcast-tables scoring pass, argmax posterior per doc.  The engine
+    exports (idx, label, logp) + (label, logprior); the oracle re-derives
+    every doc's winning label and score from the raw text — a full value
+    oracle over a TRAINED model."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.lm import (
+        nb_classify,
+        nb_train,
+        write_nb_oracle,
+    )
+
+    os.makedirs(_CHARLM_ORACLE_DIR, exist_ok=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    model = nb_train(ds)
+    write_nb_oracle(
+        model,
+        os.path.join(_CHARLM_ORACLE_DIR, "nb_model.parquet"),
+        os.path.join(_CHARLM_ORACLE_DIR, "nb_priors.parquet"),
+    )
+    out = nb_classify(ds, model).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_df_by_lang(sf_dir: str):
     """Per-language document-frequency top-10
     (stages/text.py:doc_frequency_by_group): grouped distinct partials →
@@ -3070,6 +3099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": q_kmeans_assign,
         "triangle_stats": q_triangle_stats,
         "df_by_lang": q_df_by_lang,
+        "nb_classify": q_nb_classify,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4277,6 +4307,47 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "nb_classify": """
+            WITH cp AS (
+              SELECT doc_id,
+                     list_transform(string_split(text, ''), c -> unicode(c)) AS l
+              FROM documents
+            ),
+            pairs AS (
+              SELECT doc_id, (a * 257 + b) % 65536 AS idx
+              FROM (SELECT doc_id, unnest(l[:len(l)-1]) AS a, unnest(l[2:]) AS b
+                    FROM cp WHERE len(l) >= 2)
+            ),
+            sc AS (
+              SELECT p.doc_id, m.label,
+                     pr.logprior + SUM(m.logp) AS score,
+                     COUNT(*) AS nb
+              FROM pairs p
+              JOIN read_parquet('/tmp/graft_charlm_oracle/nb_model.parquet') m
+                USING (idx)
+              JOIN read_parquet('/tmp/graft_charlm_oracle/nb_priors.parquet') pr
+                USING (label)
+              GROUP BY p.doc_id, m.label, pr.logprior
+            ),
+            r AS (
+              SELECT doc_id, label, score / (nb + 1.0) AS avg_logp,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, label) AS rn
+              FROM sc
+            ),
+            fb AS (
+              SELECT label, logprior
+              FROM read_parquet('/tmp/graft_charlm_oracle/nb_priors.parquet')
+              ORDER BY logprior DESC, label LIMIT 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(r.label, (SELECT label FROM fb)) AS pred_label,
+                   ROUND(COALESCE(r.avg_logp, (SELECT logprior FROM fb)), 6)
+                       + 0.0 AS avg_logp
+            FROM documents d
+            LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1
+            ORDER BY d.doc_id
         """,
         "df_by_lang": r"""
             WITH toks AS (

@@ -139,3 +139,76 @@ class TestCharLM:
         rep = out[out["doc_id"] < 8]["bits"].mean()
         odd = float(out[out["doc_id"] == 8]["bits"].iloc[0])
         assert rep < odd
+
+
+class TestNaiveBayes:
+    def _fixture(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(12)
+        rows = []
+        for i in range(400):
+            if i % 2 == 0:
+                text = "".join(rng.choice(list("abcdeé "), size=80))
+                lab = "x"
+            else:
+                text = "".join(rng.choice(list("uvwxyz± "), size=80))
+                lab = "y"
+            rows.append((i, text, lab))
+        return pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+
+    def test_discriminates_distribution_split(self, ray_session):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.lm import nb_classify, nb_train
+
+        df = self._fixture()
+        ds = rd.from_pandas(df).repartition(6)
+        model = nb_train(ds)
+        out = (
+            nb_classify(ds, model)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        acc = (out["pred_label"].to_numpy() == df["lang"].to_numpy()).mean()
+        assert acc == 1.0  # disjoint alphabets → perfect separation
+
+    def test_layout_invariant_training(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.lm import nb_train
+
+        df = self._fixture()
+        la, ta, pa_ = nb_train(rd.from_pandas(df).repartition(2))
+        lb, tb, pb = nb_train(rd.from_pandas(df).repartition(13))
+        assert la == lb
+        np.testing.assert_array_equal(ta, tb)  # integer counts → exact
+        np.testing.assert_array_equal(pa_, pb)
+
+    def test_empty_doc_falls_back_to_max_prior(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.lm import nb_classify, nb_train
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": ["aaaa bbbb", "aaaa bbbb", "zzzz", ""],
+                "lang": ["x", "x", "y", "y"],
+            }
+        )
+        ds = rd.from_pandas(df)
+        model = nb_train(ds)
+        out = (
+            nb_classify(ds, model)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 3 has no bigrams: argmax prior = 'x' (2/4 vs 2/4 → tie
+        # breaks to ascending label), avg_logp == its logprior
+        assert out["pred_label"].iloc[3] == "x"
+        import math
+
+        assert abs(out["avg_logp"].iloc[3] - round(math.log2(0.5), 6)) < 1e-9

@@ -227,3 +227,171 @@ def write_model_parquet(model: np.ndarray, path: str) -> None:
         ),
         path,
     )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes classifier over hashed char-bigrams (fastText-shaped
+# supervised lang/quality classifier: train on labeled docs, classify the
+# stream).  Same mergeable fixed-size-partial training shape as
+# train_char_lm, one partial row per (block, label); scoring broadcasts
+# the stacked (L, 65536) log-prob tables + log-priors once and reuses the
+# _doc_table_sums prefix-sum kernel per label (L is small; each pass is
+# fully vectorized).
+# ---------------------------------------------------------------------------
+
+
+def _nb_partial(batch: pa.Table, *, text_col: str, label_col: str) -> pa.Table:
+    """One (label, counts[65536], n_pairs, n_docs) row per label present
+    in the block."""
+    lcol = batch[label_col]
+    if isinstance(lcol, pa.ChunkedArray):
+        lcol = lcol.combine_chunks()
+    labels = lcol.to_pylist()
+    out_lab, out_counts, out_np, out_nd = [], [], [], []
+    import pyarrow.compute as pc
+
+    for lab in sorted(set(labels)):
+        sub = batch.filter(pc.equal(lcol, lab))
+        cps, lens = _doc_codepoints(sub[text_col])
+        idx, valid = _pair_indices(cps, lens)
+        counts = np.bincount(idx[valid], minlength=NUM_BUCKETS).astype(np.int64)
+        out_lab.append(lab)
+        out_counts.append(counts.tolist())
+        out_np.append(int(valid.sum()))
+        out_nd.append(len(sub))
+    return pa.table(
+        {
+            "label": pa.array(out_lab, pa.string()),
+            "counts": pa.array(out_counts, pa.list_(pa.int64())),
+            "n_pairs": pa.array(out_np, pa.int64()),
+            "n_docs": pa.array(out_nd, pa.int64()),
+        }
+    )
+
+
+def nb_train(
+    ds, *, text_col: str = "text", label_col: str = "lang"
+) -> tuple[list, np.ndarray, np.ndarray]:
+    """→ (labels sorted asc, log2-prob tables (L, 65536) with add-half
+    smoothing, log2 priors (L,)).  One streaming pass; driver reduce over
+    ≤ blocks × L fixed-size rows."""
+    parts = ds.map_batches(
+        _nb_partial,
+        batch_format="pyarrow",
+        fn_kwargs=dict(text_col=text_col, label_col=label_col),
+    ).to_pandas()
+    labels = sorted(parts["label"].unique().tolist())
+    L = len(labels)
+    if L == 0:
+        raise ValueError("no labeled rows")
+    counts = np.zeros((L, NUM_BUCKETS), dtype=np.int64)
+    n_pairs = np.zeros(L, dtype=np.int64)
+    n_docs = np.zeros(L, dtype=np.int64)
+    pos = {lab: i for i, lab in enumerate(labels)}
+    for _, row in parts.iterrows():
+        i = pos[row["label"]]
+        counts[i] += np.asarray(row["counts"], dtype=np.int64)
+        n_pairs[i] += int(row["n_pairs"])
+        n_docs[i] += int(row["n_docs"])
+    tables = np.log2(
+        (counts + 0.5) / (n_pairs[:, None] + 0.5 * NUM_BUCKETS)
+    )
+    logpriors = np.log2(n_docs / n_docs.sum())
+    return labels, tables, logpriors
+
+
+def nb_classify_batch(
+    batch: pa.Table,
+    model_ref,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """argmax_label (prior + Σ log2 p(bigram | label)); ties break to the
+    ascending-first label (np.argmax ↔ the oracle's ORDER BY score DESC,
+    label ASC)."""
+    from .knn import _cached_ref
+
+    labels, tables, logpriors = _cached_ref(model_ref)
+    n = len(batch)
+    scores = np.empty((n, len(labels)), dtype=np.float64)
+    npairs = np.zeros(n, dtype=np.int64)
+    for i in range(len(labels)):
+        npairs, sums = _doc_table_sums(batch, tables[i], text_col)
+        scores[:, i] = logpriors[i] + sums
+    best = np.argmax(scores, axis=1)
+    pred = pa.array([labels[i] for i in best], pa.string())
+    # report the PER-BIGRAM posterior (score / (n_bigrams + 1), the +1
+    # folding the prior in as one pseudo-term): magnitude ~16 keeps ten
+    # float64 guard digits under the 6-dp rounding, where the raw sum
+    # (magnitude ~1e3) provably lands on rounding boundaries (one doc at
+    # sf0.1 differed from the oracle by exactly 1e-6 before this)
+    avg = scores[np.arange(n), best] / (npairs + 1.0)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "pred_label": pred,
+            "avg_logp": pa.array(np.round(avg, 6) + 0.0, pa.float64()),
+        }
+    )
+
+
+def nb_classify(
+    ds,
+    model: tuple | None = None,
+    *,
+    train_ds=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+):
+    """Classify every document → Dataset (id, pred_label, score).  Trains
+    on ``train_ds`` (or ``ds`` itself) when no model is given; the model
+    (L × 65536 float64 + priors) broadcasts once."""
+    from .knn import _put_maybe
+
+    if model is None:
+        model = nb_train(
+            train_ds if train_ds is not None else ds,
+            text_col=text_col,
+            label_col=label_col,
+        )
+    ref = _put_maybe(model)
+    return ds.map_batches(
+        nb_classify_batch,
+        batch_format="pyarrow",
+        fn_kwargs=dict(model_ref=ref, text_col=text_col, id_col=id_col),
+    )
+
+
+def write_nb_oracle(model: tuple, model_path: str, priors_path: str) -> None:
+    """Long-format (idx, label, logp) + (label, logprior) parquet pair for
+    the DuckDB argmax oracle."""
+    import pyarrow.parquet as pq
+
+    labels, tables, logpriors = model
+    L = len(labels)
+    pq.write_table(
+        pa.table(
+            {
+                "idx": pa.array(
+                    np.tile(np.arange(NUM_BUCKETS, dtype=np.int64), L)
+                ),
+                "label": pa.array(
+                    np.repeat(np.asarray(labels, dtype=object), NUM_BUCKETS),
+                    pa.string(),
+                ),
+                "logp": pa.array(tables.ravel().astype(np.float64)),
+            }
+        ),
+        model_path,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "label": pa.array(list(labels), pa.string()),
+                "logprior": pa.array(logpriors.astype(np.float64)),
+            }
+        ),
+        priors_path,
+    )
