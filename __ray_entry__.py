@@ -1223,6 +1223,37 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_similarity_join(sf_dir: str):
+    """Exact cross-corpus set-similarity join (stages/simjoin.py): word
+    trigram Jaccard ≥ 0.7 between the corpus and a planted near-dup side
+    (every 7th doc with its last token dropped — same construction in the
+    SQL twin).  Shared-gram inverted-index join: COUNT per pair IS the
+    intersection; string grams (not hashes) keep the oracle exact."""
+    from zonal_stats_toolkit_ray.stages.simjoin import similarity_join
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def mk_b(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ids % 7 == 0
+        s = pd.Series(t["text"].to_pandas()[m]).fillna("").str.lower().str.split()
+        keep = s.str.len() >= 4
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[m][keep.to_numpy()]),
+                "text": pa.array(
+                    s[keep].str[:-1].str.join(" ").to_numpy(dtype=object),
+                    pa.string(),
+                ),
+            }
+        )
+
+    b = ds.map_batches(mk_b, batch_format="pyarrow")
+    out = similarity_join(ds, b, threshold=0.7, n=3)
+    return out
+
+
 def q_nb_classify(sf_dir: str):
     """Naive Bayes char-bigram classifier (stages/lm.py:nb_train/
     nb_classify — the fastText-shaped supervised filter): one training
@@ -3100,6 +3131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_stats": q_triangle_stats,
         "df_by_lang": q_df_by_lang,
         "nb_classify": q_nb_classify,
+        "similarity_join": q_similarity_join,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4307,6 +4339,41 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "similarity_join": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            a AS (
+              SELECT doc_id AS a_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(l) - 2),
+                       i -> l[i] || chr(31) || l[i+1] || chr(31) || l[i+2]
+                     )) AS gs
+              FROM tok WHERE len(l) >= 3
+            ),
+            b AS (
+              SELECT doc_id AS b_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(l) - 3),
+                       i -> l[i] || chr(31) || l[i+1] || chr(31) || l[i+2]
+                     )) AS gs
+              FROM tok WHERE doc_id % 7 = 0 AND len(l) >= 4
+            ),
+            ua AS (SELECT a_id, len(gs) AS na, unnest(gs) AS g FROM a),
+            ub AS (SELECT b_id, len(gs) AS nb, unnest(gs) AS g FROM b),
+            p AS (
+              SELECT a_id, b_id, any_value(na) AS na, any_value(nb) AS nb,
+                     COUNT(*) AS inter
+              FROM ua JOIN ub USING (g) GROUP BY a_id, b_id
+            )
+            SELECT a_id, b_id, inter, na, nb,
+                   ROUND(inter * 1.0 / (na + nb - inter), 6) + 0.0 AS jaccard
+            FROM p WHERE inter * 1.0 / (na + nb - inter) >= 0.7
+            ORDER BY a_id, b_id
         """,
         "nb_classify": """
             WITH cp AS (
