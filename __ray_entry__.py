@@ -1223,6 +1223,18 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_bm25_topk(sf_dir: str):
+    """BM25 keyword retrieval (stages/bm25.py): stats pass (per-term df,
+    avgdl as fixed partials) + broadcast-idf scoring pass with per-block
+    top-k; oracle recomputes every score in SQL with the identical
+    operation order — fully self-contained (no exported table)."""
+    from zonal_stats_toolkit_ray.stages.bm25 import bm25_topk
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_topk(ds, ["data", "merge", "window"], k=20)
+
+
 def q_similarity_join(sf_dir: str):
     """Exact cross-corpus set-similarity join (stages/simjoin.py): word
     trigram Jaccard ≥ 0.7 between the corpus and a planted near-dup side
@@ -3132,6 +3144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "df_by_lang": q_df_by_lang,
         "nb_classify": q_nb_classify,
         "similarity_join": q_similarity_join,
+        "bm25_topk": q_bm25_topk,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4339,6 +4352,42 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "bm25_topk": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ),
+            q AS (SELECT unnest(['data', 'merge', 'window']) AS term),
+            stats AS (
+              SELECT COUNT(*) AS n, SUM(len(l)) * 1.0 / COUNT(*) AS avgdl
+              FROM tok
+            ),
+            df AS (
+              SELECT q.term, COUNT(*) AS df
+              FROM q JOIN tok ON list_contains(tok.l, q.term)
+              GROUP BY q.term
+            ),
+            tf AS (
+              SELECT tok.doc_id, q.term,
+                     len(list_filter(tok.l, x -> x = q.term)) * 1.0 AS tf,
+                     len(tok.l) * 1.0 AS dl
+              FROM tok, q WHERE list_contains(tok.l, q.term)
+            ),
+            sc AS (
+              SELECT tf.doc_id,
+                     SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * (tf.tf * (1.2 + 1.0))
+                         / (tf.tf + 1.2 * (1.0 - 0.75
+                                           + 0.75 * tf.dl / s.avgdl))
+                        ) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN stats s
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, ROUND(score, 6) + 0.0 AS score
+            FROM sc ORDER BY score DESC, doc_id LIMIT 20
         """,
         "similarity_join": r"""
             WITH tok AS (

@@ -1232,3 +1232,52 @@ class TestDocFrequencyByGroup:
         en_dup = got[(got["lang"] == "en") & (got["token"] == "dup")]["df"].iloc[0]
         de_dup = got[(got["lang"] == "de") & (got["token"] == "dup")]["df"].iloc[0]
         assert en_dup == 2 and de_dup == 1
+
+
+class TestBM25:
+    def test_matches_pure_python(self, ray_session):
+        import math
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.bm25 import bm25_topk
+
+        rng = np.random.default_rng(3)
+        vocab = ["data", "merge", "window", "x", "y", "z", "w"]
+        docs = [
+            " ".join(rng.choice(vocab, size=rng.integers(2, 12)))
+            for _ in range(120)
+        ]
+        df = pd.DataFrame({"doc_id": range(120), "text": docs})
+        terms = ["data", "window"]
+        got = bm25_topk(rd.from_pandas(df).repartition(6), terms, k=10)
+
+        toks = [d.split() for d in docs]
+        n = len(toks)
+        avgdl = sum(len(t) for t in toks) / n
+        dfc = {t: sum(1 for d in toks if t in d) for t in terms}
+        scores = {}
+        for i, d in enumerate(toks):
+            s = 0.0
+            for t in terms:
+                tf = d.count(t)
+                if tf == 0:
+                    continue
+                idf = math.log((n - dfc[t] + 0.5) / (dfc[t] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(d) / avgdl))
+            if s > 0:
+                scores[i] = s
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert got["doc_id"].tolist() == [i for i, _ in exp]
+        np.testing.assert_allclose(
+            got["score"], [round(s, 6) for _, s in exp], atol=2e-6
+        )
+
+    def test_no_match_returns_empty(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.bm25 import bm25_topk
+
+        df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "d e f"]})
+        out = bm25_topk(rd.from_pandas(df), ["zzz"], k=5)
+        assert len(out) == 0
