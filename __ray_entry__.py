@@ -1223,6 +1223,18 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (stages/cohort.py): integer epoch-week
+    cohorts (MIN-week per user via slim partials + hash aggregate),
+    dual-regime join back, distinct (cohort, offset, user) combiner →
+    tiny count.  SQL twin is exact integer arithmetic."""
+    from zonal_stats_toolkit_ray.stages.cohort import cohort_retention
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
 def q_bm25_topk(sf_dir: str):
     """BM25 keyword retrieval (stages/bm25.py): stats pass (per-term df,
     avgdl as fixed partials) + broadcast-idf scoring pass with per-block
@@ -3145,6 +3157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": q_nb_classify,
         "similarity_join": q_similarity_join,
         "bm25_topk": q_bm25_topk,
+        "cohort_retention": q_cohort_retention,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4352,6 +4365,25 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "cohort_retention": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, MIN(wk) AS cohort_week FROM w GROUP BY user_id
+            ),
+            a AS (
+              SELECT DISTINCT f.cohort_week,
+                              w.wk - f.cohort_week AS week_offset,
+                              w.user_id
+              FROM w JOIN f USING (user_id)
+            )
+            SELECT cohort_week, week_offset, COUNT(*) AS n_users
+            FROM a GROUP BY cohort_week, week_offset
+            ORDER BY cohort_week, week_offset
         """,
         "bm25_topk": r"""
             WITH tok AS (

@@ -1281,3 +1281,42 @@ class TestBM25:
         df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "d e f"]})
         out = bm25_topk(rd.from_pandas(df), ["zzz"], k=5)
         assert len(out) == 0
+
+
+class TestCohortRetention:
+    def test_matches_pandas_reference(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.cohort import cohort_retention
+
+        rng = np.random.default_rng(14)
+        n = 4000
+        users = rng.integers(0, 120, n)
+        # spread over ~10 weeks; duplicates within a week exercise the
+        # distinct (a user active twice in week k counts once)
+        tus = (rng.uniform(0, 10 * 604800, n) * 1e6).astype("int64")
+        df = pd.DataFrame(
+            {"user_id": users, "ts": pd.to_datetime(tus, unit="us")}
+        )
+        got = cohort_retention(rd.from_pandas(df).repartition(11))
+
+        wk = (df["ts"].astype("int64") // 10**9 // 604800).astype("int64")
+        r = pd.DataFrame({"user_id": users, "wk": wk})
+        first = r.groupby("user_id")["wk"].min().rename("cohort_week")
+        j = r.join(first, on="user_id")
+        j["week_offset"] = j["wk"] - j["cohort_week"]
+        exp = (
+            j.drop_duplicates(["cohort_week", "week_offset", "user_id"])
+            .groupby(["cohort_week", "week_offset"])
+            .size()
+            .reset_index(name="n_users")
+            .sort_values(["cohort_week", "week_offset"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        # offset-0 rows are cohort sizes and sum to the user universe
+        assert (
+            got[got["week_offset"] == 0]["n_users"].sum()
+            == df["user_id"].nunique()
+        )
