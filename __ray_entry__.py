@@ -1223,6 +1223,21 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_event_transitions(sf_dir: str):
+    """Markov transition matrix of per-user event-type sequences
+    (stages/intervals.py:event_transitions): one (user, ts, event_id)
+    sort, in-block pair-count partials, O(runs) boundary stitch; p =
+    row-normalized probabilities.  Oracle = LAG window + count."""
+    from zonal_stats_toolkit_ray.stages.intervals import event_transitions
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return event_transitions(ds)
+
+
 def q_cohort_retention(sf_dir: str):
     """Cohort retention matrix (stages/cohort.py): integer epoch-week
     cohorts (MIN-week per user via slim partials + hash aggregate),
@@ -3158,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_join": q_similarity_join,
         "bm25_topk": q_bm25_topk,
         "cohort_retention": q_cohort_retention,
+        "event_transitions": q_event_transitions,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4365,6 +4381,24 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            c AS (
+              SELECT prev AS from_type, event_type AS to_type,
+                     COUNT(*) AS n
+              FROM s WHERE prev IS NOT NULL
+              GROUP BY prev, event_type
+            )
+            SELECT from_type, to_type, n,
+                   ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6)
+                       + 0.0 AS p
+            FROM c ORDER BY from_type, to_type
         """,
         "cohort_retention": """
             WITH w AS (

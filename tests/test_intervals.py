@@ -165,6 +165,43 @@ def test_event_gaps_tie_robust(ray_session):
     assert abs(got["avg_gap_s"].iloc[0] - 1250.0) < 1e-9
 
 
+def test_event_transitions_matches_brute_hot_key(ray_session):
+    """One hot user spanning many blocks: every cross-block boundary is a
+    transition that only the stitch can count."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import event_transitions
+
+    rng = np.random.default_rng(21)
+    n = 15_000
+    k = np.concatenate(
+        [np.zeros(n - 300, dtype=np.int64), rng.integers(1, 5, 300)]
+    )
+    tus = (rng.uniform(0, 1e6, k.size) * 1e6).astype("int64")
+    types = rng.choice(["a", "b", "c"], size=k.size)
+    df = pd.DataFrame(
+        {
+            "user_id": k,
+            "ts": pd.to_datetime(tus, unit="us"),
+            "event_type": types,
+            "event_id": np.arange(k.size, dtype=np.int64),
+        }
+    )
+    got = event_transitions(rd.from_pandas(df).repartition(24))
+
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    prev_t = s.groupby("user_id")["event_type"].shift(1)
+    pairs = pd.DataFrame({"f": prev_t, "t": s["event_type"]}).dropna()
+    exp = (
+        pairs.groupby(["f", "t"]).size().reset_index(name="n")
+        .rename(columns={"f": "from_type", "t": "to_type"})
+        .sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    )
+    tot = exp.groupby("from_type")["n"].transform("sum")
+    exp["p"] = (exp["n"] / tot).round(6)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert got["n"].sum() == len(pairs)
+
+
 def test_gaps_merge_above_driver_threshold(ray_session):
     """Force the map_groups merge regime; equal to the driver regime."""
     import ray.data as rd

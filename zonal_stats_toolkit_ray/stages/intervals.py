@@ -488,3 +488,147 @@ def event_gaps(
     )
     out["max_gap_s"] = np.where(out["n_gaps"] > 0, out["max_gap"], np.nan)
     return out[[key_col, "n_events", "n_gaps", "avg_gap_s", "max_gap_s"]]
+
+
+# ---------------------------------------------------------------------------
+# event_transitions — the Markov transition matrix of per-key event
+# sequences (funnel/journey mining; the sequence-statistics sibling of
+# event_gaps, same sorted-block + boundary-stitch machinery).
+# ---------------------------------------------------------------------------
+
+
+def _block_transitions_factory(key_col: str, ts_col: str, type_col: str, id_col: str):
+    def block_trans(b: pa.Table) -> pa.Table:
+        """Per-block partials: (from, to, n) counts of consecutive-type
+        pairs inside key runs, PLUS one boundary row per key run
+        (first_ts/first_id/first_type/last_type) for cross-block stitch.
+        Both shapes ride one table with a discriminator column."""
+        empty = pa.table(
+            {
+                "__key": pa.array([], pa.int64()),
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "first_ts": pa.array([], pa.float64()),
+                "first_id": pa.array([], pa.int64()),
+                "is_boundary": pa.array([], pa.bool_()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        tcol = b[type_col]
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        enc = tcol.dictionary_encode()
+        tcodes = np.asarray(enc.indices, dtype=np.int64)
+        tdict = enc.dictionary.to_pylist()
+        keys = kcol.to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_seconds(b[ts_col])
+        eids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        run_start = np.ones(len(b), dtype=bool)
+        run_start[1:] = keys[1:] != keys[:-1]
+        internal = ~run_start[1:]
+        frm = tcodes[:-1][internal]
+        to = tcodes[1:][internal]
+        K = np.int64(len(tdict))
+        pairkey = frm * K + to
+        up, cnt = np.unique(pairkey, return_counts=True)
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:] - 1, len(b) - 1)
+        n_pairs = up.size
+        n_runs = starts.size
+        return pa.table(
+            {
+                "__key": pa.array(
+                    np.concatenate([np.full(n_pairs, -1, np.int64), keys[starts]])
+                ),
+                "from_type": pa.array(
+                    [tdict[i] for i in (up // K).tolist()]
+                    + [tdict[i] for i in tcodes[starts].tolist()],
+                    pa.string(),
+                ),
+                "to_type": pa.array(
+                    [tdict[i] for i in (up % K).tolist()]
+                    + [tdict[i] for i in tcodes[ends].tolist()],
+                    pa.string(),
+                ),
+                "n": pa.array(
+                    np.concatenate([cnt.astype(np.int64), np.zeros(n_runs, np.int64)])
+                ),
+                "first_ts": pa.array(
+                    np.concatenate([np.zeros(n_pairs), ts[starts]]), pa.float64()
+                ),
+                "first_id": pa.array(
+                    np.concatenate([np.zeros(n_pairs, np.int64), eids[starts]])
+                ),
+                "is_boundary": pa.array(
+                    np.concatenate(
+                        [np.zeros(n_pairs, bool), np.ones(n_runs, bool)]
+                    )
+                ),
+            }
+        )
+
+    return block_trans
+
+
+def event_transitions(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Global Markov transition counts over per-key event sequences
+    ordered by (ts, id) → DataFrame(from_type, to_type, n, p) with p =
+    n / Σ n over the from_type row (6-dp).  One distributed sort; counts
+    are in-block partials; only O(2 per block-run) boundary rows stitch
+    on the driver (boundary rows carry from/to types of the run edges —
+    for a boundary row ``from_type`` holds the run's FIRST type and
+    ``to_type`` its LAST)."""
+    srt = ds.select_columns([key_col, ts_col, type_col, id_col]).sort(
+        [key_col, ts_col, id_col]
+    )
+    parts = srt.map_batches(
+        _block_transitions_factory(key_col, ts_col, type_col, id_col),
+        batch_format="pyarrow",
+    ).to_pandas()
+    counts = (
+        parts[~parts["is_boundary"]]
+        .groupby(["from_type", "to_type"], sort=False)["n"]
+        .sum()
+        .to_dict()
+    )
+    bd = parts[parts["is_boundary"]].sort_values(
+        ["__key", "first_ts", "first_id"], kind="stable"
+    )
+    keys = bd["__key"].to_numpy()
+    same = np.zeros(len(bd), dtype=bool)
+    if len(bd) > 1:
+        same[1:] = keys[1:] == keys[:-1]
+    # cross-block transition: previous run's LAST type → this run's FIRST
+    prev_last = np.roll(bd["to_type"].to_numpy(dtype=object), 1)
+    cur_first = bd["from_type"].to_numpy(dtype=object)
+    for f, t in zip(prev_last[same], cur_first[same]):
+        counts[(f, t)] = counts.get((f, t), 0) + 1
+    if not counts:
+        return pd.DataFrame(
+            {
+                "from_type": pd.Series(dtype="object"),
+                "to_type": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "p": pd.Series(dtype="float64"),
+            }
+        )
+    out = pd.DataFrame(
+        [(f, t, n) for (f, t), n in counts.items()],
+        columns=["from_type", "to_type", "n"],
+    ).sort_values(["from_type", "to_type"]).reset_index(drop=True)
+    tot = out.groupby("from_type")["n"].transform("sum")
+    out["p"] = np.round(out["n"] / tot, 6) + 0.0
+    out["n"] = out["n"].astype("int64")
+    return out
