@@ -1223,6 +1223,17 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_profile_events(sf_dir: str):
+    """Table profiler (stages/profile.py): per-column n/null/exact-
+    distinct/min/max/mean in one fixed-partial pass + one slim distinct
+    aggregate per column over pruned single-column reads."""
+    from zonal_stats_toolkit_ray.stages.profile import profile_table
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return profile_table(ds, ["user_id", "event_type", "value", "props"])
+
+
 def q_event_transitions(sf_dir: str):
     """Markov transition matrix of per-user event-type sequences
     (stages/intervals.py:event_transitions): one (user, ts, event_id)
@@ -3174,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": q_bm25_topk,
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
+        "profile_events": q_profile_events,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4381,6 +4393,30 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "profile_events": """
+            SELECT 'user_id' AS "column", COUNT(*) AS n,
+                   COUNT(*) - COUNT(user_id) AS n_null,
+                   COUNT(DISTINCT user_id) AS n_distinct,
+                   ROUND(MIN(user_id) * 1.0, 6) + 0.0 AS min_value,
+                   ROUND(MAX(user_id) * 1.0, 6) + 0.0 AS max_value,
+                   ROUND(SUM(user_id) * 1.0 / COUNT(user_id), 6) + 0.0
+                       AS mean_value
+            FROM events
+            UNION ALL
+            SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+                   COUNT(DISTINCT event_type), NULL, NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+                   COUNT(DISTINCT value),
+                   ROUND(MIN(value), 6) + 0.0, ROUND(MAX(value), 6) + 0.0,
+                   ROUND(SUM(value) / COUNT(value), 6) + 0.0
+            FROM events
+            UNION ALL
+            SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+                   COUNT(DISTINCT props), NULL, NULL, NULL
+            FROM events
         """,
         "event_transitions": """
             WITH s AS (

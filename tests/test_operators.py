@@ -1320,3 +1320,41 @@ class TestCohortRetention:
             got[got["week_offset"] == 0]["n_users"].sum()
             == df["user_id"].nunique()
         )
+
+
+class TestProfileTable:
+    def test_nulls_and_types(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.profile import profile_table
+
+        t = pa.table(
+            {
+                "x": pa.array([1.5, None, 2.5, 2.5, None], pa.float64()),
+                "s": pa.array(["a", "b", None, "a", "b"], pa.string()),
+                "i": pa.array([7, 7, 7, 7, 7], pa.int64()),
+            }
+        )
+        out = profile_table(rd.from_arrow(t).repartition(3), ["x", "s", "i"])
+        out = out.set_index("column")
+        assert out.loc["x", "n"] == 5 and out.loc["x", "n_null"] == 2
+        assert out.loc["x", "n_distinct"] == 2  # nulls excluded
+        assert out.loc["x", "min_value"] == 1.5
+        assert out.loc["x", "max_value"] == 2.5
+        assert abs(out.loc["x", "mean_value"] - round(6.5 / 3, 6)) < 1e-12
+        assert out.loc["s", "n_distinct"] == 2
+        assert np.isnan(out.loc["s", "mean_value"])
+        assert out.loc["i", "n_distinct"] == 1
+        assert out.loc["i", "mean_value"] == 7.0
+
+    def test_unknown_column_raises(self, ray_session):
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.profile import profile_table
+
+        ds = rd.from_pandas(pd.DataFrame({"a": [1]}))
+        with pytest.raises(KeyError):
+            profile_table(ds, ["nope"])

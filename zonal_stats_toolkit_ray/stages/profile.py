@@ -1,0 +1,108 @@
+"""Table profiling — the data-quality audit pass every ingestion pipeline
+runs before heavy processing: per column, row/null counts, exact distinct
+cardinality, and numeric min/max/mean, without ever collecting values.
+
+Shape: ONE ``map_batches`` pass emits a fixed (columns × 6)-cell partial
+row per block (the moment-partial pattern of ``pca.pca_train``); the
+driver folds partials.  Exact distinct counts are one slim
+``joins.distinct_rows`` aggregate per column over a PRUNED single-column
+read — the only shuffles, each moving a block-distinct universe, never
+rows.  (For approximate-is-fine profiling at extreme cardinality, swap in
+``sketch.approx_distinct``'s HLL — same call shape, documented.)
+
+NULL semantics match SQL: ``n_distinct`` counts distinct NON-null values
+(``COUNT(DISTINCT c)``), min/max/mean ignore nulls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _is_numeric(t) -> bool:
+    if isinstance(t, pa.DataType):
+        return (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_decimal(t)
+        )
+    return np.issubdtype(np.dtype(t), np.number)  # pandas-block schema
+
+
+def profile_table(ds, cols: list[str], *, round_dp: int = 6) -> pd.DataFrame:
+    """→ DataFrame(column, n, n_null, n_distinct, min_value, max_value,
+    mean_value) — min/max/mean are float64 for numeric columns and NULL
+    (NaN) for non-numeric ones."""
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    for c in cols:
+        if c not in types:
+            raise KeyError(f"unknown column {c!r}")
+    numeric = {c for c in cols if _is_numeric(types[c])}
+
+    def partial(b: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs, sums = [], [], [], [], [], []
+        for c in cols:
+            col = b[c]
+            names.append(c)
+            ns.append(len(col))
+            nulls.append(int(col.null_count))
+            if c in numeric and len(col) - col.null_count > 0:
+                mins.append(float(pc.min(col).as_py()))
+                maxs.append(float(pc.max(col).as_py()))
+                sums.append(float(pc.sum(col).as_py()))
+            else:
+                mins.append(np.nan)
+                maxs.append(np.nan)
+                sums.append(np.nan)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "mn": pa.array(mins, pa.float64()),
+                "mx": pa.array(maxs, pa.float64()),
+                "sm": pa.array(sums, pa.float64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    g = parts.groupby("column", sort=False).agg(
+        n=("n", "sum"),
+        n_null=("n_null", "sum"),
+        mn=("mn", "min"),
+        mx=("mx", "max"),
+        sm=("sm", "sum"),
+    )
+
+    from .joins import distinct_rows
+
+    rows = []
+    for c in cols:
+        col_ds = ds.select_columns([c]).map_batches(
+            lambda t, _c=c: t.filter(pc.is_valid(t[_c])), batch_format="pyarrow"
+        )
+        nd = distinct_rows(col_ds, [c]).count()
+        r = g.loc[c]
+        n_valid = int(r["n"]) - int(r["n_null"])
+        if c in numeric and n_valid > 0:
+            mean = round(float(r["sm"]) / n_valid, round_dp) + 0.0
+            mn = round(float(r["mn"]), round_dp) + 0.0
+            mx = round(float(r["mx"]), round_dp) + 0.0
+        else:
+            mean = mn = mx = np.nan
+        rows.append((c, int(r["n"]), int(r["n_null"]), int(nd), mn, mx, mean))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "column", "n", "n_null", "n_distinct",
+            "min_value", "max_value", "mean_value",
+        ],
+    )
