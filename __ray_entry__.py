@@ -1223,6 +1223,21 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_assign_sessions(sf_dir: str):
+    """Row-level session enrichment (stages/window.py:assign_sessions):
+    every event gains its session's start via broadcast per-user sorted
+    session starts + searchsorted (join-filter regime above threshold)."""
+    from zonal_stats_toolkit_ray.stages.window import assign_sessions
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    out = assign_sessions(ds, gap_seconds=1800.0).to_pandas()
+    out["session_start"] = out["session_start"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_profile_events(sf_dir: str):
     """Table profiler (stages/profile.py): per-column n/null/exact-
     distinct/min/max/mean in one fixed-partial pass + one slim distinct
@@ -3186,6 +3201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "event_transitions": q_event_transitions,
         "profile_events": q_profile_events,
+        "assign_sessions": q_assign_sessions,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4393,6 +4409,25 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "assign_sessions": """
+            WITH d AS (
+                SELECT event_id, user_id, epoch(ts) AS t,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                            OR lag(epoch(ts)) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT event_id, user_id, t,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY t)
+                           AS sid
+                FROM d
+            )
+            SELECT event_id, user_id,
+                   round(MIN(t) OVER (PARTITION BY user_id, sid), 6)
+                       AS session_start
+            FROM s ORDER BY event_id
         """,
         "profile_events": """
             SELECT 'user_id' AS "column", COUNT(*) AS n,

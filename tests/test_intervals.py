@@ -219,3 +219,42 @@ def test_gaps_merge_above_driver_threshold(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-12)
+
+
+def test_assign_sessions_regime_equivalence(ray_session):
+    """Broadcast searchsorted regime == join-filter regime, including a
+    hot user, and every event's session contains it."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.window import assign_sessions
+
+    rng = np.random.default_rng(17)
+    n = 6000
+    k = np.concatenate(
+        [np.zeros(n - 200, dtype=np.int64), rng.integers(1, 8, 200)]
+    )
+    tus = (rng.uniform(0, 3e5, n) * 1e6).astype("int64")
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": k,
+            "ts": pd.to_datetime(tus, unit="us"),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(12)
+    a = (
+        assign_sessions(ds, gap_seconds=600.0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        assign_sessions(ds, gap_seconds=600.0, broadcast_threshold=0)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=0)
+    assert len(a) == n
+    # session_start <= event ts always
+    ts_s = df.sort_values("event_id")["ts"].astype("int64").to_numpy() / 1e9
+    assert (a["session_start"].to_numpy() <= ts_s + 1e-9).all()

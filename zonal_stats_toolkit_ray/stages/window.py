@@ -325,3 +325,101 @@ def session_windows(
             stitch_frame, batch_format="pandas"
         )
     return finals.union(stitched)
+
+
+def assign_sessions(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_seconds: float = 1800.0,
+    broadcast_threshold: int = 5_000_000,
+):
+    """Per-EVENT session enrichment: every event row gains its session's
+    start time (the row-level inverse of :func:`session_windows`, which
+    emits one row per session).  → Dataset (id, key, session_start).
+
+    Regimes: sessions (from the scale-safe chunked sessionizer) are
+    session-universe-sized; under ``broadcast_threshold`` they broadcast
+    as per-key sorted start arrays and each event batch does one
+    ``searchsorted`` per key present (rightmost start ≤ ts).  Above it,
+    fall back to a hash join on the key + an in-batch interval filter
+    (start ≤ ts ≤ end) — more rows moved, no driver state."""
+    import ray
+    import ray.data as rd
+
+    sess = session_windows(
+        ds, ts_col=ts_col, key_col=key_col, gap_seconds=gap_seconds
+    ).materialize()
+    n_sess = sess.count()
+    if n_sess <= broadcast_threshold:
+        sp = sess.select_columns([key_col, "start"]).to_pandas()
+        lut = {
+            k: np.sort(g["start"].to_numpy())
+            for k, g in sp.groupby(key_col, sort=False)
+        }
+        ref = ray.put(lut) if ray.is_initialized() else lut
+
+        def attach(t: pa.Table, *, _r=ref) -> pa.Table:
+            lu = ray.get(_r) if ray.is_initialized() else _r
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        key_col: pa.array([], pa.int64()),
+                        "session_start": pa.array([], pa.float64()),
+                    }
+                )
+            keys = t[key_col].to_pandas().to_numpy()
+            ts = _ts_seconds(t[ts_col])
+            out = np.empty(len(t), dtype=np.float64)
+            for k in pd.unique(keys):
+                m = keys == k
+                starts = lu[k]
+                idx = np.searchsorted(starts, ts[m], side="right") - 1
+                out[m] = starts[idx]
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    key_col: t[key_col],
+                    "session_start": pa.array(out, pa.float64()),
+                }
+            )
+
+        return ds.map_batches(attach, batch_format="pyarrow")
+
+    from .joins import hash_join
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: t[key_col],
+                "__ts": pa.array(_ts_seconds(t[ts_col]), pa.float64()),
+            }
+        )
+
+    ev = ds.map_batches(slim, batch_format="pyarrow")
+    joined = hash_join(
+        ev,
+        sess.select_columns([key_col, "start", "end"]),
+        on=key_col,
+        broadcast=False,
+    )
+
+    def infilter(t: pa.Table) -> pa.Table:
+        ts = t["__ts"].to_numpy(zero_copy_only=False)
+        st = t["start"].to_numpy(zero_copy_only=False)
+        en = t["end"].to_numpy(zero_copy_only=False)
+        m = (st <= ts) & (ts <= en)
+        t = t.filter(pa.array(m))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: t[key_col],
+                "session_start": t["start"],
+            }
+        )
+
+    return joined.map_batches(infilter, batch_format="pyarrow")
