@@ -1223,6 +1223,38 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_cms_counts_cert(sf_dir: str):
+    """Count-min sketch certificate (stages/sketch.py:cms_build): build
+    the 4×16384 linear sketch over events.user_id in one fixed-partial
+    pass, estimate every distinct key, and check the CMS guarantees
+    against exact distributed counts: est ≥ true (always) and
+    est − true ≤ 4·N/width (the per-row collision-mass bound, min over 4
+    independent rows; deterministic for fixed data + hash constants)."""
+    from zonal_stats_toolkit_ray.stages.sketch import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    m, n = cms_build(ds, key_col="user_id")
+    true = (
+        ds.groupby("user_id")
+        .aggregate(Count(alias_name="true_n"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    keys = true["user_id"].to_numpy().astype(np.int64)
+    est = cms_estimate(m, keys)
+    tn = true["true_n"].to_numpy().astype(np.int64)
+    slack = 4.0 * n / CMS_WIDTH
+    ok = (est >= tn) & (est - tn <= slack)
+    return pd.DataFrame({"user_id": keys, "ok": ok})
+
+
 def q_assign_sessions(sf_dir: str):
     """Row-level session enrichment (stages/window.py:assign_sessions):
     every event gains its session's start via broadcast per-user sorted
@@ -3202,6 +3234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "profile_events": q_profile_events,
         "assign_sessions": q_assign_sessions,
+        "cms_counts_cert": q_cms_counts_cert,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4409,6 +4442,9 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "cms_counts_cert": """
+            SELECT DISTINCT user_id, TRUE AS ok FROM events ORDER BY user_id
         """,
         "assign_sessions": """
             WITH d AS (

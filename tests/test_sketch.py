@@ -140,3 +140,47 @@ class TestMisraGries:
         assert len(tk) <= 2
         d = dict(zip(tk, ct))
         assert d.get("a", 0) <= 8 and d.get("d", 0) <= 6
+
+
+class TestCountMin:
+    def test_never_undercounts_and_merges_linearly(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.sketch import (
+            cms_build,
+            cms_estimate,
+            cms_partial,
+        )
+
+        rng = np.random.default_rng(5)
+        # zipf-ish skew: heavy keys + a long tail
+        vals = np.concatenate(
+            [
+                np.repeat(np.arange(10, dtype=np.int64), 2000),
+                rng.integers(100, 50_000, 30_000),
+            ]
+        )
+        rng.shuffle(vals)
+        df = pd.DataFrame({"k": vals})
+        m, n = cms_build(rd.from_pandas(df).repartition(9), key_col="k")
+        assert n == vals.size
+        # merged matrix == single-process matrix (linear sketch)
+        np.testing.assert_array_equal(m, cms_partial(vals))
+        keys, true = np.unique(vals, return_counts=True)
+        est = cms_estimate(m, keys)
+        assert (est >= true).all()
+        # heavy keys dominate their buckets: estimates are tight
+        heavy = keys < 10
+        assert (est[heavy] - true[heavy]).max() <= 4.0 * n / 16384
+
+    def test_empty_stream(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.sketch import cms_build, cms_estimate
+
+        df = pd.DataFrame({"k": pd.Series(dtype="int64")})
+        m, n = cms_build(rd.from_pandas(df), key_col="k")
+        assert n == 0 and m.sum() == 0
+        assert cms_estimate(m, np.array([7], dtype=np.int64))[0] == 0

@@ -483,3 +483,77 @@ def histogram_ds(
         )
 
     return agg.map_batches(norm, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — fixed-memory per-key
+# frequency estimates over a stream, completing the sketch family (HLL =
+# distinct, t-digest = quantiles, Misra-Gries = heavy hitters, CMS =
+# point frequencies).  One (depth × width) int64 count matrix per block
+# (the mergeable fixed-size-partial shape); merge = elementwise SUM (a
+# linear sketch, unlike HLL's max).  Estimates NEVER under-count; the
+# over-count per row is bounded by the colliding mass.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 16_384
+# fixed odd multipliers + offsets (splitmix-derived, seeded once)
+_CMS_A = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0xD6E8FEB86659FD93],
+    dtype=np.uint64,
+)
+_CMS_B = np.array(
+    [0x2545F4914F6CDD1D, 0x27D4EB2F165667C5, 0x94D049BB133111EB, 0xBF58476D1CE4E5B9],
+    dtype=np.uint64,
+)
+
+
+def cms_rows(values: np.ndarray, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """int64 values → per-row bucket indices (depth, n) uint64."""
+    v = np.asarray(values, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        hashed = v[None, :] * _CMS_A[:depth, None] + _CMS_B[:depth, None]
+    return (hashed >> np.uint64(40)) % np.uint64(width)
+
+
+def cms_partial(values: np.ndarray, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """→ (depth, width) int64 count matrix for one batch."""
+    m = np.zeros((depth, width), dtype=np.int64)
+    if values.size == 0:
+        return m
+    idx = cms_rows(values, depth, width)
+    for r in range(depth):
+        m[r] += np.bincount(idx[r].astype(np.int64), minlength=width)
+    return m
+
+
+def cms_build(ds, *, key_col: str, depth: int = CMS_DEPTH, width: int = CMS_WIDTH):
+    """One streaming pass → the merged (depth, width) matrix + total row
+    count.  Driver traffic = blocks × depth × width int64 (512 KB at the
+    defaults), independent of stream size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = cms_partial(vals, depth, width)
+        return pa.table(
+            {
+                "m": pa.array([m.ravel().tolist()], pa.list_(pa.int64())),
+                "n": pa.array([int(vals.size)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = np.zeros((depth, width), dtype=np.int64)
+    if len(parts.columns) == 0 or len(parts) == 0:  # zero-block input
+        return m, 0
+    for c in parts["m"]:
+        m += np.asarray(c, dtype=np.int64).reshape(depth, width)
+    return m, int(parts["n"].sum())
+
+
+def cms_estimate(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows — ≥ true count always."""
+    depth, width = m.shape
+    idx = cms_rows(keys, depth, width)
+    ests = np.stack([m[r, idx[r].astype(np.int64)] for r in range(depth)])
+    return ests.min(axis=0)
