@@ -1223,6 +1223,44 @@ def q_pca_project(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_twap(sf_dir: str):
+    """Time-weighted average value per user (stages/intervals.py:
+    twap_by_key — step-function integral over the event stream): per-run
+    partials with a last-value carry, boundary segments stitched in
+    block-adjacency order.  Oracle = LEAD window integral."""
+    from zonal_stats_toolkit_ray.stages.intervals import twap_by_key
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    return twap_by_key(ds)
+
+
+def q_bfs_hops(sf_dir: str):
+    """Level-synchronous BFS (stages/graph.py:bfs_hops) over the
+    q_pagerank deterministic 3-out-regular graph: min hop distance from
+    node 0 within 3 hops; each level is one streaming edge pass with a
+    broadcast sorted frontier.  Oracle = WITH RECURSIVE + MIN(hops)."""
+    from zonal_stats_toolkit_ray.stages.graph import bfs_hops
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = ds.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(ids * 3 + 1) % n, (ids * 4 + 2) % n, (ids * 5 + 3) % n]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    e = ds.map_batches(edges, batch_format="pyarrow")
+    return bfs_hops(e, 0, max_hops=3)
+
+
 def q_cms_counts_cert(sf_dir: str):
     """Count-min sketch certificate (stages/sketch.py:cms_build): build
     the 4×16384 linear sketch over events.user_id in one fixed-partial
@@ -3235,6 +3273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": q_profile_events,
         "assign_sessions": q_assign_sessions,
         "cms_counts_cert": q_cms_counts_cert,
+        "bfs_hops": q_bfs_hops,
+        "twap": q_twap,
         "bigram_pmi": q_bigram_pmi,
         "heavy_hitters_cert": q_heavy_hitters_cert,
         "mixture_sample": q_mixture_sample,
@@ -4442,6 +4482,41 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(en - st), 6) AS covered_s,
                    round(MAX(en - st), 6) AS max_island_s
             FROM isl GROUP BY user_id ORDER BY user_id
+        """,
+        "twap": """
+            WITH s AS (
+              SELECT user_id, epoch(ts) AS t, value,
+                     LEAD(epoch(ts)) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS nt
+              FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(SUM((nt - t) * value) / (MAX(t) - MIN(t)), 6)
+                       + 0.0 AS twap
+            FROM s GROUP BY user_id HAVING COUNT(*) > 1
+            ORDER BY user_id
+        """,
+        "bfs_hops": """
+            WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM documents),
+            e AS (
+              SELECT doc_id AS s, (doc_id * 3 + 1) % (SELECT n FROM n) AS d
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 4 + 2) % (SELECT n FROM n)
+              FROM documents
+              UNION ALL
+              SELECT doc_id, (doc_id * 5 + 3) % (SELECT n FROM n)
+              FROM documents
+            ),
+            bfs AS (
+              SELECT 0 AS node, 0 AS hops
+              UNION ALL
+              SELECT e.d, bfs.hops + 1
+              FROM bfs JOIN e ON e.s = bfs.node
+              WHERE bfs.hops < 3
+            )
+            SELECT node, MIN(hops) AS hops
+            FROM bfs GROUP BY node ORDER BY node
         """,
         "cms_counts_cert": """
             SELECT DISTINCT user_id, TRUE AS ok FROM events ORDER BY user_id

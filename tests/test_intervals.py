@@ -258,3 +258,55 @@ def test_assign_sessions_regime_equivalence(ray_session):
     # session_start <= event ts always
     ts_s = df.sort_values("event_id")["ts"].astype("int64").to_numpy() / 1e9
     assert (a["session_start"].to_numpy() <= ts_s + 1e-9).all()
+
+
+def test_twap_matches_brute_hot_key(ray_session):
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.intervals import twap_by_key
+
+    rng = np.random.default_rng(23)
+    n = 12_000
+    k = np.concatenate(
+        [np.zeros(n - 400, dtype=np.int64), rng.integers(1, 6, 399), [42]]
+    )
+    tus = (rng.uniform(0, 1e6, n) * 1e6).astype("int64")
+    v = rng.uniform(-5, 50, n).round(3)
+    df = pd.DataFrame(
+        {
+            "user_id": k,
+            "ts": pd.to_datetime(tus, unit="us"),
+            "value": v,
+            "event_id": np.arange(n, dtype=np.int64),
+        }
+    )
+    got = twap_by_key(rd.from_pandas(df).repartition(20))
+
+    s = df.assign(t=df["ts"].astype("int64") / 1e6).sort_values(
+        ["user_id", "t", "event_id"]
+    )
+    rows = []
+    for kk, g in s.groupby("user_id"):
+        if len(g) < 2:
+            continue  # single-event key (user 42) excluded
+        t = g["t"].to_numpy()
+        vv = g["value"].to_numpy()
+        tw = float(np.sum(np.diff(t) * vv[:-1]) / (t[-1] - t[0]))
+        rows.append((kk, len(g), round(tw, 6)))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_events", "twap"])
+    pd.testing.assert_frame_equal(
+        got, exp.reset_index(drop=True), check_dtype=False, atol=2e-6
+    )
+    assert 42 not in set(got["user_id"])
+
+
+def test_bfs_hops_small_graph(ray_session):
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.graph import bfs_hops
+
+    # 0→1→2→3→4 chain plus shortcut 0→3: hops = min path
+    df = pd.DataFrame({"src": [0, 1, 2, 3, 0], "dst": [1, 2, 3, 4, 3]})
+    out = bfs_hops(rd.from_pandas(df).repartition(2), 0, max_hops=4)
+    assert dict(zip(out["node"], out["hops"])) == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}
+    # max_hops truncates
+    out2 = bfs_hops(rd.from_pandas(df), 0, max_hops=1)
+    assert dict(zip(out2["node"], out2["hops"])) == {0: 0, 1: 1, 3: 1}

@@ -137,3 +137,57 @@ def pagerank_reference(
         inc = np.bincount(di, weights=w, minlength=n)
         r = (1.0 - damping) / n + damping * (inc + float(r[dangling].sum()) / n)
     return pd.DataFrame({"node": nodes, "rank": r})
+
+
+def bfs_hops(
+    edges,
+    source: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 3,
+    node_driver_threshold: int = 50_000_000,
+) -> pd.DataFrame:
+    """Minimum hop distance from ``source`` over the directed edge
+    Dataset → DataFrame(node, hops) for every node reached within
+    ``max_hops`` (the recursive-CTE reachability shape, level-synchronous
+    BFS): each level is ONE streaming pass over the edges with the
+    current frontier broadcast as a sorted array; per batch one
+    ``isin``-style searchsorted + a sparse distinct-destination partial.
+    Driver state is two node-universe-bounded arrays (pagerank's
+    threshold contract) — the edge list never materializes."""
+    import ray
+
+    slim = edges.select_columns([src_col, dst_col]).materialize()
+    dist = {int(source): 0}
+    frontier = np.array([source], dtype=np.int64)
+    for level in range(1, max_hops + 1):
+        if frontier.size > node_driver_threshold:
+            raise ValueError("frontier exceeds node_driver_threshold")
+        f_ref = ray.put(np.sort(frontier))
+
+        def reach(t: pa.Table, *, _f=f_ref) -> pa.Table:
+            f = ray.get(_f) if ray.is_initialized() else _f
+            if len(t) == 0:
+                return pa.table({"d": pa.array([], pa.int64())})
+            s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(f, s)
+            idx = np.minimum(idx, f.size - 1)
+            hit = f[idx] == s
+            return pa.table({"d": pa.array(np.unique(d[hit]))})
+
+        parts = slim.map_batches(reach, batch_format="pyarrow").to_pandas()
+        if len(parts.columns) == 0 or len(parts) == 0:
+            break
+        cand = np.unique(parts["d"].to_numpy().astype(np.int64))
+        new = np.array([c for c in cand.tolist() if c not in dist], dtype=np.int64)
+        if new.size == 0:
+            break
+        for c in new.tolist():
+            dist[c] = level
+        frontier = new
+    out = pd.DataFrame(
+        {"node": list(dist.keys()), "hops": list(dist.values())}
+    ).astype({"node": "int64", "hops": "int64"})
+    return out.sort_values("node").reset_index(drop=True)

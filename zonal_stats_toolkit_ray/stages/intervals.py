@@ -632,3 +632,111 @@ def event_transitions(
     out["p"] = np.round(out["n"] / tot, 6) + 0.0
     out["n"] = out["n"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# twap — time-weighted average value per key (each event's value holds
+# until the next event; the step-function integral / total-span ratio).
+# Same sorted-block + boundary-merge machinery as event_gaps, with a
+# value carry: boundary segments are weighted by the PREVIOUS run's last
+# value.
+# ---------------------------------------------------------------------------
+
+
+def _block_twap_factory(key_col: str, ts_col: str, val_col: str, id_col: str):
+    def block_twap(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "__key": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "segsum": pa.array([], pa.float64()),
+                "first_ts": pa.array([], pa.float64()),
+                "first_id": pa.array([], pa.int64()),
+                "last_ts": pa.array([], pa.float64()),
+                "last_val": pa.array([], pa.float64()),
+            }
+        )
+        if len(b) == 0:
+            return empty
+        keys = b[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = _ts_seconds(b[ts_col])
+        vals = b[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        eids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        run_start = np.ones(len(b), dtype=bool)
+        run_start[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(run_start)
+        ends = np.append(starts[1:] - 1, len(b) - 1)
+        seg = np.where(~run_start[1:], np.diff(ts) * vals[:-1], 0.0)
+        cum = np.concatenate([[0.0], np.cumsum(seg)])
+        segsum = cum[ends] - cum[starts]
+        return pa.table(
+            {
+                "__key": pa.array(keys[starts]),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "segsum": pa.array(segsum, pa.float64()),
+                "first_ts": pa.array(ts[starts], pa.float64()),
+                "first_id": pa.array(eids[starts]),
+                "last_ts": pa.array(ts[ends], pa.float64()),
+                "last_val": pa.array(vals[ends], pa.float64()),
+            }
+        )
+
+    return block_twap
+
+
+def twap_by_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """→ DataFrame(key, n_events, twap): Σ (t_{i+1} − t_i)·v_i / (t_last −
+    t_first) per key, events ordered by (ts, id).  Keys with a single
+    event are excluded (no span).  One distributed sort; per-run
+    partials; boundary segments stitched in (first_ts, first_id) order
+    (block adjacency — sort tuples are unique via the id column)."""
+    srt = ds.select_columns([key_col, ts_col, val_col, id_col]).sort(
+        [key_col, ts_col, id_col]
+    )
+    parts = srt.map_batches(
+        _block_twap_factory(key_col, ts_col, val_col, id_col),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "twap": pd.Series(dtype="float64"),
+            }
+        )
+    parts = parts.sort_values(["__key", "first_ts", "first_id"], kind="stable")
+    keys = parts["__key"].to_numpy()
+    same = np.zeros(len(parts), dtype=bool)
+    if len(parts) > 1:
+        same[1:] = keys[1:] == keys[:-1]
+    bseg = np.where(
+        same,
+        (parts["first_ts"].to_numpy() - np.roll(parts["last_ts"].to_numpy(), 1))
+        * np.roll(parts["last_val"].to_numpy(), 1),
+        0.0,
+    )
+    parts = parts.assign(__bseg=bseg)
+    g = (
+        parts.groupby("__key", sort=True)
+        .agg(
+            n_events=("n_events", "sum"),
+            segsum=("segsum", "sum"),
+            bsum=("__bseg", "sum"),
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"),
+        )
+        .reset_index()
+    )
+    g = g[g["n_events"] > 1].reset_index(drop=True)
+    span = g["last_ts"] - g["first_ts"]
+    g["twap"] = np.round((g["segsum"] + g["bsum"]) / span, 6) + 0.0
+    g["n_events"] = g["n_events"].astype("int64")
+    return g.rename(columns={"__key": key_col})[[key_col, "n_events", "twap"]]
