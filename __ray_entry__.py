@@ -3181,6 +3181,68 @@ def q_zonal_raster(sf_dir: str):
     return _round_stats_frame(pd.DataFrame(rows))
 
 
+def q_ab_test(sf_dir: str):
+    """Welch's t-test per event_type (stages/bivar.py:ab_test): variant =
+    user_id % 2, metric = value.  Per-(group, variant) three-moment
+    partials → one hash aggregate → driver finalize; the oracle re-derives
+    t and the Welch–Satterthwaite dof with the identical algebra."""
+    from zonal_stats_toolkit_ray.stages.bivar import ab_test
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def add_variant(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("variant", pa.array(u % 2, pa.int64()))
+
+    out = ab_test(
+        ds.map_batches(add_variant, batch_format="pyarrow"),
+        group_col="event_type",
+        variant_col="variant",
+        value_col="value",
+    )
+    for c in ["mean_a", "mean_b", "t_stat", "dof"]:
+        out[c] = out[c].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_intersect_distinct(sf_dir: str):
+    """SQL INTERSECT: (status, priority) pairs of big orders ∩ pairs of
+    urgent orders (stages/joins.py:intersect_distinct) — both sides
+    collapse distributed to distinct universes; only universe-sized frames
+    reach the driver inner-merge."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import intersect_distinct
+
+    cols = ["o_orderstatus", "o_orderpriority"]
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=cols + ["o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 200000.0)).select(cols),
+        batch_format="pyarrow",
+    )
+    urgent = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=cols).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")),
+        batch_format="pyarrow",
+    )
+    return intersect_distinct(big, urgent, cols)
+
+
+def q_vocab_ids(sf_dir: str):
+    """Frequency-ranked vocabulary id assignment (stages/text.py:
+    vocabulary_ids): distributed (token, df) aggregate → ONE range sort →
+    two-pass block-offset scan for contiguous ROW_NUMBER ids; nothing
+    vocabulary-sized lands on the driver."""
+    from zonal_stats_toolkit_ray.stages.text import vocabulary_ids
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out = vocabulary_ids(ds).to_pandas()
+    return out.sort_values("token_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3231,6 +3293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": q_bloom_semi_join,
         "dedup_revisits": q_dedup_revisits,
         "except_distinct": q_except_distinct,
+        "intersect_distinct": q_intersect_distinct,
+        "ab_test": q_ab_test,
+        "vocab_ids": q_vocab_ids,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -3772,6 +3837,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority
             FROM orders WHERE o_orderpriority = '1-URGENT'
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "intersect_distinct": """
+            SELECT o_orderstatus, o_orderpriority
+            FROM orders WHERE o_totalprice > 200000.0
+            INTERSECT
+            SELECT o_orderstatus, o_orderpriority
+            FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "ab_test": """
+            WITH m AS (
+              SELECT event_type, CAST(user_id % 2 AS BIGINT) AS variant,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     SUM(value) AS s, SUM(value * value) AS ss
+              FROM events GROUP BY 1, 2
+            ), p AS (
+              SELECT event_type,
+                MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+                MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+                MAX(CASE WHEN variant = 0 THEN s END) AS s_a,
+                MAX(CASE WHEN variant = 1 THEN s END) AS s_b,
+                MAX(CASE WHEN variant = 0 THEN ss END) AS ss_a,
+                MAX(CASE WHEN variant = 1 THEN ss END) AS ss_b
+              FROM m GROUP BY event_type
+            ), f AS (
+              SELECT event_type, n_a, n_b,
+                s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+                (ss_a - s_a * s_a / n_a) / (n_a - 1) AS v_a,
+                (ss_b - s_b * s_b / n_b) / (n_b - 1) AS v_b
+              FROM p
+            ), g AS (
+              SELECT event_type, n_a, n_b, mean_a, mean_b, v_a, v_b,
+                     v_a / n_a + v_b / n_b AS se2
+              FROM f
+            )
+            SELECT event_type, n_a, n_b,
+              round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+              round((mean_a - mean_b) / sqrt(se2), 6) AS t_stat,
+              round(se2 * se2 / ((v_a / n_a) * (v_a / n_a) / (n_a - 1)
+                                + (v_b / n_b) * (v_b / n_b) / (n_b - 1)),
+                    6) AS dof
+            FROM g ORDER BY event_type
+        """,
+        "vocab_ids": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'), x -> x <> ''
+                     ))) AS token
+              FROM documents
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+            )
+            SELECT token, df,
+                   ROW_NUMBER() OVER (ORDER BY df DESC, token) AS token_id
+            FROM df ORDER BY token_id
         """,
         "distinct_count": """
             SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp

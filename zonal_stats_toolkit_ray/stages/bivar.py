@@ -190,3 +190,96 @@ def grouped_corr(
         .sort_values(keys)
         .reset_index(drop=True)[keys + ["n", "corr", "slope", "intercept"]]
     )
+
+
+def ab_test(
+    ds,
+    *,
+    group_col: str,
+    variant_col: str,
+    value_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Welch's unequal-variance t-test per experiment group →
+    DataFrame(group, n_a, n_b, mean_a, mean_b, t_stat, dof).
+
+    ``variant_col`` must hold exactly the integer labels {0, 1}
+    (0 = control / A, 1 = treatment / B).  The statistical shape is the
+    experiment-readout pass of an event pipeline: per (group, variant)
+    three-moment partials (n, Σv, Σv²) inside each batch — the same
+    partial+final decomposition as the reference's zonal reduce
+    (runner.py:653-685) — one hash aggregate over the 2×#groups universe,
+    and a driver finalize.  ONE input pass, nothing row-sized shuffles,
+    so it holds at any corpus size with a bounded group universe.
+
+    Numerics match the SQL oracle algebra exactly: sample variance
+    ``(Σv² − (Σv)²/n) / (n − 1)``, ``t = (mA − mB) / sqrt(vA/nA + vB/nB)``,
+    Welch–Satterthwaite dof.  Groups missing a variant or with n < 2 on
+    either side yield NULL t/dof (SQL division-by-NULL semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[value_col], pa.float64())
+        valid = pc.is_valid(v)
+        if not pc.all(pc.fill_null(valid, False)).as_py():
+            b = b.filter(valid)
+            v = pc.cast(b[value_col], pa.float64())
+        t = pa.table(
+            {
+                group_col: b[group_col],
+                variant_col: pc.cast(b[variant_col], pa.int64()),
+                "v": v,
+                "vv": pc.multiply(v, v),
+            }
+        )
+        g = t.group_by([group_col, variant_col]).aggregate(
+            [("v", "count"), ("v", "sum"), ("vv", "sum")]
+        )
+        return pa.table(
+            {
+                group_col: g[group_col],
+                variant_col: g[variant_col],
+                "n": pc.cast(g["v_count"], pa.int64()),
+                "s": g["v_sum"],
+                "ss": g["vv_sum"],
+            }
+        )
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([group_col, variant_col])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()  # 2 × group-universe-sized
+    )
+    a = merged[merged[variant_col] == 0].set_index(group_col)
+    b = merged[merged[variant_col] == 1].set_index(group_col)
+    groups = sorted(set(a.index) | set(b.index))
+    rows = []
+    for g in groups:
+        na = int(a["n"].get(g, 0))
+        nb = int(b["n"].get(g, 0))
+        ma = a["s"].get(g, np.nan) / na if na else np.nan
+        mb = b["s"].get(g, np.nan) / nb if nb else np.nan
+        t = dof = np.nan
+        if na >= 2 and nb >= 2:
+            va = (a["ss"][g] - a["s"][g] ** 2 / na) / (na - 1)
+            vb = (b["ss"][g] - b["s"][g] ** 2 / nb) / (nb - 1)
+            se2 = va / na + vb / nb
+            if se2 > 0:
+                # explicit multiplication (not pow) — bit-identical to the
+                # SQL oracle's (v/n)*(v/n) algebra
+                t = (ma - mb) / np.sqrt(se2)
+                dof = se2 * se2 / (
+                    (va / na) * (va / na) / (na - 1)
+                    + (vb / nb) * (vb / nb) / (nb - 1)
+                )
+        rows.append((g, na, nb, ma, mb, t, dof))
+    return pd.DataFrame(
+        rows,
+        columns=[group_col, "n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof"],
+    )

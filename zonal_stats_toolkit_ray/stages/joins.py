@@ -600,3 +600,20 @@ def bloom_semi_join(
         survivors, keys_ds, on=on, right_on=right_on,
         how="inner", num_partitions=num_partitions,
     )
+
+
+def intersect_distinct(
+    a, b, cols: list[str], *, num_partitions: int = 4
+) -> "pd.DataFrame":
+    """SQL ``INTERSECT`` (distinct rows present in BOTH inputs, compared on
+    ``cols``) → DataFrame, ascending — the set-op complement of
+    ``except_distinct`` with the identical scale contract: each side
+    collapses DISTRIBUTED to its distinct universe first (in-batch
+    drop-duplicates combiner → hash aggregate; nothing row-sized crosses
+    the wire), then the two universe-sized frames inner-merge on the
+    driver.  For high-cardinality universes use a distributed
+    ``semi_join`` / ``bloom_semi_join`` on the key column instead."""
+    da = distinct_rows(a, cols, num_partitions=num_partitions).to_pandas()
+    db = distinct_rows(b, cols, num_partitions=num_partitions).to_pandas()
+    out = da.merge(db, on=cols, how="inner")[cols]
+    return out.sort_values(cols).reset_index(drop=True)

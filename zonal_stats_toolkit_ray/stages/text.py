@@ -1163,3 +1163,90 @@ def doc_frequency_by_group(
         .reset_index(drop=True)
     )
     return out[[group_col, "token", "df"]]
+
+
+def vocabulary_ids(ds, *, text_col: str = "text", num_partitions: int | None = None):
+    """Frequency-ranked vocabulary construction: the tokenizer-prep pass of
+    an LLM data pipeline — every distinct whitespace token of the corpus
+    gets a contiguous 1-based ``token_id`` ordered by (document frequency
+    DESC, token ASC), i.e. ``ROW_NUMBER() OVER (ORDER BY df DESC, token)``.
+
+    → Dataset(token: string, df: int64, token_id: int64).
+
+    Shape: the ``document_frequency`` partial+aggregate builds the full
+    (token, df) vocabulary distributed (only distinct-tokens-per-block
+    rows ever shuffle), ONE range sort orders it, then the id assignment
+    is the two-pass block-offset scan of stages/pack.py: a
+    ``batch_size=None`` summary pass emits (block-first row, count) —
+    sort tuples are unique because tokens are unique, so a block's first
+    row IS its global identity — the driver prefix-sums the blocks-sized
+    summary, and a second block-local pass adds the broadcast base to an
+    in-block arange.  Nothing vocabulary-sized ever lands on the driver."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        doc_frequency_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).repartition(num_partitions or 4)
+    agg = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+
+    def norm(b: pa.Table) -> pa.Table:
+        # schema-stable blocks (sandbox lesson #22): the sort-aggregate
+        # emits SCHEMALESS empty partitions when partitions > distinct keys
+        if "token" not in b.column_names:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "token": pc.cast(b["token"], pa.string()),
+                "df": pc.cast(b["df"], pa.int64()),
+            }
+        )
+
+    vocab = agg.map_batches(norm, batch_format="pyarrow")
+    srt = vocab.sort(["df", "token"], descending=[True, False]).materialize()
+
+    _summ_schema = pa.schema(
+        [("first_df", pa.int64()), ("first_token", pa.string()), ("count", pa.int64())]
+    )
+
+    def summary(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return _summ_schema.empty_table()
+        return pa.table(
+            {
+                "first_df": pa.array([b["df"][0].as_py()], pa.int64()),
+                "first_token": pa.array([b["token"][0].as_py()], pa.string()),
+                "count": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    summ = (
+        srt.map_batches(summary, batch_size=None, batch_format="pyarrow")
+        .to_pandas()  # blocks-sized
+        .sort_values(["first_df", "first_token"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    counts = summ["count"].to_numpy(dtype=np.int64)
+    bases = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(summ) else []
+    base_map = {
+        (int(d), t): int(bs)
+        for d, t, bs in zip(summ["first_df"], summ["first_token"], bases)
+    }
+    ref = ray.put(base_map)
+
+    def assign(b: pa.Table, *, _ref=ref) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "df": pa.array([], pa.int64()),
+                    "token_id": pa.array([], pa.int64()),
+                }
+            )
+        base = ray.get(_ref)[(b["df"][0].as_py(), b["token"][0].as_py())]
+        ids = np.arange(base + 1, base + 1 + len(b), dtype=np.int64)
+        return b.append_column("token_id", pa.array(ids))
+
+    return srt.map_batches(assign, batch_size=None, batch_format="pyarrow")
