@@ -3243,6 +3243,63 @@ def q_vocab_ids(sf_dir: str):
     return out.sort_values("token_id").reset_index(drop=True)
 
 
+def q_skyline(sf_dir: str):
+    """2-D Pareto frontier of (l_quantity, l_extendedprice), both
+    maximized (stages/pareto.py:skyline): associative per-block frontier
+    reduction + driver finalize.  Oracle = per-x max → strictly-increasing
+    running-max window filter."""
+    from zonal_stats_toolkit_ray.stages.pareto import skyline
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    out = skyline(ds, x_col="l_quantity", y_col="l_extendedprice")
+    out["y"] = out["y"].round(6)
+    return out
+
+
+def q_weighted_median(sf_dir: str):
+    """Exact lower weighted median of l_quantity per returnflag, weighted
+    by trunc(l_extendedprice) (stages/rank.py:weighted_median_by_group):
+    (key, value) weight partials → one hash aggregate → driver cumweight
+    scan.  Integer-valued weights keep the cumulative sums exact in
+    float64 on both sides, so the >= threshold test is bit-identical to
+    the SQL window."""
+    from zonal_stats_toolkit_ray.stages.rank import weighted_median_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("l_extendedprice"),
+            "l_extendedprice",
+            pc.floor(t["l_extendedprice"]),
+        ),
+        batch_format="pyarrow",
+    )
+    return weighted_median_by_group(
+        ds,
+        key_col="l_returnflag",
+        value_col="l_quantity",
+        weight_col="l_extendedprice",
+    )
+
+
+def q_max_streak(sf_dir: str):
+    """Longest consecutive-active-days streak per user
+    (stages/intervals.py:max_streak_by_key): distributed distinct
+    (user, day) → [d, d+1] closed intervals → interval_union island
+    stitch → per-key max.  Oracle = classic day − ROW_NUMBER islands."""
+    from zonal_stats_toolkit_ray.stages.intervals import max_streak_by_key
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return max_streak_by_key(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3296,6 +3353,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_distinct": q_intersect_distinct,
         "ab_test": q_ab_test,
         "vocab_ids": q_vocab_ids,
+        "skyline": q_skyline,
+        "weighted_median": q_weighted_median,
+        "max_streak": q_max_streak,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -3845,6 +3905,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority
             FROM orders WHERE o_orderpriority = '1-URGENT'
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "skyline": """
+            WITH d AS (
+              SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS x,
+                              CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem
+            ), g AS (
+              SELECT x, MAX(y) AS y FROM d GROUP BY x
+            ), s AS (
+              SELECT x, y,
+                     MAX(y) OVER (ORDER BY x DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pm
+              FROM g
+            )
+            SELECT x, round(y, 6) AS y FROM s
+            WHERE pm IS NULL OR y > pm ORDER BY x
+        """,
+        "weighted_median": """
+            WITH w AS (
+              SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v,
+                     SUM(floor(l_extendedprice)) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), c AS (
+              SELECT l_returnflag, v,
+                     SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+                     SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+              FROM w
+            )
+            SELECT l_returnflag, MIN(v) AS wq FROM c
+            WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "max_streak": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day
+              FROM events
+            ), i AS (
+              SELECT user_id, day,
+                     day - ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY day) AS grp
+              FROM d
+            ), c AS (
+              SELECT user_id, grp, COUNT(*) AS cnt FROM i GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS max_streak
+            FROM c GROUP BY user_id ORDER BY user_id
         """,
         "ab_test": """
             WITH m AS (

@@ -740,3 +740,88 @@ def twap_by_key(
     g["twap"] = np.round((g["segsum"] + g["bsum"]) / span, 6) + 0.0
     g["n_events"] = g["n_events"].astype("int64")
     return g.rename(columns={"__key": key_col})[[key_col, "n_events", "twap"]]
+
+
+def max_streak_by_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    unit_us: int = 86_400_000_000,
+):
+    """Longest run of CONSECUTIVE active periods (days by default) per key
+    → DataFrame(key, max_streak) — the classic gaps-and-islands streak.
+
+    Composition over existing distributed kernels, no new shuffle shapes:
+    distinct (key, period) via the in-batch-combiner distinct (only the
+    per-block distinct universe shuffles), each period becomes the closed
+    interval [p, p+1] — consecutive periods TOUCH and connect under
+    ``interval_union``'s island stitch (giant-interval absorb included) —
+    and the streak is the island length.  The final per-key max is a
+    groupby over the islands Dataset (island rows ≤ distinct periods)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    from .joins import distinct_rows
+
+    def to_period(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {key_col: b[key_col], "period": pa.array(us // unit_us, pa.int64())}
+        )
+
+    periods = distinct_rows(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            to_period, batch_format="pyarrow"
+        ),
+        [key_col, "period"],
+    )
+
+    def to_iv(b: pa.Table) -> pa.Table:
+        if "period" not in b.column_names:  # schemaless empty block
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "start": pa.array([], pa.float64()),
+                    "end": pa.array([], pa.float64()),
+                }
+            )
+        p = b["period"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "start": pa.array(p, pa.float64()),
+                "end": pa.array(p + 1.0, pa.float64()),
+            }
+        )
+
+    islands = interval_union(
+        periods.map_batches(to_iv, batch_format="pyarrow"),
+        key_col=key_col,
+        start_col="start",
+        end_col="end",
+    )
+
+    def streaks(b: pa.Table) -> pa.Table:
+        if "start" not in b.column_names:
+            return pa.table(
+                {key_col: pa.array([], pa.int64()), "streak": pa.array([], pa.int64())}
+            )
+        s = b["start"].to_numpy(zero_copy_only=False)
+        e = b["end"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: b[key_col],
+                "streak": pa.array(np.rint(e - s).astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        islands.map_batches(streaks, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Max("streak", alias_name="max_streak"))
+        .to_pandas()
+    )
+    return out.sort_values(key_col).reset_index(drop=True)

@@ -191,3 +191,64 @@ def topk_per_group(
     run_of = np.searchsorted(starts, np.arange(len(out)), side="right") - 1
     out["rank"] = (np.arange(len(out)) - starts[run_of] + 1).astype(np.int64)
     return out[[key_col, "rank", id_col, value_col]]
+
+
+def weighted_median_by_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    q: float = 0.5,
+    num_partitions: int = 4,
+) -> "pd.DataFrame":
+    """Exact lower weighted q-quantile per group → DataFrame(key, wq):
+    the smallest value v with cumweight(≤ v) ≥ q · totalweight, weights
+    summed in value order — the SQL cumulative-weight window definition.
+
+    Shape: in-batch (key, value) weight partials (one arrow group_by per
+    batch) → coalesce → ONE hash aggregate over the (key, value) universe
+    → driver per-key cumsum + searchsorted on the universe-sized frame.
+    Exact whenever the DISTINCT (key, value) universe is bounded (integer
+    quantities, prices in cents, categorical scores — the weighted-median
+    use cases); for unbounded continuous values the universe approaches
+    the input and the salted percentile machinery (stages/zonal.py:
+    salted_group_percentiles) is the right tool instead (documented, not
+    silently wrong: the exchange here is universe-sized, never row-sized).
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        w = pc.cast(b[weight_col], pa.float64())
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                value_col: pc.cast(b[value_col], pa.float64()),
+                "w": w,
+            }
+        )
+        g = t.group_by([key_col, value_col]).aggregate([("w", "sum")])
+        return g.rename_columns([key_col, value_col, "w"])
+
+    uni = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, value_col])
+        .aggregate(Sum("w", alias_name="w"))
+        .to_pandas()  # (key, value)-universe-sized
+        .sort_values([key_col, value_col], kind="stable")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for k, g in uni.groupby(key_col, sort=True):
+        cw = np.cumsum(g["w"].to_numpy())
+        tw = cw[-1]
+        i = int(np.searchsorted(cw, q * tw, side="left"))
+        # cw[i] may still be < q*tw by fp representation; SQL's >= test
+        while cw[i] < q * tw:
+            i += 1
+        rows.append((k, g[value_col].to_numpy()[i]))
+    return pd.DataFrame(rows, columns=[key_col, "wq"])
