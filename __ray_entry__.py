@@ -3300,6 +3300,21 @@ def q_max_streak(sf_dir: str):
     return max_streak_by_key(ds)
 
 
+def q_dup_spans(sf_dir: str):
+    """Duplicated 8-gram span coverage per doc (stages/dupspan.py) — the
+    Lee et al. 2022 exact-substring dedup signal: positional string grams
+    → distributed df aggregate → dup-gram filter (dual regime) →
+    interval-union span merge → per-doc covered-token counts.  Integer
+    columns only (the ratio is derivable; integer outputs keep the oracle
+    hash free of divide-then-round boundary effects)."""
+    from zonal_stats_toolkit_ray.stages.dupspan import dup_span_coverage
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = dup_span_coverage(ds, n=8)
+    return out[["doc_id", "n_tokens", "covered"]]
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3356,6 +3371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skyline": q_skyline,
         "weighted_median": q_weighted_median,
         "max_streak": q_max_streak,
+        "dup_spans": q_dup_spans,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -3936,6 +3952,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, MIN(v) AS wq FROM c
             WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "dup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, len(w) AS nt,
+                     CASE WHEN len(w) >= 8 THEN
+                       [array_to_string(w[i:i+7], ' ')
+                        for i in generate_series(1, len(w) - 7)]
+                     ELSE [] END AS grams
+              FROM toks
+            ), pos AS (
+              SELECT doc_id, unnest(grams) AS gram,
+                     unnest(generate_series(1, len(grams))) AS pos
+              FROM g
+            ), dup AS (
+              SELECT gram FROM (
+                SELECT gram, COUNT(DISTINCT doc_id) AS df
+                FROM pos GROUP BY gram
+              ) WHERE df >= 2
+            ), p AS (
+              SELECT DISTINCT pos.doc_id, pos.pos
+              FROM pos JOIN dup USING (gram)
+            ), brk AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > MAX(pos + 8) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS b
+              FROM p
+            ), grp AS (
+              SELECT doc_id, pos,
+                     SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+              FROM brk
+            ), isl AS (
+              SELECT doc_id, gid, MIN(pos) AS s, MAX(pos) + 8 AS e
+              FROM grp GROUP BY 1, 2
+            ), cov AS (
+              SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS covered
+              FROM isl GROUP BY doc_id
+            )
+            SELECT g.doc_id, g.nt AS n_tokens,
+                   COALESCE(cov.covered, 0) AS covered
+            FROM g LEFT JOIN cov USING (doc_id)
+            ORDER BY g.doc_id
         """,
         "max_streak": """
             WITH d AS (
