@@ -3315,6 +3315,24 @@ def q_dup_spans(sf_dir: str):
     return out[["doc_id", "n_tokens", "covered"]]
 
 
+def q_rolling_median(sf_dir: str):
+    """Per-user rolling median over a 10-row SQL ROWS frame
+    (stages/rolling.py:rolling_rows_median): one (user, ts, id) range
+    sort, O(blocks × k) boundary context chained across blocks on the
+    driver, block-local pandas rolling kernel.  Oracle = median(...) OVER
+    (... ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)."""
+    from zonal_stats_toolkit_ray.stages.rolling import rolling_rows_median
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = rolling_rows_median(ds, k=10).to_pandas()
+    out["roll_med"] = out["roll_med"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3372,6 +3390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median": q_weighted_median,
         "max_streak": q_max_streak,
         "dup_spans": q_dup_spans,
+        "rolling_median": q_rolling_median,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -3952,6 +3971,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, MIN(v) AS wq FROM c
             WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "rolling_median": """
+            SELECT event_id, user_id,
+                   round(median(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS roll_med
+            FROM events ORDER BY event_id
         """,
         "dup_spans": r"""
             WITH toks AS (

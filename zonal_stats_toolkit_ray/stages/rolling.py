@@ -283,3 +283,185 @@ def rolling_window_stats_ref(
         .map_groups(per_key, batch_format="pandas")
         .to_pandas()
     )
+
+
+def rolling_rows_median(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    k: int = 10,
+):
+    """Per-key rolling MEDIAN over a ROWS frame — SQL's
+    ``median(v) OVER (PARTITION BY key ORDER BY ts, id
+    ROWS BETWEEN k−1 PRECEDING AND CURRENT ROW)`` — → Dataset(id, key,
+    roll_med).  ``value_col`` must be non-null; ``id_col`` unique (the
+    deterministic tiebreak).
+
+    Unlike the RANGE-frame sums above, a ROWS frame needs exactly the
+    k−1 predecessor ROWS of each row's key, so the boundary context is
+    even cheaper: every block exports its last min(k−1, len) rows; the
+    driver chains, per block, the trailing same-key rows of PRECEDING
+    blocks (walking back across blocks smaller than k−1) — O(blocks × k)
+    rows total, whatever the key skew, because the range sort splits a
+    hot key across blocks (sandbox lesson #24).  The second block-local
+    pass prepends the context to the block's first key run and computes
+    the rolling median per run with pandas' C kernel (mean-of-two-middles
+    on even windows, the quantile_cont 0.5 convention DuckDB uses)."""
+    import ray
+
+    slim = ds.select_columns([key_col, ts_col, id_col, value_col])
+    srt = slim.sort([key_col, ts_col, id_col]).materialize()
+
+    def tail_schema(key_type: pa.DataType) -> pa.Schema:
+        return pa.schema(
+            [
+                ("blk_key", key_type),
+                ("blk_ts", pa.int64()),
+                ("blk_id", pa.int64()),
+                ("key", key_type),
+                ("ts_us", pa.int64()),
+                ("id", pa.int64()),
+                ("v", pa.float64()),
+                ("blk_len", pa.int64()),
+            ]
+        )
+
+    def tails(b: pa.Table) -> pa.Table:
+        kcol = _combined(b[key_col])
+        if len(b) == 0:
+            return tail_schema(kcol.type).empty_table()
+        ts = _ts_us(b[ts_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = (
+            pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        )
+        m = min(k - 1, len(b)) if k > 1 else 0
+        sl = slice(len(b) - m, len(b))
+        n_rows = max(m, 1) if m else 0
+        # always emit at least ONE row per block (m may be 0 when k == 1)
+        # so the block-order census sees every block
+        if m == 0:
+            idx = [0]
+            return pa.table(
+                {
+                    "blk_key": kcol.take(pa.array([0])),
+                    "blk_ts": pa.array([ts[0]], pa.int64()),
+                    "blk_id": pa.array([ids[0]], pa.int64()),
+                    "key": kcol.take(pa.array([0])),
+                    "ts_us": pa.array([ts[0]], pa.int64()),
+                    "id": pa.array([ids[0]], pa.int64()),
+                    "v": pa.array([np.nan], pa.float64()),
+                    "blk_len": pa.array([0], pa.int64()),
+                },
+                schema=tail_schema(kcol.type),
+            )
+        return pa.table(
+            {
+                "blk_key": kcol.take(pa.array(np.zeros(m, dtype=np.int64))),
+                "blk_ts": pa.array(np.full(m, ts[0]), pa.int64()),
+                "blk_id": pa.array(np.full(m, ids[0]), pa.int64()),
+                "key": kcol.take(pa.array(np.arange(len(b) - m, len(b)))),
+                "ts_us": pa.array(ts[sl], pa.int64()),
+                "id": pa.array(ids[sl], pa.int64()),
+                "v": pa.array(vals[sl], pa.float64()),
+                "blk_len": pa.array(np.full(m, m), pa.int64()),
+            },
+            schema=tail_schema(kcol.type),
+        )
+
+    tl = (
+        srt.map_batches(tails, batch_size=None, batch_format="pyarrow")
+        .to_pandas()  # O(blocks × k)
+    )
+    # global block order = sort order of the block-identity tuple
+    blocks = (
+        tl[["blk_key", "blk_ts", "blk_id"]]
+        .drop_duplicates()
+        .sort_values(["blk_key", "blk_ts", "blk_id"], kind="stable")
+        .reset_index(drop=True)
+    )
+    tl = tl[tl["blk_len"] > 0]
+    by_blk = {
+        t: g.sort_values(["key", "ts_us", "id"], kind="stable")
+        for t, g in tl.groupby(["blk_key", "blk_ts", "blk_id"], sort=False)
+    }
+    order = [tuple(r) for r in blocks.itertuples(index=False)]
+    ctx_map: dict = {}
+    for i, ident in enumerate(order):
+        first_key = ident[0]
+        need = k - 1
+        chunks = []
+        j = i - 1
+        while j >= 0 and need > 0:
+            tail = by_blk.get(order[j])
+            if tail is None:
+                break
+            # same-key rows form a SUFFIX of the tail (sorted order); the
+            # tail always covers the block END, so "no same-key row in the
+            # tail" ⇒ no same-key row anywhere earlier
+            same = tail[tail["key"] == first_key]
+            if len(same) == 0:
+                break
+            take = same.tail(need)
+            chunks.insert(0, take)
+            need -= len(take)
+            if len(same) < len(tail):
+                break  # the key run starts inside block j — nothing earlier
+            if len(tail) < k - 1:
+                j -= 1  # tail == a short whole block, all same-key → keep walking
+                continue
+            break  # full k−1 all-same-key tail → need is 0 here
+        ctx_map[ident] = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=["key", "ts_us", "id", "v"])
+        )
+    ref = ray.put(ctx_map)
+
+    def out_schema(key_type: pa.DataType) -> pa.Schema:
+        return pa.schema(
+            [(id_col, pa.int64()), (key_col, key_type), ("roll_med", pa.float64())]
+        )
+
+    def block_median(b: pa.Table, *, _ref=ref) -> pa.Table:
+        kcol = _combined(b[key_col])
+        if len(b) == 0:
+            return out_schema(kcol.type).empty_table()
+        ts = _ts_us(b[ts_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        keys = kcol.to_pandas().to_numpy()
+        ident = (keys[0], int(ts[0]), int(ids[0]))
+        ctx = ray.get(_ref).get(ident)
+        n_ctx = 0
+        if ctx is not None and len(ctx):
+            # context belongs to the block's FIRST key run only
+            cvals = ctx["v"].to_numpy(dtype=np.float64)
+            ckeys = ctx["key"].to_numpy()
+            keep = ckeys == keys[0]
+            cvals = cvals[keep]
+            n_ctx = cvals.size
+            vals = np.concatenate([cvals, vals])
+            keys = np.concatenate([ckeys[keep], keys])
+        codes = pd.factorize(keys)[0]
+        s = (
+            pd.DataFrame({"r": codes, "v": vals})
+            .groupby("r", sort=False)["v"]
+            .rolling(k, min_periods=1)
+            .median()
+            .to_numpy()
+        )
+        med = s[n_ctx:]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                key_col: kcol,
+                "roll_med": pa.array(med, pa.float64()),
+            },
+            schema=out_schema(kcol.type),
+        )
+
+    return srt.map_batches(block_median, batch_size=None, batch_format="pyarrow")
