@@ -3333,6 +3333,31 @@ def q_rolling_median(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_edit_join(sf_dir: str):
+    """PassJoin edit-distance self-join (stages/editjoin.py): all doc
+    pairs whose 24-char text prefixes are within Levenshtein distance 2 —
+    segment-pigeonhole equality join for candidates, vectorized
+    across-pairs DP verify.  Oracle = brute levenshtein() with a length
+    prefilter."""
+    from zonal_stats_toolkit_ray.stages.editjoin import edit_distance_join
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "s": pc.utf8_slice_codeunits(
+                    pc.fill_null(t["text"], ""), 0, 24
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return edit_distance_join(ds, id_col="doc_id", str_col="s", k=2)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3391,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_streak": q_max_streak,
         "dup_spans": q_dup_spans,
         "rolling_median": q_rolling_median,
+        "edit_join": q_edit_join,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -3971,6 +3997,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, MIN(v) AS wq FROM c
             WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "edit_join": """
+            WITH s AS (
+              SELECT doc_id, substr(text, 1, 24) AS s FROM documents
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+            FROM s a JOIN s b
+              ON a.doc_id < b.doc_id
+             AND abs(len(a.s) - len(b.s)) <= 2
+            WHERE levenshtein(a.s, b.s) <= 2
+            ORDER BY a, b
         """,
         "rolling_median": """
             SELECT event_id, user_id,
