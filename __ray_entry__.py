@@ -3358,6 +3358,52 @@ def q_edit_join(sf_dir: str):
     return edit_distance_join(ds, id_col="doc_id", str_col="s", k=2)
 
 
+def q_ohlc(sf_dir: str):
+    """Daily OHLC per user (stages/ohlc.py): open/close are ARGMIN/ARGMAX
+    aggregates over (ts, id) — associative partials, no sort; tree
+    combine above threshold.  Oracle = ROW_NUMBER first/last rows."""
+    from zonal_stats_toolkit_ray.stages.ohlc import ohlc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = ohlc(ds, bucket_s=86400)
+    for c in ["open", "high", "low", "close"]:
+        out[c] = out[c].round(6)
+    return out
+
+
+def q_cusum(sf_dir: str):
+    """Per-user CUSUM anomaly scan (stages/cusum.py): the clamped
+    recurrence max(0, s+x) as a distributed (running-sum, running-min)
+    scan over ONE range sort; int64 arithmetic (x = floor(value·1000) −
+    10000) makes the result bit-identical to the SQL window closed form
+    p − min(0, running-min p)."""
+    from zonal_stats_toolkit_ray.stages.cusum import cusum_by_key
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "x",
+            pa.array(
+                np.floor(
+                    t["value"].to_numpy(zero_copy_only=False) * 1000.0
+                ).astype(np.int64)
+                - 10_000,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    out = cusum_by_key(ds).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3417,6 +3463,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": q_dup_spans,
         "rolling_median": q_rolling_median,
         "edit_join": q_edit_join,
+        "ohlc": q_ohlc,
+        "cusum": q_cusum,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -3997,6 +4045,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, MIN(v) AS wq FROM c
             WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "ohlc": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS bucket,
+                     ts, event_id, value
+              FROM events
+            ), r AS (
+              SELECT user_id, bucket, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+                                        ORDER BY ts, event_id) AS rn,
+                     COUNT(*) OVER (PARTITION BY user_id, bucket) AS cnt
+              FROM b
+            )
+            SELECT user_id, bucket,
+                   round(MAX(CASE WHEN rn = 1 THEN value END), 6) AS open,
+                   round(MAX(value), 6) AS high,
+                   round(MIN(value), 6) AS low,
+                   round(MAX(CASE WHEN rn = cnt THEN value END), 6) AS close,
+                   CAST(MAX(cnt) AS BIGINT) AS n
+            FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket
+        """,
+        "cusum": """
+            WITH x AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 1000) AS BIGINT) - 10000 AS x
+              FROM events
+            ), p AS (
+              SELECT event_id, user_id, ts,
+                     CAST(SUM(x) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                          AS BIGINT) AS p
+              FROM x
+            ), m AS (
+              SELECT event_id, user_id, p,
+                     CAST(MIN(p) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                          AS BIGINT) AS mp
+              FROM p
+            )
+            SELECT event_id, user_id, p - least(0, mp) AS cusum
+            FROM m ORDER BY event_id
         """,
         "edit_join": """
             WITH s AS (
