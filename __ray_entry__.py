@@ -3404,6 +3404,94 @@ def q_cusum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_assortativity(sf_dir: str):
+    """In-degree assortativity of the deterministic 3-out-regular doc
+    graph (stages/graph.py:degree_assortativity): one degree aggregate,
+    two dual-regime joins, one six-moment corr pass.  Oracle = the same
+    edge construction + corr() in SQL."""
+    from zonal_stats_toolkit_ray.stages.graph import degree_assortativity
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = ds.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate(
+            [(ids * 3 + 1) % n, (ids * 4 + 2) % n, (ids * 5 + 3) % n]
+        )
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    out = degree_assortativity(ds.map_batches(edges, batch_format="pyarrow"))
+    out["assort"] = out["assort"].round(6)
+    return out
+
+
+_EXPECT_RULES = (
+    ("not_null", "user_id"),
+    ("not_null", "value"),
+    ("in_range", "value", 0.0, 100.0),
+    ("accepted_values", "event_type", ("click", "view", "purchase")),
+    ("matches_regex", "props", r'^\{"k"'),
+    ("unique", "event_id"),
+    ("unique", "user_id"),
+)
+
+
+def _expect_sql() -> str:
+    """SQL twin GENERATED from _EXPECT_RULES (the pii_scrub pattern —
+    engine and oracle cannot drift)."""
+    from zonal_stats_toolkit_ray.stages.expect import rule_label
+
+    parts = []
+    for rule in _EXPECT_RULES:
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            expr = f"SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)"
+        elif kind == "in_range":
+            expr = (
+                f"SUM(CASE WHEN {col} < {rule[2]} OR {col} > {rule[3]} "
+                "THEN 1 ELSE 0 END)"
+            )
+        elif kind == "accepted_values":
+            vals = ", ".join(f"'{v}'" for v in rule[2])
+            expr = (
+                f"SUM(CASE WHEN {col} IS NOT NULL AND {col} NOT IN ({vals}) "
+                "THEN 1 ELSE 0 END)"
+            )
+        elif kind == "matches_regex":
+            # DuckDB single-quoted literals take backslashes verbatim —
+            # only quotes need doubling
+            pat = rule[2].replace("'", "''")
+            expr = (
+                f"SUM(CASE WHEN {col} IS NOT NULL AND NOT "
+                f"regexp_matches({col}, '{pat}') THEN 1 ELSE 0 END)"
+            )
+        elif kind == "unique":
+            expr = f"COUNT(*) - COUNT(DISTINCT {col})"
+        lbl = rule_label(rule)
+        parts.append(
+            f"SELECT '{lbl}' AS rule, CAST(coalesce({expr}, 0) AS BIGINT) "
+            f"AS violations, CAST(coalesce({expr}, 0) AS BIGINT) = 0 "
+            "AS passed FROM events"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_expectations(sf_dir: str):
+    """Data-quality expectations over events (stages/expect.py): one
+    fixed-partial scan pass for the row rules + one pruned distinct
+    aggregate per uniqueness rule; SQL twin generated from the same rule
+    tuple."""
+    from zonal_stats_toolkit_ray.stages.expect import expect
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    out = expect(ds, list(_EXPECT_RULES))
+    return out.sort_values("rule").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3465,6 +3553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_join": q_edit_join,
         "ohlc": q_ohlc,
         "cusum": q_cusum,
+        "assortativity": q_assortativity,
+        "expectations": q_expectations,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4046,6 +4136,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, MIN(v) AS wq FROM c
             WHERE cw >= 0.5 * tw GROUP BY l_returnflag ORDER BY l_returnflag
         """,
+        "assortativity": """
+            WITH n AS (SELECT count(*)::BIGINT AS cnt FROM documents),
+            e AS (
+              SELECT doc_id AS src, (doc_id*3+1) % cnt AS dst
+              FROM documents CROSS JOIN n
+              UNION ALL
+              SELECT doc_id, (doc_id*4+2) % cnt FROM documents CROSS JOIN n
+              UNION ALL
+              SELECT doc_id, (doc_id*5+3) % cnt FROM documents CROSS JOIN n
+            ),
+            ind AS (
+              SELECT dst AS node, count(*)::BIGINT AS indeg FROM e GROUP BY dst
+            ),
+            j AS (
+              SELECT coalesce(a.indeg, 0)::DOUBLE AS x,
+                     coalesce(b.indeg, 0)::DOUBLE AS y
+              FROM e LEFT JOIN ind a ON a.node = e.src
+                     LEFT JOIN ind b ON b.node = e.dst
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   round(corr(x, y), 6) AS assort
+            FROM j
+        """,
+        "expectations": _expect_sql() + " ORDER BY rule",
         "ohlc": """
             WITH b AS (
               SELECT user_id,

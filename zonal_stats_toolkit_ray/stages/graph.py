@@ -191,3 +191,84 @@ def bfs_hops(
         {"node": list(dist.keys()), "hops": list(dist.values())}
     ).astype({"node": "int64", "hops": "int64"})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def degree_assortativity(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Directed in-degree assortativity: Pearson correlation, over every
+    edge, of (in-degree of src, in-degree of dst) → DataFrame(n_edges,
+    assort).  Positive ⇒ popular pages link to popular pages.
+
+    Shape: one count aggregate builds the node-sized in-degree table;
+    two dual-regime :func:`hash_join`\\ s (auto-broadcast when the degree
+    table is small, hash-partitioned otherwise) attach degrees to both
+    endpoints (missing ⇒ 0); the correlation is ONE pass of six-moment
+    partials (stages/bivar.py) — the edge stream never lands anywhere."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from .bivar import finalize_bivar
+    from .joins import hash_join
+
+    indeg = (
+        edges.groupby(dst_col)
+        .aggregate(Count(alias_name="indeg"))
+        .map_batches(
+            lambda t: (
+                pa.table(
+                    {
+                        "node": pc.cast(t[dst_col], pa.int64()),
+                        "indeg": pc.cast(t["indeg"], pa.int64()),
+                    }
+                )
+                if dst_col in t.column_names
+                else pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "indeg": pa.array([], pa.int64()),
+                    }
+                )
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j1 = hash_join(edges, indeg, on=src_col, right_on="node", how="left")
+    j1 = j1.map_batches(
+        lambda t: pa.table(
+            {
+                src_col: t[src_col],
+                dst_col: t[dst_col],
+                "x": pc.cast(pc.fill_null(t["indeg"], 0), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j2 = hash_join(j1, indeg, on=dst_col, right_on="node", how="left")
+
+    def moments(t: pa.Table) -> pa.Table:
+        from .bivar import bivar_partials_batch
+
+        t = pa.table(
+            {
+                "_g": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "x": t["x"],
+                "y": pc.cast(pc.fill_null(t["indeg"], 0), pa.float64()),
+            }
+        )
+        return bivar_partials_batch(t, keys=["_g"], x_col="x", y_col="y")
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        j2.map_batches(moments, batch_format="pyarrow")
+        .repartition(2)
+        .groupby("_g")
+        .aggregate(*[Sum(m, alias_name=m) for m in ["n", "sx", "sy", "sxx", "syy", "sxy"]])
+        .to_pandas()
+    )
+    fin = finalize_bivar(merged)
+    return pd.DataFrame(
+        {
+            "n_edges": fin["n"].astype(np.int64),
+            "assort": fin["corr"].astype(np.float64),
+        }
+    )
