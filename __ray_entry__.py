@@ -3492,6 +3492,44 @@ def q_expectations(sf_dir: str):
     return out.sort_values("rule").reset_index(drop=True)
 
 
+def q_weekly_growth(sf_dir: str):
+    """Week-over-week deltas per user (stages/cohort.py:weekly_growth):
+    integer weekly-sum partials → one hash aggregate → LAG on the
+    keys×weeks universe frame.  Integer totals keep both sides exact."""
+    from zonal_stats_toolkit_ray.stages.cohort import weekly_growth
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return weekly_growth(ds)
+
+
+def q_silhouette(sf_dir: str):
+    """Centroid-based silhouette per embedding (stages/kmeans.py:
+    silhouette): broadcast centroids, one streaming pass of (x−c)²
+    distance cubes.  The engine exports the fitted centroids; the oracle
+    re-derives da/db/s per vector from them — a full value oracle."""
+    from zonal_stats_toolkit_ray.stages.kmeans import (
+        kmeans_fit,
+        silhouette,
+        write_centroids_oracle,
+    )
+    import ray.data as rd
+
+    os.makedirs(_PCA_ORACLE_DIR, exist_ok=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cent, _ = kmeans_fit(ds, k=8, iters=5)
+    write_centroids_oracle(
+        cent, os.path.join(_PCA_ORACLE_DIR, "sil_centroids.parquet")
+    )
+    out = silhouette(ds, cent).to_pandas()
+    out["s"] = out["s"].round(6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3555,6 +3593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum": q_cusum,
         "assortativity": q_assortativity,
         "expectations": q_expectations,
+        "weekly_growth": q_weekly_growth,
+        "silhouette": q_silhouette,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4160,6 +4200,48 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "weekly_growth": """
+            WITH w AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS week,
+                     CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
+              FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, week, total,
+                   LAG(total) OVER (PARTITION BY user_id ORDER BY week)
+                       AS prev_total,
+                   total - LAG(total) OVER (PARTITION BY user_id
+                                            ORDER BY week) AS diff
+            FROM w ORDER BY user_id, week
+        """,
+        "silhouette": """
+            WITH e AS (
+              SELECT vec_id,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ), d AS (
+              SELECT e.vec_id, c.cid,
+                     sqrt(SUM((e.v - c.w) * (e.v - c.w))) AS dist
+              FROM e
+              JOIN read_parquet('/tmp/graft_pca_oracle/sil_centroids.parquet') c
+                USING (dim)
+              GROUP BY e.vec_id, c.cid
+            ), r AS (
+              SELECT vec_id, cid, dist,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d
+            ), a AS (
+              SELECT vec_id, cid AS cluster_id, dist AS da FROM r WHERE rn = 1
+            ), b AS (
+              SELECT vec_id, MIN(dist) AS db FROM r WHERE rn > 1
+              GROUP BY vec_id
+            )
+            SELECT a.vec_id, a.cluster_id,
+                   round((b.db - a.da) / greatest(a.da, b.db), 6) AS s
+            FROM a JOIN b USING (vec_id) ORDER BY a.vec_id
+        """,
         "ohlc": """
             WITH b AS (
               SELECT user_id,

@@ -1,0 +1,76 @@
+"""Unit tests for weekly_growth and centroid silhouette."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+class TestWeeklyGrowth:
+    def test_matches_pandas(self, rd):
+        from zonal_stats_toolkit_ray.stages.cohort import weekly_growth
+
+        rng = np.random.default_rng(19)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 15, n),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 90 * 86400, n), unit="s"),
+                "value": rng.uniform(0, 50, n),
+            }
+        )
+        got = weekly_growth(rd.from_pandas(df).repartition(6))
+        ref = df.copy()
+        ref["week"] = (
+            ref["ts"].astype("datetime64[us]").astype(np.int64)
+            // (7 * 86400 * 10**6)
+        )
+        ref["x"] = np.floor(ref["value"]).astype(np.int64)
+        w = (
+            ref.groupby(["user_id", "week"])["x"]
+            .sum()
+            .reset_index()
+            .sort_values(["user_id", "week"])
+        )
+        w["prev"] = w.groupby("user_id")["x"].shift(1)
+        assert got["total"].tolist() == w["x"].tolist()
+        a = got["prev_total"].to_numpy()
+        b = w["prev"].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all()
+        d = got["diff"].to_numpy()
+        wd = (w["x"] - w["prev"]).to_numpy()
+        assert ((d == wd) | (np.isnan(d) & np.isnan(wd))).all()
+
+
+class TestSilhouette:
+    def test_matches_numpy_reference(self, rd):
+        from zonal_stats_toolkit_ray.stages.kmeans import silhouette
+
+        rng = np.random.default_rng(41)
+        cent = rng.normal(0, 5, (4, 8))
+        x = np.concatenate(
+            [c + rng.normal(0, 0.5, (50, 8)) for c in cent]
+        )
+        ids = np.arange(len(x))
+        df = pd.DataFrame({"vec_id": ids, "embedding": list(x.astype(np.float32))})
+        got = (
+            silhouette(rd.from_pandas(df).repartition(4), cent)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        xd = x.astype(np.float32).astype(np.float64)
+        d = np.sqrt(((xd[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2))
+        srt = np.sort(d, axis=1)
+        want = (srt[:, 1] - srt[:, 0]) / np.maximum(srt[:, 0], srt[:, 1])
+        assert got["cluster_id"].tolist() == np.argmin(d, axis=1).tolist()
+        assert np.abs(got["s"].to_numpy() - want).max() < 1e-9
+        # well-separated blobs → high scores
+        assert got["s"].mean() > 0.8

@@ -106,3 +106,64 @@ def cohort_retention(
     )
     out["n_users"] = out["n_users"].astype("int64")
     return out.reset_index(drop=True)
+
+
+def weekly_growth(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Week-over-week deltas per key → DataFrame(key, week, total,
+    prev_total, diff) — SQL ``LAG(total) OVER (PARTITION BY key ORDER BY
+    week)`` over the weekly rollup, with ``diff = total − prev_total``
+    (NULL on each key's first observed week).
+
+    Shape: in-batch (key, epoch-week) integer-sum partials (values floor
+    to int64, so every sum is exact) → one hash aggregate over the
+    keys × weeks universe → the LAG runs on the universe-sized frame
+    (bounded: weeks are calendar-bounded, keys are the reporting
+    dimension).  Events themselves never shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        week = us // (7 * 86_400_000_000)
+        x = np.floor(
+            pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "week": pa.array(week, pa.int64()),
+                "x": pa.array(x, pa.int64()),
+            }
+        )
+        g = t.group_by([key_col, "week"]).aggregate([("x", "sum")])
+        return g.rename_columns([key_col, "week", "x"])
+
+    uni = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, "week"])
+        .aggregate(Sum("x", alias_name="total"))
+        .to_pandas()  # keys × weeks universe
+        .sort_values([key_col, "week"], kind="stable")
+        .reset_index(drop=True)
+    )
+    prev = uni.groupby(key_col, sort=False)["total"].shift(1)
+    out = pd.DataFrame(
+        {
+            key_col: uni[key_col],
+            "week": uni["week"].astype(np.int64),
+            "total": uni["total"].astype(np.int64),
+            "prev_total": prev.astype(np.float64),
+            "diff": (uni["total"] - prev).astype(np.float64),
+        }
+    )
+    return out.reset_index(drop=True)

@@ -172,3 +172,61 @@ def write_centroids_oracle(cent: np.ndarray, path: str) -> None:
         ),
         path,
     )
+
+
+def silhouette(ds, cent: np.ndarray, *, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Simplified (centroid-based) silhouette score per vector →
+    Dataset(id, cluster_id, s): with da = distance to the OWN (nearest)
+    centroid and db = distance to the nearest OTHER centroid,
+    ``s = (db − da) / max(da, db)`` ∈ [0, 1] here (da is the minimum by
+    construction) — the standard k-means quality readout at corpus scale,
+    where true pairwise silhouette is quadratic and this centroid form is
+    the accepted estimator (Hruschka et al.).
+
+    One broadcast of the (k, d) centroid matrix, one streaming pass; per
+    batch the (n, k) distance cube uses the same (x − c)² expansion as
+    ``_assign`` so argmins and the SQL oracle's ROW_NUMBER ordering agree
+    on near-ties.  Degenerate da = db = 0 (a vector exactly on two
+    centroids) yields NaN — unreachable with mean centroids."""
+    import ray
+
+    cent = np.asarray(cent, dtype=np.float64)
+    cent_ref = ray.put(cent)
+
+    def score(batch: pa.Table, *, _ref=cent_ref) -> pa.Table:
+        from .knn import _cached_ref
+
+        c = np.asarray(_cached_ref(_ref), dtype=np.float64)
+        x = _batch_matrix(batch[vec_col])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if x.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                }
+            )
+        n = x.shape[0]
+        a = np.empty(n, dtype=np.int64)
+        da = np.empty(n, dtype=np.float64)
+        db = np.empty(n, dtype=np.float64)
+        step = max(1, int(2_000_000 / max(1, c.shape[0] * c.shape[1])))
+        for s_ in range(0, n, step):
+            e = min(n, s_ + step)
+            d2 = ((x[s_:e, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a[s_:e] = np.argmin(d2, axis=1)
+            part = np.partition(d2, 1, axis=1)
+            da[s_:e] = np.sqrt(part[:, 0])
+            db[s_:e] = np.sqrt(part[:, 1])
+        with np.errstate(invalid="ignore"):
+            s_val = (db - da) / np.maximum(da, db)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(a, pa.int64()),
+                "s": pa.array(s_val, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
