@@ -32,10 +32,18 @@ import pyarrow as pa
 
 
 def _batch_matrix(col) -> np.ndarray:
-    """Arrow list<float> / fixed_size_list<float> column → (n, d) float64
-    matrix via one flat buffer view (knn.py's zero-copy decode shape)."""
+    """Arrow list<float> / fixed_size_list<float> / Ray tensor-extension
+    column → (n, d) float64 matrix via one flat buffer view (knn.py's
+    zero-copy decode shape)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray's ArrowTensorArray (from_pandas of ndarray cells) exposes
+        # the (n, d) tensor directly
+        arr = col.to_numpy(zero_copy_only=False)
+        return np.asarray(np.stack(arr) if arr.dtype == object else arr).astype(
+            np.float64
+        )
     if pa.types.is_fixed_size_list(col.type):
         d = col.type.list_size
         flat = col.values.to_numpy(zero_copy_only=False)
