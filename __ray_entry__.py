@@ -3530,6 +3530,38 @@ def q_silhouette(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_zonal_mode(sf_dir: str):
+    """Majority zonal statistic — the dominant language per grid zone
+    (the raster MAJORITY/mode statistic the reference's VALID_OPERATIONS
+    lacks, runner.py:23-38): grid-zone assignment + the distributed
+    mode_per_group pair-count kernel."""
+    from zonal_stats_toolkit_ray.stages.rank import mode_per_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(_grid_zone_batch, batch_format="pyarrow")
+    out = mode_per_group(ds, key_col="zone_id", value_col="lang")
+    return out.sort_values("zone_id").reset_index(drop=True)
+
+
+def q_resample_locf(sf_dir: str):
+    """Daily resample with forward fill per user (stages/resample.py):
+    distributed daily-close partials (the OHLC argmax kernel), then the
+    calendar grid + LOCF on the keys×days universe frame.  Oracle =
+    generate_series grid ASOF-joined to the daily closes."""
+    from zonal_stats_toolkit_ray.stages.resample import resample_daily_locf
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = resample_daily_locf(ds)
+    out["close"] = out["close"].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3595,6 +3627,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expectations": q_expectations,
         "weekly_growth": q_weekly_growth,
         "silhouette": q_silhouette,
+        "zonal_mode": q_zonal_mode,
+        "resample_locf": q_resample_locf,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4200,6 +4234,40 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "zonal_mode": f"""
+            SELECT zone_id, lang AS mode_value, n
+            FROM (
+                SELECT {_GEO_SQL} AS zone_id, lang, count(*) AS n,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {_GEO_SQL}
+                           ORDER BY count(*) DESC, lang ASC) AS rn
+                FROM documents GROUP BY zone_id, lang)
+            WHERE rn = 1 ORDER BY zone_id
+        """,
+        "resample_locf": """
+            WITH b AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+                     ts, event_id, value
+              FROM events
+            ), r AS (
+              SELECT user_id, day, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM b
+            ), daily AS (
+              SELECT user_id, day, value AS close FROM r WHERE rn = 1
+            ), span AS (
+              SELECT user_id, min(day) AS mn, max(day) AS mx
+              FROM daily GROUP BY user_id
+            ), g AS (
+              SELECT user_id, unnest(generate_series(mn, mx)) AS day FROM span
+            )
+            SELECT g.user_id, g.day, round(d.close, 6) AS close
+            FROM g ASOF JOIN daily d
+              ON g.user_id = d.user_id AND g.day >= d.day
+            ORDER BY g.user_id, g.day
+        """,
         "weekly_growth": """
             WITH w AS (
               SELECT user_id,
