@@ -1250,3 +1250,120 @@ def vocabulary_ids(ds, *, text_col: str = "text", num_partitions: int | None = N
         return b.append_column("token_id", pa.array(ids))
 
     return srt.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def vocab_overlap(
+    ds,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    num_partitions: int = 4,
+) -> "pd.DataFrame":
+    """Pairwise vocabulary overlap between document groups →
+    DataFrame(group_a, group_b, inter, size_a, size_b) for every group
+    pair (a < b): ``inter`` = shared distinct tokens, sizes = each
+    group's distinct-token count.  Jaccard/containment are derivable;
+    integer outputs keep the oracle hash clean (divide-then-round sits on
+    half boundaries).
+
+    Shape: ONE text pass emits in-batch distinct (group, token) partials
+    (the doc_frequency kernel keyed by group); one hash aggregate
+    collapses them to the global (group, token) universe; the pair
+    intersection is a self hash-join on token over that universe (tokens
+    shared by g groups contribute C(g,2) pair rows — bounded by
+    #groups²·vocab); sizes are a tiny count.  Nothing document-sized
+    shuffles."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from .joins import distinct_rows, hash_join
+
+    def gt_rows(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        toks = pc.split_pattern_regex(t, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        doc_of = doc_of[ne]
+        gcol = b[group_col]
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        return (
+            pa.table({"g": gcol.take(pa.array(doc_of)), "token": flat})
+            .group_by(["g", "token"])
+            .aggregate([])
+        )
+
+    uni = distinct_rows(
+        ds.map_batches(gt_rows, batch_format="pyarrow"),
+        ["g", "token"],
+        num_partitions=num_partitions,
+    ).materialize()
+    sizes = (
+        uni.groupby("g")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .set_index("g")["n"]
+    )
+    right = uni.map_batches(
+        lambda t: (
+            t.rename_columns(["g2", "token"])
+            if "g" in t.column_names
+            else pa.table(
+                {"g2": pa.array([], pa.string()), "token": pa.array([], pa.string())}
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(uni, right, on="token", how="inner", broadcast=False)
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if "g" not in t.column_names:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "g2": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        t = t.filter(pc.less(t["g"], t["g2"]))
+        g = t.group_by(["g", "g2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "g": g["g"],
+                "g2": g["g2"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    pairs = (
+        joined.map_batches(pair_partials, batch_format="pyarrow")
+        .repartition(2)
+        .groupby(["g", "g2"])
+        .aggregate(Sum("c", alias_name="inter"))
+        .to_pandas()  # groups²-sized
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            columns=["group_a", "group_b", "inter", "size_a", "size_b"]
+        )
+    out = pd.DataFrame(
+        {
+            "group_a": pairs["g"],
+            "group_b": pairs["g2"],
+            "inter": pairs["inter"].astype(np.int64),
+            "size_a": pairs["g"].map(sizes).astype(np.int64),
+            "size_b": pairs["g2"].map(sizes).astype(np.int64),
+        }
+    )
+    return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
