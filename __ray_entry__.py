@@ -3562,6 +3562,34 @@ def q_resample_locf(sf_dir: str):
     return out
 
 
+def q_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary overlap between languages (stages/text.py:
+    vocab_overlap): one text pass of distinct (lang, token) partials →
+    global universe → self hash-join on token for intersections.  Integer
+    outputs (inter, sizes); Jaccard is derivable."""
+    from zonal_stats_toolkit_ray.stages.text import vocab_overlap
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return vocab_overlap(ds)
+
+
+def q_phrase_search(sf_dir: str):
+    """Inverted-index phrase search (stages/invindex.py:phrase_search):
+    the query phrase is doc 0's first three tokens (data-derived, so ≥1
+    match exists at every sf); AND over pruned posting-bucket reads, then
+    a consecutive-token substring verify over candidates only."""
+    from zonal_stats_toolkit_ray.stages.invindex import phrase_search
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    head = (
+        ds.filter(expr="doc_id == 0").take(1)[0]["text"].lower().split()
+    )
+    phrase = " ".join(head[:3])
+    return phrase_search(ds, phrase, index_dir="/tmp/graft_phrase_idx")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3629,6 +3657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette": q_silhouette,
         "zonal_mode": q_zonal_mode,
         "resample_locf": q_resample_locf,
+        "vocab_overlap": q_vocab_overlap,
+        "phrase_search": q_phrase_search,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4234,6 +4264,47 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "phrase_search": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), ph AS (
+              SELECT array_to_string(w[1:3], ' ') AS phrase
+              FROM toks WHERE doc_id = 0
+            )
+            SELECT t.doc_id
+            FROM toks t, ph
+            WHERE contains(' ' || array_to_string(t.w, ' ') || ' ',
+                           ' ' || ph.phrase || ' ')
+            ORDER BY t.doc_id
+        """,
+        "vocab_overlap": r"""
+            WITH lt AS (
+              SELECT DISTINCT lang, token FROM (
+                SELECT lang,
+                       unnest(list_filter(
+                         string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS token
+                FROM documents
+              )
+            ), sz AS (
+              SELECT lang, count(*) AS n FROM lt GROUP BY lang
+            ), p AS (
+              SELECT a.lang AS group_a, b.lang AS group_b,
+                     count(*) AS inter
+              FROM lt a JOIN lt b USING (token)
+              WHERE a.lang < b.lang GROUP BY 1, 2
+            )
+            SELECT p.group_a, p.group_b,
+                   CAST(p.inter AS BIGINT) AS inter,
+                   CAST(sa.n AS BIGINT) AS size_a,
+                   CAST(sb.n AS BIGINT) AS size_b
+            FROM p JOIN sz sa ON sa.lang = p.group_a
+                   JOIN sz sb ON sb.lang = p.group_b
+            ORDER BY p.group_a, p.group_b
+        """,
         "zonal_mode": f"""
             SELECT zone_id, lang AS mode_value, n
             FROM (

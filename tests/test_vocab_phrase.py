@@ -1,0 +1,90 @@
+"""Unit tests for vocab_overlap and inverted-index phrase_search."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+class TestVocabOverlap:
+    def test_matches_set_reference(self, rd):
+        from zonal_stats_toolkit_ray.stages.text import vocab_overlap
+
+        rng = np.random.default_rng(5)
+        words = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(200):
+            lang = ["en", "fr", "de"][i % 3]
+            rows.append((lang, " ".join(rng.choice(words, rng.integers(2, 15)))))
+        df = pd.DataFrame(rows, columns=["lang", "text"])
+        got = vocab_overlap(rd.from_pandas(df).repartition(5))
+        vocab = {
+            l: set(w for t in g["text"] for w in t.lower().split())
+            for l, g in df.groupby("lang")
+        }
+        import itertools
+
+        for a, b in itertools.combinations(sorted(vocab), 2):
+            row = got[(got["group_a"] == a) & (got["group_b"] == b)]
+            assert len(row) == 1
+            assert row["inter"].iloc[0] == len(vocab[a] & vocab[b])
+            assert row["size_a"].iloc[0] == len(vocab[a])
+            assert row["size_b"].iloc[0] == len(vocab[b])
+
+    def test_disjoint_groups_absent(self, rd):
+        from zonal_stats_toolkit_ray.stages.text import vocab_overlap
+
+        df = pd.DataFrame(
+            {"lang": ["en", "fr"], "text": ["alpha beta", "gamma delta"]}
+        )
+        got = vocab_overlap(rd.from_pandas(df))
+        assert len(got) == 0  # no shared token → no pair row
+
+
+class TestPhraseSearch:
+    def test_consecutive_run_required(self, rd, tmp_path):
+        from zonal_stats_toolkit_ray.stages.invindex import phrase_search
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps",
+                    "quick   Brown\tfox here",  # whitespace/case normalize
+                    "brown quick fox",  # tokens present, wrong order
+                    "quick brownfox",  # no token boundary
+                ],
+            }
+        )
+        got = phrase_search(
+            rd.from_pandas(df),
+            "quick brown fox",
+            index_dir=str(tmp_path / "idx"),
+        )
+        assert got["doc_id"].tolist() == [0, 1]
+
+    def test_pruned_bucket_reads(self, rd, tmp_path):
+        from zonal_stats_toolkit_ray.stages.invindex import phrase_search
+
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(50),
+                "text": [f"common filler w{i} quick brown" for i in range(50)],
+            }
+        )
+        stats: dict = {}
+        got = phrase_search(
+            rd.from_pandas(df).repartition(4),
+            "quick brown",
+            index_dir=str(tmp_path / "idx2"),
+            num_buckets=32,
+            stats_out=stats,
+        )
+        assert got["doc_id"].tolist() == list(range(50))
+        assert stats["buckets_probed"] <= 2 < stats["dirs_total"]

@@ -146,3 +146,68 @@ def token_lookup(
         return pd.DataFrame({"token": pd.Series(dtype=object),
                              "doc_id": pd.Series(dtype=np.int64)})
     return out.sort_values(["token", "doc_id"], kind="stable").reset_index(drop=True)
+
+
+def phrase_search(
+    ds,
+    phrase: str,
+    *,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    build: bool = True,
+    num_buckets: int = 16,
+    stats_out: dict | None = None,
+) -> pd.DataFrame:
+    """Exact multi-token phrase search → DataFrame(doc_id) of documents
+    whose whitespace-normalized lowered token stream contains ``phrase``
+    as a CONSECUTIVE token run.
+
+    Two-stage (the classic inverted-index phrase plan): candidate docs
+    must contain ALL the phrase's distinct tokens — an AND over pruned
+    posting-bucket reads (:func:`token_lookup`; only the probed buckets
+    leave disk) — then a vectorized verify re-reads ONLY the candidate
+    docs' text and substring-matches the space-joined normalized stream
+    (`` phrase ``-in-`` s `` ≡ consecutive-token containment, since
+    tokens contain no whitespace)."""
+    import ray
+
+    if build:
+        inverted_index_write(
+            ds, index_dir, id_col=id_col, text_col=text_col, num_buckets=num_buckets
+        )
+    toks = sorted({t for t in phrase.lower().split() if t})
+    post = token_lookup(index_dir, toks, stats_out=stats_out)
+    if post.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+    hits = post.groupby(id_col)["token"].nunique()
+    cand = hits.index[hits == len(toks)].to_numpy().astype(np.int64)
+    if cand.size == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+    cref = ray.put(pa.array(np.sort(cand), pa.int64()))
+    needle = " " + " ".join(phrase.lower().split()) + " "
+
+    def verify(b: pa.Table, *, _c=cref) -> pa.Table:
+        keep = pc.is_in(pc.cast(b[id_col], pa.int64()), value_set=ray.get(_c))
+        b = b.filter(keep)
+        if len(b) == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        s = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(b[text_col], "")), r"\s+", " "
+            )
+        )
+        pad = pa.array([" "] * len(b))
+        padded = pc.binary_join_element_wise(pad, s, pad, "")
+        ok = pc.match_substring(padded, needle)
+        return pa.table(
+            {id_col: pc.cast(b[id_col], pa.int64()).filter(ok)}
+        )
+
+    out = (
+        ds.map_batches(verify, batch_format="pyarrow")
+        .to_pandas()  # result-sized
+        .sort_values(id_col)
+        .reset_index(drop=True)
+    )
+    return out

@@ -1302,11 +1302,30 @@ def vocab_overlap(
             .aggregate([])
         )
 
-    uni = distinct_rows(
-        ds.map_batches(gt_rows, batch_format="pyarrow"),
-        ["g", "token"],
-        num_partitions=num_partitions,
-    ).materialize()
+    def norm_uni(t: pa.Table) -> pa.Table:
+        # the distinct aggregate emits SCHEMALESS empty partitions when
+        # partitions > distinct pairs (sandbox lesson #22) — normalize so
+        # the pair join's acero kernel always sees (g, token) strings
+        if "g" not in t.column_names:
+            return pa.table(
+                {"g": pa.array([], pa.string()), "token": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "g": pc.cast(t["g"], pa.string()),
+                "token": pc.cast(t["token"], pa.string()),
+            }
+        )
+
+    uni = (
+        distinct_rows(
+            ds.map_batches(gt_rows, batch_format="pyarrow"),
+            ["g", "token"],
+            num_partitions=num_partitions,
+        )
+        .map_batches(norm_uni, batch_format="pyarrow")
+        .materialize()
+    )
     sizes = (
         uni.groupby("g")
         .aggregate(Count(alias_name="n"))
@@ -1323,7 +1342,10 @@ def vocab_overlap(
         ),
         batch_format="pyarrow",
     )
-    joined = hash_join(uni, right, on="token", how="inner", broadcast=False)
+    # dual regime: the probe auto-broadcasts a small vocabulary (uni is
+    # materialized, so re-executing the probe side is a cheap re-read);
+    # a large vocabulary takes the native hash-partitioned join
+    joined = hash_join(uni, right, on="token", how="inner")
 
     def pair_partials(t: pa.Table) -> pa.Table:
         if "g" not in t.column_names:
