@@ -3590,6 +3590,59 @@ def q_phrase_search(sf_dir: str):
     return phrase_search(ds, phrase, index_dir="/tmp/graft_phrase_idx")
 
 
+def q_upsert_latest(sf_dir: str):
+    """Latest-record-wins compaction (stages/incremental.py:
+    latest_by_key) — the CDC MERGE/upsert reduce: base orders + a
+    synthesized update shard (keys % 7, repriced, higher source
+    priority); per-key ARGMAX over full rows, associative tree combine.
+    Oracle = ROW_NUMBER ... ORDER BY src DESC = 1."""
+    from zonal_stats_toolkit_ray.stages.incremental import latest_by_key
+    import ray.data as rd
+
+    base = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "src", pa.array(np.zeros(len(t), dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    def make_updates(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        f = t.filter(pa.array(k % 7 == 0))
+        return pa.table(
+            {
+                "o_orderkey": f["o_orderkey"],
+                "o_totalprice": pc.add(f["o_totalprice"], 1000.0),
+                "src": pa.array(np.ones(len(f), dtype=np.int64)),
+            }
+        )
+
+    upd = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(make_updates, batch_format="pyarrow")
+    out = latest_by_key(
+        base.union(upd), key_col="o_orderkey", order_cols=["src"]
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(6)
+    return out[["o_orderkey", "o_totalprice", "src"]]
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy (stages/profile.py:
+    group_entropy): (key, category) count partials → hash aggregate →
+    universe-frame finalize; SQL-identical −Σ p·log2 p."""
+    from zonal_stats_toolkit_ray.stages.profile import group_entropy
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    out = group_entropy(ds)
+    out["entropy"] = out["entropy"].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3659,6 +3712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_locf": q_resample_locf,
         "vocab_overlap": q_vocab_overlap,
         "phrase_search": q_phrase_search,
+        "upsert_latest": q_upsert_latest,
+        "user_entropy": q_user_entropy,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4264,6 +4319,35 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "upsert_latest": """
+            WITH u AS (
+              SELECT o_orderkey, o_totalprice, 0 AS src FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 1 FROM orders
+              WHERE o_orderkey % 7 = 0
+            ), r AS (
+              SELECT o_orderkey, o_totalprice, src,
+                     ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                        ORDER BY src DESC) AS rn
+              FROM u
+            )
+            SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+                   CAST(src AS BIGINT) AS src
+            FROM r WHERE rn = 1 ORDER BY o_orderkey
+        """,
+        "user_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*)::DOUBLE AS n
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.user_id, CAST(t.tot AS BIGINT) AS n,
+                   round(SUM(-(c.n / t.tot) * log2(c.n / t.tot)), 6)
+                       AS entropy
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id, t.tot ORDER BY c.user_id
+        """,
         "phrase_search": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -428,3 +428,61 @@ def _append_new_hashes(
         }
     )
     rd.from_arrow(tab).write_parquet(index_dir, partition_cols=["bucket"])
+
+
+def latest_by_key(
+    ds,
+    *,
+    key_col: str,
+    order_cols: list[str],
+    driver_threshold: int = 1_000_000,
+    fan_in: int = 8,
+):
+    """Latest-record-wins compaction (the CDC / MERGE-upsert reduce):
+    keep, per key, the single row with the LARGEST ``order_cols`` tuple
+    (e.g. (source_priority, updated_at)) — SQL ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY order_cols DESC...) = 1``.
+
+    Order tuples must be unique per key (make the last order column a
+    unique id — same contract as every deterministic tiebreak here).
+
+    Shape: per-key ARGMAX over full rows is associative — each block
+    reduces to ≤ keys-per-block winner ROWS (one lexsort per batch, rows
+    carried whole, no payload reshuffle); winners re-reduce with the same
+    kernel behind ``driver_threshold`` (the rank.py tree-combine shape)
+    and the survivor set is the merged table."""
+    import pandas as pd
+
+    def winners(b: pa.Table) -> pa.Table:
+        if key_col not in b.column_names:
+            return b
+        arrs = [
+            b[c].to_numpy(zero_copy_only=False) for c in reversed(order_cols)
+        ]
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        codes = np.asarray(kcol.dictionary_encode().indices, dtype=np.int64)
+        order = np.lexsort(tuple(arrs) + (codes,))
+        ck = codes[order]
+        last = np.r_[ck[1:] != ck[:-1], True]
+        return b.take(pa.array(order[np.flatnonzero(last)]))
+
+    cand = ds.map_batches(winners, batch_format="pyarrow").materialize()
+    n = cand.count()
+    while n > driver_threshold:
+        cand = cand.repartition(fan_in).map_batches(
+            winners, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        prev, n = n, cand.count()
+        if n >= prev:
+            break
+    df = cand.to_pandas()
+    if len(df.columns) == 0:
+        return df
+    final = (
+        df.sort_values([key_col] + order_cols, kind="stable")
+        .groupby(key_col, sort=True)
+        .tail(1)
+    )
+    return final.sort_values(key_col).reset_index(drop=True)

@@ -106,3 +106,51 @@ def profile_table(ds, cols: list[str], *, round_dp: int = 6) -> pd.DataFrame:
             "min_value", "max_value", "mean_value",
         ],
     )
+
+
+def group_entropy(
+    ds,
+    *,
+    key_col: str = "user_id",
+    cat_col: str = "event_type",
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Shannon entropy (bits) of each key's categorical distribution →
+    DataFrame(key, n, entropy) — the behavioral-diversity feature
+    (``−Σ p·log2 p`` over the key's category frequencies).
+
+    Shape: in-batch (key, category) count partials → one hash aggregate
+    over the keys × categories universe → driver finalize on the
+    universe-sized frame (bounded by the category vocabulary).  The same
+    algebra as the SQL oracle term-for-term."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({key_col: b[key_col], cat_col: b[cat_col]})
+        g = t.group_by([key_col, cat_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g[key_col],
+                cat_col: g[cat_col],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.select_columns([key_col, cat_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, cat_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values([key_col, cat_col], kind="stable")
+    )
+    rows = []
+    for k, g in uni.groupby(key_col, sort=True):
+        n = g["n"].to_numpy(dtype=np.float64)
+        tot = n.sum()
+        p = n / tot
+        rows.append((k, int(tot), float(np.sum(-p * np.log2(p)))))
+    return pd.DataFrame(rows, columns=[key_col, "n", "entropy"])
