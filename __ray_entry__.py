@@ -3643,6 +3643,43 @@ def q_user_entropy(sf_dir: str):
     return out
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS — the generic form cube/rollup specialize
+    (stages/rollup.py:grouping_sets_sum_count): one finest-grain pass,
+    each requested set re-aggregates the universe frame."""
+    from zonal_stats_toolkit_ray.stages.rollup import grouping_sets_sum_count
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = grouping_sets_sum_count(
+        ds,
+        keys=["l_returnflag", "l_linestatus"],
+        value_col="l_quantity",
+        sets=[["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+    )
+    out["sum_v"] = out["sum_v"].round(6)
+    return out
+
+
+def q_winsor_mean(sf_dir: str):
+    """Winsorized mean of n_chars per language (stages/rank.py:
+    winsorized_mean_by_group): exact interpolated [p5, p95] clip + mean,
+    all from ONE (key, value) universe aggregate."""
+    from zonal_stats_toolkit_ray.stages.rank import winsorized_mean_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    out = winsorized_mean_by_group(ds, key_col="lang", value_col="n_chars")
+    for c in ["lo", "hi", "wmean"]:
+        out[c] = out[c].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3714,6 +3751,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "upsert_latest": q_upsert_latest,
         "user_entropy": q_user_entropy,
+        "grouping_sets": q_grouping_sets,
+        "winsor_mean": q_winsor_mean,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4319,6 +4358,30 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "grouping_sets": """
+            SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
+                   COALESCE(l_linestatus, '__ALL__') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(SUM(l_quantity), 6) AS sum_v
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            ORDER BY 1, 2, 3
+        """,
+        "winsor_mean": """
+            WITH b AS (
+              SELECT lang, CAST(n_chars AS DOUBLE) AS v FROM documents
+            ), q AS (
+              SELECT lang,
+                     quantile_cont(v, 0.05) AS lo,
+                     quantile_cont(v, 0.95) AS hi
+              FROM b GROUP BY lang
+            )
+            SELECT b.lang, CAST(count(*) AS BIGINT) AS n,
+                   round(MIN(q.lo), 6) AS lo, round(MIN(q.hi), 6) AS hi,
+                   round(avg(least(greatest(b.v, q.lo), q.hi)), 6) AS wmean
+            FROM b JOIN q USING (lang) GROUP BY b.lang ORDER BY b.lang
+        """,
         "upsert_latest": """
             WITH u AS (
               SELECT o_orderkey, o_totalprice, 0 AS src FROM orders

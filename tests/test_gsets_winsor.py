@@ -1,0 +1,87 @@
+"""Unit tests for grouping_sets_sum_count and winsorized_mean_by_group."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+class TestGroupingSets:
+    def test_matches_pandas(self, rd):
+        from zonal_stats_toolkit_ray.stages.rollup import grouping_sets_sum_count
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "a": rng.choice(["x", "y"], 500),
+                "b": rng.choice(["p", "q", "r"], 500),
+                "v": rng.uniform(0, 10, 500),
+            }
+        )
+        got = grouping_sets_sum_count(
+            rd.from_pandas(df).repartition(4),
+            keys=["a", "b"],
+            value_col="v",
+            sets=[["b"], []],
+        )
+        # set ["b"]: a == __ALL__
+        for bv, g in df.groupby("b"):
+            row = got[(got["b"] == bv) & (got["a"] == "__ALL__")]
+            assert len(row) == 1
+            assert row["n"].iloc[0] == len(g)
+            assert abs(row["sum_v"].iloc[0] - g["v"].sum()) < 1e-9
+        tot = got[(got["a"] == "__ALL__") & (got["b"] == "__ALL__")]
+        assert tot["n"].iloc[0] == 500
+        assert len(got) == 4  # 3 b-values + grand total
+
+    def test_rejects_bad_set(self, rd):
+        from zonal_stats_toolkit_ray.stages.rollup import grouping_sets_sum_count
+
+        with pytest.raises(ValueError):
+            grouping_sets_sum_count(
+                rd.from_pandas(pd.DataFrame({"a": [1], "v": [1.0]})),
+                keys=["a"],
+                value_col="v",
+                sets=[["zzz"]],
+            )
+
+
+class TestWinsorizedMean:
+    def test_matches_numpy(self, rd):
+        from zonal_stats_toolkit_ray.stages.rank import winsorized_mean_by_group
+
+        rng = np.random.default_rng(13)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], 3000),
+                "v": rng.integers(0, 500, 3000).astype(float),
+            }
+        )
+        got = winsorized_mean_by_group(
+            rd.from_pandas(df).repartition(5), key_col="k", value_col="v"
+        ).set_index("k")
+        for k, g in df.groupby("k"):
+            v = g["v"].to_numpy()
+            lo = np.quantile(v, 0.05)  # numpy default = linear = quantile_cont
+            hi = np.quantile(v, 0.95)
+            want = np.clip(v, lo, hi).mean()
+            assert abs(got.loc[k, "lo"] - lo) < 1e-9
+            assert abs(got.loc[k, "hi"] - hi) < 1e-9
+            assert abs(got.loc[k, "wmean"] - want) < 1e-9
+            assert got.loc[k, "n"] == len(g)
+
+    def test_outliers_clipped(self, rd):
+        from zonal_stats_toolkit_ray.stages.rank import winsorized_mean_by_group
+
+        v = np.concatenate([np.full(98, 10.0), [1e6, -1e6]])
+        df = pd.DataFrame({"k": ["g"] * 100, "v": v})
+        got = winsorized_mean_by_group(
+            rd.from_pandas(df), key_col="k", value_col="v"
+        )
+        assert abs(got["wmean"][0] - 10.0) < 1.0  # outliers neutralized

@@ -252,3 +252,81 @@ def weighted_median_by_group(
             i += 1
         rows.append((k, g[value_col].to_numpy()[i]))
     return pd.DataFrame(rows, columns=[key_col, "wq"])
+
+
+def winsorized_mean_by_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    num_partitions: int = 4,
+) -> "pd.DataFrame":
+    """Winsorized mean per group — the robust-statistics readout: clip
+    each group's values at its own exact [q_lo, q_hi] quantiles
+    (``quantile_cont`` linear interpolation), then average →
+    DataFrame(key, n, lo, hi, wmean).
+
+    ONE input pass: the (key, value) weight/count universe aggregates
+    distributed (the weighted-median shape); both the interpolated
+    quantiles AND the clipped mean finalize from the universe frame —
+    ``Σ count·clip(value)`` needs no second corpus read.  Exact for
+    bounded distinct-value universes (ints, prices); for unbounded
+    continuous values use the salted percentile machinery instead
+    (stages/zonal.py) — documented, not silently wrong."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                value_col: pc.cast(b[value_col], pa.float64()),
+            }
+        )
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g[key_col],
+                value_col: g[value_col],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, value_col])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values([key_col, value_col], kind="stable")
+    )
+
+    def interp_q(v: np.ndarray, cum: np.ndarray, n: int, q: float) -> float:
+        # quantile_cont: rank r = q·(n−1) over the EXPANDED sorted values;
+        # order statistic k = value at cum > k (searchsorted on cumcounts)
+        r = q * (n - 1)
+        k = int(np.floor(r))
+        frac = r - k
+        i = int(np.searchsorted(cum, k, side="right"))
+        vk = v[i]
+        if frac == 0.0:
+            return float(vk)
+        j = int(np.searchsorted(cum, k + 1, side="right"))
+        return float(vk + frac * (v[j] - vk))
+
+    rows = []
+    for key, g in uni.groupby(key_col, sort=True):
+        v = g[value_col].to_numpy(dtype=np.float64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = interp_q(v, cum, n, q_lo)
+        hi = interp_q(v, cum, n, q_hi)
+        clipped = np.clip(v, lo, hi)
+        wmean = float((clipped * c).sum() / n)
+        rows.append((key, n, lo, hi, wmean))
+    return pd.DataFrame(rows, columns=[key_col, "n", "lo", "hi", "wmean"])

@@ -255,3 +255,71 @@ def rollup_sum_count(
     out["n"] = out["n"].astype("int64")
     out["sum_v"] = out["sum_v"].astype("float64")
     return out.sort_values(keys + ["n"]).reset_index(drop=True)
+
+
+def grouping_sets_sum_count(
+    ds,
+    *,
+    keys: list[str],
+    value_col: str,
+    sets: list[list[str]],
+    num_partitions: int = 4,
+    all_token: str = ALL_TOKEN,
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS (...)`` with ``sum(value_col)`` /
+    ``count(*)`` — the generic form CUBE and ROLLUP specialize.  Each
+    requested set must be a subset of ``keys``; keys absent from a set
+    render as ``all_token`` (the cube/rollup convention here).
+
+    One input pass: the finest grain (all ``keys``) aggregates once;
+    every requested set re-aggregates the group-universe-sized finest
+    frame in the driver — sum/count are associative, so no grouping set
+    ever rereads the corpus."""
+    from ray.data.aggregate import Sum
+
+    keys = list(keys)
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} not a subset of keys {keys}")
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {**{k: b[k] for k in keys}, "v": pc.cast(b[value_col], pa.float64())}
+        )
+        g = t.group_by(keys).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table(
+            {
+                **{k: g[k] for k in keys},
+                "n": pc.cast(g["v_count"], pa.int64()),
+                "sum_v": pc.cast(g["v_sum"], pa.float64()),
+            }
+        )
+
+    finest = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(keys)
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_v", alias_name="sum_v"))
+        .to_pandas()
+    )
+    frames: list[pd.DataFrame] = []
+    for kept in sets:
+        kept = list(kept)
+        if set(kept) == set(keys):
+            frames.append(finest.copy())
+            continue
+        if not kept:
+            row = {k: all_token for k in keys}
+            row["n"] = np.int64(finest["n"].sum())
+            row["sum_v"] = float(finest["sum_v"].sum())
+            frames.append(pd.DataFrame([row]))
+            continue
+        g = finest.groupby(kept, as_index=False)[["n", "sum_v"]].sum()
+        for k in keys:
+            if k not in kept:
+                g[k] = all_token
+        frames.append(g[keys + ["n", "sum_v"]])
+    out = pd.concat(frames, ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    out["sum_v"] = out["sum_v"].astype("float64")
+    return out.sort_values(keys + ["n"]).reset_index(drop=True)
