@@ -3680,6 +3680,84 @@ def q_winsor_mean(sf_dir: str):
     return out
 
 
+def q_star_join(sf_dir: str):
+    """TPC-H Q5-shape star join: lineitem ⋈ orders(1996) ⋈ customer ⋈
+    supplier ⋈ nation ⋈ region('ASIA'), local-supplier predicate
+    (c_nationkey = s_nationkey), revenue per nation.  Five dual-regime
+    hash_joins (dimensions auto-broadcast, fact joins shuffle) + in-batch
+    revenue partials — the joined rows never re-shuffle."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(
+                    t["o_orderdate"], pa.scalar(pd.Timestamp("1996-01-01"))
+                ),
+                pc.less(t["o_orderdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nat = rd.read_parquet(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["r_name"], "ASIA")).select(["r_regionkey"]),
+        batch_format="pyarrow",
+    )
+    j = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+    j = hash_join(j, cust, on="o_custkey", right_on="c_custkey")
+    j = hash_join(j, supp, on="l_suppkey", right_on="s_suppkey")
+    j = j.map_batches(
+        lambda t: t.filter(pc.equal(t["c_nationkey"], t["s_nationkey"])),
+        batch_format="pyarrow",
+    )
+    j = hash_join(j, nat, on="s_nationkey", right_on="n_nationkey")
+    j = hash_join(j, reg, on="n_regionkey", right_on="r_regionkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table({"n_name": b["n_name"], "rev": rev})
+        g = t.group_by("n_name").aggregate([("rev", "sum"), ("rev", "count")])
+        return pa.table(
+            {
+                "n_name": g["n_name"],
+                "revenue": g["rev_sum"],
+                "n_items": pc.cast(g["rev_count"], pa.int64()),
+            }
+        )
+
+    p = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = p.groupby("n_name", as_index=False).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("n_name").reset_index(drop=True)[
+        ["n_name", "n_items", "revenue"]
+    ]
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3753,6 +3831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_entropy": q_user_entropy,
         "grouping_sets": q_grouping_sets,
         "winsor_mean": q_winsor_mean,
+        "star_join": q_star_join,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4358,6 +4437,23 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "star_join": """
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
         "grouping_sets": """
             SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
                    COALESCE(l_linestatus, '__ALL__') AS l_linestatus,
