@@ -3758,6 +3758,54 @@ def q_star_join(sf_dir: str):
     ]
 
 
+def q_embedding_profile(sf_dir: str):
+    """Per-dimension embedding distribution profile (stages/profile.py:
+    embedding_profile): fixed (d × 5)-double partials per block, driver
+    merge; population σ with the reference's clamp."""
+    from zonal_stats_toolkit_ray.stages.profile import embedding_profile
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    out = embedding_profile(ds)
+    for c in ["mean", "std", "min", "max"]:
+        out[c] = out[c].round(6)
+    return out
+
+
+def q_incremental_rollup(sf_dir: str):
+    """Materialized-view maintenance (stages/incremental.py:
+    incremental_rollup): fold two event shards (even/odd event_id) into
+    persisted state one after the other; integer totals make the two
+    increments bit-identical to the full-recompute oracle."""
+    import shutil
+
+    from zonal_stats_toolkit_ray.stages.incremental import incremental_rollup
+    import ray.data as rd
+
+    state = "/tmp/graft_incr_rollup"
+    shutil.rmtree(state, ignore_errors=True)
+
+    def shard(parity: int):
+        return rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+        ).map_batches(
+            lambda t, p=parity: t.filter(
+                pa.array(
+                    t["event_id"].to_numpy(zero_copy_only=False) % 2 == p
+                )
+            ).select(["event_type", "value"]),
+            batch_format="pyarrow",
+        )
+
+    incremental_rollup(
+        shard(0), state, key_cols=["event_type"], value_col="value"
+    )
+    out = incremental_rollup(
+        shard(1), state, key_cols=["event_type"], value_col="value"
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3832,6 +3880,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": q_grouping_sets,
         "winsor_mean": q_winsor_mean,
         "star_join": q_star_join,
+        "embedding_profile": q_embedding_profile,
+        "incremental_rollup": q_incremental_rollup,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4437,6 +4487,28 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "embedding_profile": """
+            WITH e AS (
+              SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            )
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   round(SUM(v) / count(*), 6) AS mean,
+                   round(sqrt(greatest(
+                     SUM(v * v) / count(*)
+                       - (SUM(v) / count(*)) * (SUM(v) / count(*)),
+                     0.0)), 6) AS std,
+                   round(MIN(v), 6) AS min,
+                   round(MAX(v), 6) AS max
+            FROM e GROUP BY dim ORDER BY dim
+        """,
+        "incremental_rollup": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS total
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "star_join": """
             SELECT n_name,
                    CAST(count(*) AS BIGINT) AS n_items,

@@ -486,3 +486,79 @@ def latest_by_key(
         .tail(1)
     )
     return final.sort_values(key_col).reset_index(drop=True)
+
+
+def incremental_rollup(
+    new_ds,
+    state_dir: str,
+    *,
+    key_cols: list[str],
+    value_col: str,
+    num_partitions: int = 4,
+) -> "pd.DataFrame":
+    """Incremental grouped aggregate with PERSISTED state — the
+    materialized-view-maintenance shape: fold a NEW shard's (key, n,
+    total) partials into the on-disk state and return the current
+    totals.  ``value_col`` is floored to int64, so totals are exact and
+    two increments are bit-identical to one full recompute (tested).
+
+    The new shard aggregates DISTRIBUTED (in-batch partials → one hash
+    aggregate); only the group-universe frame touches the driver and the
+    state file.  The state write is atomic (tmp + ``os.replace``), so a
+    crashed update never corrupts the previous state; apply-at-most-once
+    per shard is the caller's checkpoint contract (pair with
+    ``state/checkpoint.py`` manifests, as ``run_pages_job`` does)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    key_cols = list(key_cols)
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.floor(
+            pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                **{k: b[k] for k in key_cols},
+                "x": pa.array(x, pa.int64()),
+            }
+        )
+        g = t.group_by(key_cols).aggregate([("x", "sum"), ("x", "count")])
+        return pa.table(
+            {
+                **{k: g[k] for k in key_cols},
+                "n": pc.cast(g["x_count"], pa.int64()),
+                "total": pc.cast(g["x_sum"], pa.int64()),
+            }
+        )
+
+    new_agg = (
+        new_ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(key_cols)
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()  # group-universe-sized
+    )
+    os.makedirs(state_dir, exist_ok=True)
+    state_path = os.path.join(state_dir, "state.parquet")
+    if os.path.exists(state_path):
+        prev = pq.read_table(state_path).to_pandas()
+        merged = (
+            pd.concat([prev, new_agg], ignore_index=True)
+            .groupby(key_cols, as_index=False)[["n", "total"]]
+            .sum()
+        )
+    else:
+        merged = new_agg
+    merged = merged.sort_values(key_cols, kind="stable").reset_index(drop=True)
+    merged["n"] = merged["n"].astype(np.int64)
+    merged["total"] = merged["total"].astype(np.int64)
+    tmp = state_path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+    os.replace(tmp, state_path)  # atomic: a crash leaves the old state
+    return merged

@@ -154,3 +154,62 @@ def group_entropy(
         p = n / tot
         rows.append((k, int(tot), float(np.sum(-p * np.log2(p)))))
     return pd.DataFrame(rows, columns=[key_col, "n", "entropy"])
+
+
+def embedding_profile(ds, *, vec_col: str = "embedding") -> pd.DataFrame:
+    """Per-dimension distribution profile of an embedding column →
+    DataFrame(dim 1-based, n, mean, std, min, max) — the sanity pass
+    before training on a vector corpus (collapsed dims, scale drift).
+
+    One streaming pass of FIXED (d × 5)-double partials per block
+    (n/Σ/Σ²/min/max per dimension — the zonal moment shape of
+    runner.py:653-685 applied dimension-wise), one driver merge of
+    blocks × d rows.  Population σ with the reference's negative-variance
+    clamp (runner.py:909-916)."""
+    import pyarrow as pa
+
+    from .pca import _batch_matrix
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = _batch_matrix(b[vec_col])
+        if x.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "ss": pa.array([], pa.float64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        d = x.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "n": pa.array(np.full(d, x.shape[0], dtype=np.int64)),
+                "s": pa.array(x.sum(axis=0)),
+                "ss": pa.array((x * x).sum(axis=0)),
+                "mn": pa.array(x.min(axis=0)),
+                "mx": pa.array(x.max(axis=0)),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # blocks × d
+    g = p.groupby("dim", sort=True).agg(
+        n=("n", "sum"), s=("s", "sum"), ss=("ss", "sum"),
+        mn=("mn", "min"), mx=("mx", "max"),
+    )
+    n = g["n"].to_numpy(dtype=np.float64)
+    mean = g["s"].to_numpy() / n
+    var = np.maximum(g["ss"].to_numpy() / n - mean * mean, 0.0)
+    return pd.DataFrame(
+        {
+            "dim": g.index.to_numpy().astype(np.int64),
+            "n": g["n"].to_numpy().astype(np.int64),
+            "mean": mean,
+            "std": np.sqrt(var),
+            "min": g["mn"].to_numpy(),
+            "max": g["mx"].to_numpy(),
+        }
+    ).reset_index(drop=True)
