@@ -3806,6 +3806,46 @@ def q_incremental_rollup(sf_dir: str):
     return out
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Table-snapshot diff (stages/joins.py:snapshot_diff): old = orders;
+    new = orders with keys %7 repriced (changed), %11==3 dropped
+    (removed), and a shifted-key shard appended (added).  One full outer
+    hash join with presence markers; only diff rows reach the driver."""
+    from zonal_stats_toolkit_ray.stages.joins import snapshot_diff
+    import ray.data as rd
+
+    old = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def make_new(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        keep = k % 11 != 3
+        k2, v2 = k[keep], v[keep].copy()
+        v2 = np.where(k2 % 7 == 0, v2 + 1000.0, v2)
+        add = k % 13 == 5
+        ka = k[add] + 10_000_000
+        va = v[add]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.concatenate([k2, ka]), pa.int64()
+                ),
+                "o_totalprice": pa.array(
+                    np.concatenate([v2, va]), pa.float64()
+                ),
+            }
+        )
+
+    new = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(make_new, batch_format="pyarrow")
+    return snapshot_diff(
+        old, new, key_col="o_orderkey", compare_cols=["o_totalprice"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3882,6 +3922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_join": q_star_join,
         "embedding_profile": q_embedding_profile,
         "incremental_rollup": q_incremental_rollup,
+        "snapshot_diff": q_snapshot_diff,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4487,6 +4528,27 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+            ), new AS (
+              SELECT o_orderkey AS k,
+                     CASE WHEN o_orderkey % 7 = 0
+                          THEN o_totalprice + 1000.0
+                          ELSE o_totalprice END AS v
+              FROM orders WHERE o_orderkey % 11 <> 3
+              UNION ALL
+              SELECT o_orderkey + 10000000, o_totalprice FROM orders
+              WHERE o_orderkey % 13 = 5
+            )
+            SELECT COALESCE(old.k, new.k) AS key,
+                   CASE WHEN old.k IS NULL THEN 'added'
+                        WHEN new.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old FULL OUTER JOIN new ON old.k = new.k
+            WHERE old.k IS NULL OR new.k IS NULL OR old.v <> new.v
+            ORDER BY key, status
+        """,
         "embedding_profile": """
             WITH e AS (
               SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,

@@ -617,3 +617,84 @@ def intersect_distinct(
     db = distinct_rows(b, cols, num_partitions=num_partitions).to_pandas()
     out = da.merge(db, on=cols, how="inner")[cols]
     return out.sort_values(cols).reset_index(drop=True)
+
+
+def snapshot_diff(
+    old,
+    new,
+    *,
+    key_col: str,
+    compare_cols: list[str],
+    num_partitions: int | None = None,
+) -> "pd.DataFrame":
+    """Diff two table snapshots by primary key → DataFrame(key, status ∈
+    {added, removed, changed}) — the data-versioning audit between loads
+    (unchanged rows are omitted; they are the bulk and carry no signal).
+
+    Shape: ONE full outer ``hash_join`` on the key (Ray coalesces both
+    keys into the left key column — presence is tracked by explicit
+    marker columns, so NULL payloads never masquerade as missing rows),
+    then a vectorized per-batch status classification — neither snapshot
+    is ever collected raw; only diff rows reach the driver.
+    ``compare_cols`` equality is NULL-safe (NULL == NULL)."""
+    import pandas as pd
+
+    def mark_old(t: pa.Table) -> pa.Table:
+        t = t.select([key_col] + compare_cols)
+        return t.append_column("__old_p", pa.array(np.ones(len(t), np.int8)))
+
+    def mark_new(t: pa.Table) -> pa.Table:
+        t = t.select([key_col] + compare_cols)
+        t = t.rename_columns(
+            [f"__new_{c}" for c in [key_col] + compare_cols]
+        )
+        return t.append_column("__new_p", pa.array(np.ones(len(t), np.int8)))
+
+    j = hash_join(
+        old.map_batches(mark_old, batch_format="pyarrow"),
+        new.map_batches(mark_new, batch_format="pyarrow"),
+        on=key_col,
+        right_on=f"__new_{key_col}",
+        how="full_outer",
+        num_partitions=num_partitions,
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        if key_col not in t.column_names:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "status": pa.array([], pa.string())}
+            )
+        has_old = pc.is_valid(t["__old_p"]).to_numpy(zero_copy_only=False)
+        has_new = pc.is_valid(t["__new_p"]).to_numpy(zero_copy_only=False)
+        changed = np.zeros(len(t), dtype=bool)
+        for c in compare_cols:
+            a, b = t[c], t[f"__new_{c}"]
+            neq = pc.fill_null(pc.not_equal(a, b), False).to_numpy(
+                zero_copy_only=False
+            )
+            null_mismatch = (
+                pc.is_valid(a).to_numpy(zero_copy_only=False)
+                != pc.is_valid(b).to_numpy(zero_copy_only=False)
+            )
+            changed |= neq | null_mismatch
+        status = np.where(
+            ~has_old, "added", np.where(~has_new, "removed", "")
+        ).astype(object)
+        both = has_old & has_new
+        status[both & changed] = "changed"
+        keep = status != ""
+        key = pc.cast(t[key_col], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(key[keep].astype(np.int64), pa.int64()),
+                "status": pa.array(status[keep].astype(str), pa.string()),
+            }
+        )
+
+    out = (
+        j.map_batches(classify, batch_format="pyarrow")
+        .to_pandas()  # diff-sized
+        .sort_values(["key", "status"], kind="stable")
+        .reset_index(drop=True)
+    )
+    return out
