@@ -70,13 +70,15 @@ class TestSnapshotDiff:
             key_col="k",
             compare_cols=["v"],
         )
-        m = old.merge(new, on="k", how="outer", indicator=True, suffixes=("_o", "_n"))
+        m = old.merge(
+            new, on="k", how="outer", indicator="ind", suffixes=("_o", "_n")
+        )
         want = {}
-        for r in m.itertuples(index=False):
-            if r._merge == "left_only":
-                want[r.k] = "removed"
-            elif r._merge == "right_only":
-                want[r.k] = "added"
-            elif r.v_o != r.v_n:
-                want[r.k] = "changed"
+        for _, r in m.iterrows():
+            if r["ind"] == "left_only":
+                want[r["k"]] = "removed"
+            elif r["ind"] == "right_only":
+                want[r["k"]] = "added"
+            elif r["v_o"] != r["v_n"]:
+                want[r["k"]] = "changed"
         assert dict(zip(got["key"], got["status"])) == want
