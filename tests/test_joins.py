@@ -292,3 +292,57 @@ class TestBloomSemiJoin:
         assert true_mask.sum() <= len(got)
         got_keys = set(got["k"].tolist())
         assert set(probe.loc[true_mask, "k"].tolist()) <= got_keys
+
+
+class TestAsofAuto:
+    def test_auto_picks_chunked_when_tie_free(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        import numpy as np
+        from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+        rng = np.random.default_rng(3)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 10, n),
+                "ts": pd.Timestamp("2024-01-01")
+                + pd.to_timedelta(rng.permutation(n), unit="s"),  # unique ts
+                "event_type": rng.choice(["click", "view"], n),
+                "value": rng.normal(0, 1, n).round(3),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(4)
+
+        def norm(f):
+            return (
+                f.sort_values(["user_id", "ts"], kind="stable")
+                .reset_index(drop=True)
+                .fillna(-999)
+            )
+
+        auto = norm(asof_join_self(ds).to_pandas())
+        chunked = norm(asof_join_self(ds, chunked=True).to_pandas())
+        pd.testing.assert_frame_equal(
+            auto[sorted(auto.columns)], chunked[sorted(chunked.columns)]
+        )
+
+    def test_auto_falls_back_on_ties(self, ray_session):
+        import ray.data as rd
+        import pandas as pd
+        from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+        ts = pd.Timestamp("2024-01-01")
+        df = pd.DataFrame(
+            {
+                "user_id": [1, 1, 1],
+                "ts": [ts, ts, ts + pd.Timedelta(seconds=5)],
+                "event_type": ["click", "click", "view"],  # tied click ts
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+        out = asof_join_self(rd.from_pandas(df)).to_pandas()
+        # per-key fallback ran and produced the merge_asof result
+        v = out.sort_values("ts")["last_click_value"].tolist()
+        assert v[-1] in (1.0, 2.0)  # view row got one of the tied clicks
+        assert len(out) == 3

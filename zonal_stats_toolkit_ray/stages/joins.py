@@ -249,7 +249,7 @@ def asof_join_self(
     right_filter_value: str = "click",
     value_col: str = "value",
     out_col: str = "last_click_value",
-    chunked: bool = False,
+    chunked: bool | None = None,
 ):
     """Per-key as-of SELF join: for every row, attach ``value_col`` of the
     most recent row (same key, ts ≤ this row's ts) matching the filter.
@@ -270,9 +270,29 @@ def asof_join_self(
     (key, ts) pairs of filter rows are unique; ties on identical click
     timestamps are resolved arbitrarily in both forms.
 
+    ``chunked=None`` (default, round-4 continuation — closes the
+    "make chunked the default" residual): AUTO.  One slim distributed
+    distinct over the filter rows' (key, ts) pairs decides: tie-free ⇒
+    the scale-safe chunked form (bit-identical there), ties ⇒ the
+    per-key form (where tie resolution is the established arbitrary-
+    but-fixed behavior the oracle was validated against).
+
     Returns the joined **Dataset** (round-2 fix: the join output is
     corpus-sized, so it must stream — callers aggregate distributedly or
     write it out, never ``to_pandas`` the whole thing)."""
+
+    if chunked is None:
+        flt = ds.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(
+                    pc.equal(t[right_filter_col], right_filter_value), False
+                )
+            ).select([key_col, ts_col]),
+            batch_format="pyarrow",
+        ).materialize()
+        n_filter = flt.count()
+        n_distinct = distinct_rows(flt, [key_col, ts_col]).count()
+        chunked = n_distinct == n_filter  # tie-free ⇒ scale-safe form
 
     if not chunked:
 
