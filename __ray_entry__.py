@@ -3846,6 +3846,64 @@ def q_snapshot_diff(sf_dir: str):
     )
 
 
+def q_kwic(sf_dir: str):
+    """Keyword-in-context concordance for 'spark' (stages/text.py:kwic):
+    embarrassingly parallel tokenize + match + ±3-token snippets."""
+    from zonal_stats_toolkit_ray.stages.text import kwic
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = kwic(ds, "spark", window=3).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outlier detection: events whose |value − median|
+    exceeds 3×MAD of their event_type (stages/bivar.py:mad_by_group +
+    broadcast threshold filter).  Values scale to integer cents
+    (round(value·100)), so medians/MADs and the 3×MAD comparison are
+    exact integer/half-integer arithmetic on both sides."""
+    from zonal_stats_toolkit_ray.stages.bivar import mad_by_group
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(
+        lambda t: t.append_column(
+            "cents",
+            pa.array(
+                np.rint(
+                    t["value"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    stats = mad_by_group(ds, key_col="event_type", value_col="cents")
+    lut = {
+        r.event_type: (float(r.median), float(r.mad))
+        for r in stats.itertuples(index=False)
+    }
+    ref = ray.put(lut)
+
+    def flag(t: pa.Table, *, _ref=ref) -> pa.Table:
+        m = ray.get(_ref)
+        et = t["event_type"].to_pylist()
+        med = np.array([m[e][0] for e in et])
+        mad = np.array([m[e][1] for e in et])
+        v = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = np.abs(v - med) > 3.0 * mad
+        return t.select(["event_id", "event_type", "cents"]).filter(
+            pa.array(keep)
+        )
+
+    out = ds.map_batches(flag, batch_format="pyarrow").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3923,6 +3981,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_profile": q_embedding_profile,
         "incremental_rollup": q_incremental_rollup,
         "snapshot_diff": q_snapshot_diff,
+        "kwic": q_kwic,
+        "mad_outliers": q_mad_outliers,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4528,6 +4588,42 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "kwic": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), p AS (
+              SELECT doc_id, w,
+                     unnest(w) AS tok,
+                     unnest(generate_series(1, len(w))) AS pos
+              FROM toks
+            )
+            SELECT doc_id, pos,
+                   array_to_string(w[greatest(pos - 3, 1):pos + 3], ' ')
+                       AS snippet
+            FROM p WHERE tok = 'spark' ORDER BY doc_id, pos
+        """,
+        "mad_outliers": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), m AS (
+              SELECT event_type, median(cents) AS med FROM e GROUP BY 1
+            ), d AS (
+              SELECT e.event_id, e.event_type, e.cents,
+                     abs(e.cents - m.med) AS dev
+              FROM e JOIN m USING (event_type)
+            ), md AS (
+              SELECT event_type, median(dev) AS mad FROM d GROUP BY 1
+            )
+            SELECT d.event_id, d.event_type, d.cents
+            FROM d JOIN md USING (event_type)
+            WHERE d.dev > 3 * md.mad
+            ORDER BY d.event_id
+        """,
         "snapshot_diff": """
             WITH old AS (
               SELECT o_orderkey AS k, o_totalprice AS v FROM orders

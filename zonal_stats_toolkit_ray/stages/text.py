@@ -1389,3 +1389,79 @@ def vocab_overlap(
         }
     )
     return out.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
+def kwic(
+    ds,
+    keyword: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+):
+    """Keyword-in-context concordance → Dataset(doc_id, pos, snippet):
+    every occurrence of ``keyword`` (as a whole lowered whitespace token,
+    1-based position) with ± ``window`` tokens of context joined by a
+    single space — the corpus-inspection pass behind search previews and
+    annotation tooling.
+
+    Embarrassingly parallel: tokenization is the shared flatten kernel,
+    match positions come from one vectorized equality, and only the
+    per-match snippet join is a Python loop — bounded by the RESULT size
+    (keyword occurrences in the batch), never the token count."""
+    kw = keyword.lower()
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        toks = pc.split_pattern_regex(t, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        doc_of = doc_of[ne]
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        starts = np.flatnonzero(np.r_[True, doc_of[1:] != doc_of[:-1]])
+        seg = np.cumsum(np.r_[True, doc_of[1:] != doc_of[:-1]]) - 1
+        tok_pos = np.arange(doc_of.size, dtype=np.int64) - starts[seg]
+        ntok = np.bincount(doc_of, minlength=counts.size)
+        hits = np.flatnonzero(
+            pc.equal(flat, kw).to_numpy(zero_copy_only=False)
+        )
+        if hits.size == 0:
+            return empty
+        words = flat.to_pylist()
+        out_pos, out_snip, out_doc = [], [], []
+        for h in hits:
+            d = doc_of[h]
+            p = tok_pos[h]  # 0-based within doc
+            lo = max(p - window, 0)
+            hi = min(p + window, ntok[d] - 1)
+            base = starts[seg[h]]
+            out_doc.append(ids[d])
+            out_pos.append(p + 1)  # 1-based, SQL parity
+            out_snip.append(" ".join(words[base + lo : base + hi + 1]))
+        return pa.table(
+            {
+                id_col: pa.array(out_doc, pa.int64()),
+                "pos": pa.array(out_pos, pa.int64()),
+                "snippet": pa.array(out_snip, pa.string()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
