@@ -3904,6 +3904,40 @@ def q_mad_outliers(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_ols2(sf_dir: str):
+    """Two-feature OLS per returnflag (stages/bivar.py:ols2_by_group):
+    floor(price) ~ quantity + discount·100 — all inputs integral, so the
+    nine moment sums are exact float64 integers and the Cramer finalize
+    (same parenthesization as the SQL) is bit-identical to the oracle."""
+    from zonal_stats_toolkit_ray.stages.bivar import ols2_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x1": pc.cast(t["l_quantity"], pa.float64()),
+                "x2": pa.array(
+                    np.rint(
+                        t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+                    )
+                ),
+                "y": pc.floor(pc.cast(t["l_extendedprice"], pa.float64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = ols2_by_group(
+        ds, key_col="l_returnflag", x1_col="x1", x2_col="x2", y_col="y"
+    )
+    for c in ["b0", "b1", "b2"]:
+        out[c] = out[c].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -3983,6 +4017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "kwic": q_kwic,
         "mad_outliers": q_mad_outliers,
+        "ols2": q_ols2,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4588,6 +4623,41 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "ols2": """
+            WITH b AS (
+              SELECT l_returnflag AS k,
+                     CAST(l_quantity AS DOUBLE) AS x1,
+                     CAST(round(l_discount * 100) AS DOUBLE) AS x2,
+                     floor(CAST(l_extendedprice AS DOUBLE)) AS y
+              FROM lineitem
+            ), m AS (
+              SELECT k, CAST(COUNT(*) AS DOUBLE) AS n,
+                     SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+                     SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22,
+                     SUM(x1 * x2) AS s12,
+                     SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+              FROM b GROUP BY k
+            ), c AS (
+              SELECT k, n, sy, s1, s2,
+                     s11 - s1 * (s1 / n) AS c11,
+                     s22 - s2 * (s2 / n) AS c22,
+                     s12 - s1 * (s2 / n) AS c12,
+                     s1y - s1 * (sy / n) AS c1y,
+                     s2y - s2 * (sy / n) AS c2y
+              FROM m
+            ), f AS (
+              SELECT k, n, sy, s1, s2, c11, c22, c12, c1y, c2y,
+                     c11 * c22 - c12 * c12 AS det
+              FROM c
+            )
+            SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   round((sy - ((c1y * c22 - c2y * c12) / det) * s1
+                             - ((c2y * c11 - c1y * c12) / det) * s2) / n,
+                         6) AS b0,
+                   round((c1y * c22 - c2y * c12) / det, 6) AS b1,
+                   round((c2y * c11 - c1y * c12) / det, 6) AS b2
+            FROM f ORDER BY k
+        """,
         "kwic": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -85,3 +85,48 @@ class TestWinsorizedMean:
             rd.from_pandas(df), key_col="k", value_col="v"
         )
         assert abs(got["wmean"][0] - 10.0) < 1.0  # outliers neutralized
+
+
+class TestOls2:
+    def test_matches_numpy_lstsq(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import ols2_by_group
+
+        rng = np.random.default_rng(29)
+        n = 4000
+        g = rng.choice(["a", "b"], n)
+        x1 = rng.integers(1, 50, n).astype(float)
+        x2 = rng.integers(0, 10, n).astype(float)
+        y = np.where(g == "a", 5 + 2 * x1 - 3 * x2, -1 + 0.5 * x1 + x2)
+        y = np.floor(y + rng.normal(0, 4, n))
+        df = pd.DataFrame({"k": g, "x1": x1, "x2": x2, "y": y})
+        got = ols2_by_group(
+            rd.from_pandas(df).repartition(6),
+            key_col="k",
+            x1_col="x1",
+            x2_col="x2",
+            y_col="y",
+        ).set_index("k")
+        for key, gg in df.groupby("k"):
+            A = np.column_stack(
+                [np.ones(len(gg)), gg["x1"].to_numpy(), gg["x2"].to_numpy()]
+            )
+            coef, *_ = np.linalg.lstsq(A, gg["y"].to_numpy(), rcond=None)
+            assert abs(got.loc[key, "b0"] - coef[0]) < 1e-6
+            assert abs(got.loc[key, "b1"] - coef[1]) < 1e-8
+            assert abs(got.loc[key, "b2"] - coef[2]) < 1e-8
+
+    def test_collinear_null(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import ols2_by_group
+
+        df = pd.DataFrame(
+            {
+                "k": ["c"] * 10,
+                "x1": np.arange(10.0),
+                "x2": np.arange(10.0) * 2,  # collinear
+                "y": np.arange(10.0) * 3,
+            }
+        )
+        got = ols2_by_group(
+            rd.from_pandas(df), key_col="k", x1_col="x1", x2_col="x2", y_col="y"
+        )
+        assert np.isnan(got["b1"][0]) and np.isnan(got["b2"][0])

@@ -283,3 +283,92 @@ def ab_test(
         rows,
         columns=[group_col, "n_a", "n_b", "mean_a", "mean_b", "t_stat", "dof"],
     )
+
+
+_OLS2_MOMS = ["n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y"]
+
+
+def ols2_by_group(
+    ds,
+    *,
+    key_col: str,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Two-feature OLS per group — ``y = b0 + b1·x1 + b2·x2`` via the
+    normal equations → DataFrame(key, n, b0, b1, b2).
+
+    The multivariate extension of :func:`grouped_corr`: ONE input pass of
+    nine-moment partials per group, one hash aggregate, driver finalize
+    by Cramer's rule on the centered 2×2 system.  When the inputs are
+    integral (cast upstream), every moment sum is an exact float64
+    integer, so the finalize — written with the SAME parenthesization as
+    the SQL oracle — is bit-identical to it.  Collinear groups
+    (determinant 0) and n < 3 yield NULL coefficients."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        x1 = pc.cast(b[x1_col], pa.float64())
+        x2 = pc.cast(b[x2_col], pa.float64())
+        y = pc.cast(b[y_col], pa.float64())
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "x1": x1,
+                "x2": x2,
+                "y": y,
+                "x11": pc.multiply(x1, x1),
+                "x22": pc.multiply(x2, x2),
+                "x12": pc.multiply(x1, x2),
+                "x1y": pc.multiply(x1, y),
+                "x2y": pc.multiply(x2, y),
+            }
+        )
+        g = t.group_by([key_col]).aggregate(
+            [("x1", "count")]
+            + [(c, "sum") for c in ["x1", "x2", "y", "x11", "x22", "x12", "x1y", "x2y"]]
+        )
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "n": pc.cast(g["x1_count"], pa.int64()),
+                "s1": g["x1_sum"],
+                "s2": g["x2_sum"],
+                "sy": g["y_sum"],
+                "s11": g["x11_sum"],
+                "s22": g["x22_sum"],
+                "s12": g["x12_sum"],
+                "s1y": g["x1y_sum"],
+                "s2y": g["x2y_sum"],
+            }
+        )
+
+    m = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(key_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in _OLS2_MOMS])
+        .to_pandas()
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )
+    rows = []
+    for r in m.itertuples(index=False):
+        n = float(r.n)
+        b0 = b1 = b2 = np.nan
+        if r.n >= 3:
+            # centered moments — SAME parenthesization as the SQL oracle
+            c11 = r.s11 - r.s1 * (r.s1 / n)
+            c22 = r.s22 - r.s2 * (r.s2 / n)
+            c12 = r.s12 - r.s1 * (r.s2 / n)
+            c1y = r.s1y - r.s1 * (r.sy / n)
+            c2y = r.s2y - r.s2 * (r.sy / n)
+            det = c11 * c22 - c12 * c12
+            if det != 0.0:
+                b1 = (c1y * c22 - c2y * c12) / det
+                b2 = (c2y * c11 - c1y * c12) / det
+                b0 = (r.sy - b1 * r.s1 - b2 * r.s2) / n
+        rows.append((getattr(r, key_col), int(r.n), b0, b1, b2))
+    return pd.DataFrame(rows, columns=[key_col, "n", "b0", "b1", "b2"])
