@@ -3938,6 +3938,72 @@ def q_ols2(sf_dir: str):
     return out
 
 
+def q_target_encode(sf_dir: str):
+    """Leave-one-out target encoding of event_type against floor(value)
+    (stages/bivar.py:target_encode_loo): one category aggregate broadcast,
+    vectorized per-batch encode; integral targets ⇒ exact sums."""
+    from zonal_stats_toolkit_ray.stages.bivar import target_encode_loo
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "v": pc.floor(pc.cast(t["value"], pa.float64())),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        target_encode_loo(
+            ds, key_col="event_id", cat_col="event_type", value_col="v"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["te"] = out["te"].round(6)
+    return out[["event_id", "event_type", "te"]]
+
+
+def q_benford(sf_dir: str):
+    """Benford first-digit audit of events.value (stages/profile.py:
+    benford_digits): fixed 9-counter partials per block; expected counts
+    from total · log10(1 + 1/d)."""
+    from zonal_stats_toolkit_ray.stages.profile import benford_digits
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return benford_digits(ds)
+
+
+def q_chi2(sf_dir: str):
+    """Chi-square independence of event_type × variant (user_id % 2)
+    (stages/profile.py:chi2_independence): contingency count partials →
+    universe aggregate → SQL-identical (o−e)²/e statistic."""
+    from zonal_stats_toolkit_ray.stages.profile import chi2_independence
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "variant": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return chi2_independence(ds, row_col="event_type", col_col="variant")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4018,6 +4084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic": q_kwic,
         "mad_outliers": q_mad_outliers,
         "ols2": q_ols2,
+        "target_encode": q_target_encode,
+        "benford": q_benford,
+        "chi2": q_chi2,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4623,6 +4692,63 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "target_encode": """
+            WITH b AS (
+              SELECT event_id, event_type, floor(value) AS v FROM events
+            ), a AS (
+              SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, SUM(v) AS s
+              FROM b GROUP BY event_type
+            )
+            SELECT b.event_id, b.event_type,
+                   CASE WHEN a.n > 1
+                        THEN round((a.s - b.v) / (a.n - 1.0), 6)
+                        ELSE NULL END AS te
+            FROM b JOIN a USING (event_type) ORDER BY b.event_id
+        """,
+        "benford": """
+            WITH v AS (
+              SELECT CAST(round(value * 100) AS BIGINT) AS c
+              FROM events WHERE value > 0
+            ), d AS (
+              SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT)
+                         AS digit
+              FROM v WHERE c > 0
+            ), g AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY digit
+            ), t AS (
+              SELECT CAST(SUM(n) AS DOUBLE) AS total FROM g
+            )
+            SELECT g.digit, g.n,
+                   round(t.total * log10(1.0 + 1.0 / CAST(g.digit AS DOUBLE)),
+                         6) AS expected_n
+            FROM g, t WHERE g.digit BETWEEN 1 AND 9 ORDER BY g.digit
+        """,
+        "chi2": """
+            WITH c AS (
+              SELECT event_type AS r, CAST(user_id % 2 AS BIGINT) AS c2,
+                     CAST(count(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2
+            ), rr AS (SELECT DISTINCT r FROM c),
+            cc AS (SELECT DISTINCT c2 FROM c),
+            cells AS (
+              SELECT rr.r, cc.c2, COALESCE(c.o, 0.0) AS o
+              FROM rr CROSS JOIN cc
+              LEFT JOIN c ON c.r = rr.r AND c.c2 = cc.c2
+            ), rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+            ct AS (SELECT c2, SUM(o) AS ct FROM cells GROUP BY c2),
+            t AS (SELECT SUM(o) AS n FROM cells)
+            SELECT round(SUM(
+                     (cells.o - rt.rt * ct.ct / t.n)
+                     * (cells.o - rt.rt * ct.ct / t.n)
+                     / (rt.rt * ct.ct / t.n)), 6) AS chi2,
+                   CAST(((SELECT count(*) FROM rr) - 1)
+                        * ((SELECT count(*) FROM cc) - 1) AS BIGINT) AS dof,
+                   CAST(MAX(t.n) AS BIGINT) AS n
+            FROM cells JOIN rt ON cells.r = rt.r
+                       JOIN ct ON cells.c2 = ct.c2
+                       CROSS JOIN t
+        """,
         "ols2": """
             WITH b AS (
               SELECT l_returnflag AS k,

@@ -1,0 +1,105 @@
+"""Unit tests for target encoding, Benford audit, chi-square test."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rd(ray_session):
+    import ray.data as rd
+
+    return rd
+
+
+class TestTargetEncode:
+    def test_leave_one_out(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import target_encode_loo
+
+        df = pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "cat": ["a", "a", "a", "b"],
+                "v": [10.0, 20.0, 30.0, 7.0],
+            }
+        )
+        got = (
+            target_encode_loo(
+                rd.from_pandas(df), key_col="id", cat_col="cat", value_col="v"
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        # a: row 1 → (20+30)/2=25; row 2 → 20; row 3 → 15; b singleton → NaN
+        assert got["te"].tolist()[:3] == [25.0, 20.0, 15.0]
+        assert np.isnan(got["te"].tolist()[3])
+
+    def test_no_leakage_vs_global_mean(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import target_encode_loo
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(1000),
+                "cat": rng.choice(["x", "y", "z"], 1000),
+                "v": rng.integers(0, 100, 1000).astype(float),
+            }
+        )
+        got = (
+            target_encode_loo(
+                rd.from_pandas(df).repartition(4),
+                key_col="id",
+                cat_col="cat",
+                value_col="v",
+            )
+            .to_pandas()
+            .set_index("id")
+        )
+        for _, r in df.sample(50, random_state=0).iterrows():
+            others = df[(df["cat"] == r["cat"]) & (df["id"] != r["id"])]["v"]
+            assert abs(got.loc[r["id"], "te"] - others.mean()) < 1e-9
+
+
+class TestBenford:
+    def test_counts_and_expected(self, rd):
+        from zonal_stats_toolkit_ray.stages.profile import benford_digits
+
+        # values engineered across magnitudes incl. the 0.6 libm hazard
+        v = np.array([0.6, 0.06, 6.0, 60.0, 1.23, 12.3, 0.01, 999.99, -5.0, 0.0])
+        df = pd.DataFrame({"value": v})
+        got = benford_digits(rd.from_pandas(df)).set_index("digit")
+        assert got.loc[6, "n"] == 4
+        assert got.loc[1, "n"] == 3  # 1.23, 12.3, 0.01
+        assert got.loc[9, "n"] == 1
+        total = got["n"].sum()
+        assert total == 8  # negatives/zero excluded
+        assert abs(got.loc[1, "expected_n"] - total * np.log10(2)) < 1e-6
+
+
+class TestChi2:
+    def test_independent_is_small_dependent_is_large(self, rd):
+        from zonal_stats_toolkit_ray.stages.profile import chi2_independence
+
+        rng = np.random.default_rng(7)
+        n = 6000
+        r = rng.choice(["a", "b", "c"], n)
+        ind = rng.choice([0, 1], n)
+        dep = np.where(r == "a", 1, rng.choice([0, 1], n))
+        d_ind = pd.DataFrame({"r": r, "c": ind})
+        d_dep = pd.DataFrame({"r": r, "c": dep})
+        g1 = chi2_independence(rd.from_pandas(d_ind), row_col="r", col_col="c")
+        g2 = chi2_independence(rd.from_pandas(d_dep), row_col="r", col_col="c")
+        assert g1["dof"][0] == 2 and g2["dof"][0] == 2
+        assert g1["chi2"][0] < 15 < g2["chi2"][0]
+
+    def test_matches_scipy_formula(self, rd):
+        from zonal_stats_toolkit_ray.stages.profile import chi2_independence
+
+        df = pd.DataFrame(
+            {"r": ["x", "x", "y", "y", "y", "x"], "c": [0, 1, 0, 1, 1, 1]}
+        )
+        got = chi2_independence(rd.from_pandas(df), row_col="r", col_col="c")
+        o = pd.crosstab(df["r"], df["c"]).to_numpy().astype(float)
+        e = o.sum(1, keepdims=True) * o.sum(0, keepdims=True) / o.sum()
+        want = ((o - e) ** 2 / e).sum()
+        assert abs(got["chi2"][0] - want) < 1e-6

@@ -372,3 +372,62 @@ def ols2_by_group(
                 b0 = (r.sy - b1 * r.s1 - b2 * r.s2) / n
         rows.append((getattr(r, key_col), int(r.n), b0, b1, b2))
     return pd.DataFrame(rows, columns=[key_col, "n", "b0", "b1", "b2"])
+
+
+def target_encode_loo(
+    ds,
+    *,
+    key_col: str,
+    cat_col: str,
+    value_col: str,
+    out_col: str = "te",
+    num_partitions: int = 4,
+):
+    """Leave-one-out target (mean) encoding → Dataset(key, cat, value,
+    te): each row's category encoded as the mean of the OTHER rows'
+    targets in its category, ``(Σ_cat − v) / (n_cat − 1)`` — the standard
+    leakage-free categorical feature for tree/linear models.  Categories
+    with a single row yield NULL (no peers).
+
+    Shape: one (category, n, Σ) aggregate (universe-sized) broadcasts via
+    ``ray.put``; the encode is a vectorized per-batch map — the corpus
+    streams, nothing row-sized shuffles.  Integral-ize ``value_col``
+    upstream for bit-exact SQL parity (lesson #34)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[value_col], pa.float64())
+        t = pa.table({cat_col: b[cat_col], "v": v})
+        g = t.group_by(cat_col).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table(
+            {
+                cat_col: g[cat_col],
+                "n": pc.cast(g["v_count"], pa.int64()),
+                "s": g["v_sum"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(cat_col)
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+        .to_pandas()
+    )
+    cats = pa.array(agg[cat_col].astype(str), pa.string())
+    ns = agg["n"].to_numpy(dtype=np.float64)
+    ss = agg["s"].to_numpy(dtype=np.float64)
+    ref = ray.put((cats, ns, ss))
+
+    def encode(b: pa.Table, *, _ref=ref) -> pa.Table:
+        c, n, s = ray.get(_ref)
+        idx = pc.index_in(b[cat_col], value_set=c).to_numpy(zero_copy_only=False)
+        v = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        ni = n[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            te = (s[idx] - v) / (ni - 1.0)
+        te = np.where(ni > 1, te, np.nan)
+        return b.append_column(out_col, pa.array(te, pa.float64()))
+
+    return ds.map_batches(encode, batch_format="pyarrow")

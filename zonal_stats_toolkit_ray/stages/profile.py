@@ -213,3 +213,105 @@ def embedding_profile(ds, *, vec_col: str = "embedding") -> pd.DataFrame:
             "max": g["mx"].to_numpy(),
         }
     ).reset_index(drop=True)
+
+
+def benford_digits(
+    ds, *, value_col: str = "value", scale: int = 100
+) -> pd.DataFrame:
+    """Benford first-significant-digit audit → DataFrame(digit 1-9, n,
+    expected_n 6dp) — the classic fabricated-data / unit-drift smell test
+    on positive numeric columns.
+
+    ``scale`` integral-izes fixed-decimal data (cents for 2-dp money):
+    the leading significant digit is invariant under ×10^k, and taking it
+    from the DECIMAL STRING of ``round(v·scale)`` sidesteps the float
+    ``v / 10^floor(log10 v)`` boundary hazard (0.6/0.1 = 5.999… flips
+    digits differently across libm implementations — observed numpy vs
+    DuckDB).  One pass of fixed 9-counter partials per block, driver sum;
+    expected = total · log10(1 + 1/d)."""
+    import pyarrow as pa
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[np.isfinite(v) & (v > 0)]
+        if v.size == 0:
+            counts = np.zeros(9, dtype=np.int64)
+        else:
+            ints = np.rint(v * scale).astype(np.int64)
+            ints = ints[ints > 0]
+            d = ints.astype("U20").astype("U1").astype(np.int64)
+            counts = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(counts),
+            }
+        )
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    g = p.groupby("digit", sort=True)["n"].sum()
+    total = float(g.sum())
+    exp = total * np.log10(1.0 + 1.0 / g.index.to_numpy(dtype=np.float64))
+    return pd.DataFrame(
+        {
+            "digit": g.index.to_numpy().astype(np.int64),
+            "n": g.to_numpy().astype(np.int64),
+            "expected_n": np.round(exp, 6),
+        }
+    )
+
+
+def chi2_independence(
+    ds,
+    *,
+    row_col: str,
+    col_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns → DataFrame(chi2 6dp, dof, n) — the categorical A/B readout
+    (does variant change the event-type mix?).
+
+    One pass of (row, col) count partials → hash aggregate over the
+    contingency universe → driver statistic with the SQL-identical
+    ``(o − e)² / e`` algebra, e = row_total · col_total / n."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({row_col: b[row_col], col_col: b[col_col]})
+        g = t.group_by([row_col, col_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                row_col: g[row_col],
+                col_col: g[col_col],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    piv = uni.pivot_table(
+        index=row_col, columns=col_col, values="n", fill_value=0, aggfunc="sum"
+    ).astype(np.float64)
+    o = piv.to_numpy()
+    n = o.sum()
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    e = rt * ct / n
+    chi2 = float(((o - e) * (o - e) / e).sum())
+    dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+    return pd.DataFrame(
+        {
+            "chi2": [round(chi2, 6)],
+            "dof": [np.int64(dof)],
+            "n": [np.int64(n)],
+        }
+    )
