@@ -4004,6 +4004,31 @@ def q_chi2(sf_dir: str):
     return chi2_independence(ds, row_col="event_type", col_col="variant")
 
 
+def q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining (stages/knn.py:hard_negatives):
+    for each of the first 100 embeddings, the nearest vector with a
+    DIFFERENT label — broadcast query pack, per-batch (x−c)² cube with a
+    label mask, blocks×nq driver merge.  Oracle = unnest distance join +
+    ROW_NUMBER."""
+    from zonal_stats_toolkit_ray.stages.knn import hard_negatives
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    qdf = ds.filter(expr="vec_id < 100").to_pandas()
+    queries = {
+        "query_id": qdf["vec_id"].to_numpy(),
+        "matrix": np.stack(
+            [np.asarray(v, dtype=np.float64) for v in qdf["embedding"]]
+        ),
+        "label": qdf["label"].to_numpy(),
+    }
+    out = hard_negatives(ds, queries)
+    return out.sort_values("query_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4087,6 +4112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "target_encode": q_target_encode,
         "benford": q_benford,
         "chi2": q_chi2,
+        "hard_negatives": q_hard_negatives,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4692,6 +4718,34 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS qid, label AS qlab,
+                     unnest(CAST(embedding AS DOUBLE[])) AS qv,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings WHERE vec_id < 100
+            ), c AS (
+              SELECT vec_id AS cid, label AS clab,
+                     unnest(CAST(embedding AS DOUBLE[])) AS cv,
+                     unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings
+            ), d AS (
+              SELECT q.qid, c.cid,
+                     SUM((q.qv - c.cv) * (q.qv - c.cv)) AS d2
+              FROM q JOIN c USING (dim)
+              WHERE q.qlab <> c.clab
+              GROUP BY q.qid, c.cid
+            ), r AS (
+              SELECT d.qid, d.cid, d.d2,
+                     ROW_NUMBER() OVER (PARTITION BY d.qid
+                                        ORDER BY d.d2, d.cid) AS rn
+              FROM d
+            )
+            SELECT r.qid AS query_id, r.cid AS neg_id,
+                   CAST(e.label AS BIGINT) AS neg_label
+            FROM r JOIN embeddings e ON e.vec_id = r.cid
+            WHERE r.rn = 1 ORDER BY query_id
+        """,
         "target_encode": """
             WITH b AS (
               SELECT event_id, event_type, floor(value) AS v FROM events

@@ -103,3 +103,28 @@ class TestChi2:
         e = o.sum(1, keepdims=True) * o.sum(0, keepdims=True) / o.sum()
         want = ((o - e) ** 2 / e).sum()
         assert abs(got["chi2"][0] - want) < 1e-6
+
+
+class TestHardNegatives:
+    def test_matches_bruteforce(self, rd):
+        from zonal_stats_toolkit_ray.stages.knn import hard_negatives
+
+        rng = np.random.default_rng(11)
+        n, d = 300, 8
+        x = rng.normal(0, 1, (n, d))
+        labels = rng.integers(0, 3, n)
+        df = pd.DataFrame(
+            {
+                "vec_id": np.arange(n),
+                "embedding": [list(map(float, r)) for r in x],
+                "label": labels,
+            }
+        )
+        q = {"query_id": np.arange(20), "matrix": x[:20], "label": labels[:20]}
+        got = hard_negatives(rd.from_pandas(df).repartition(5), q)
+        for i in range(20):
+            d2 = ((x[i] - x) ** 2).sum(axis=1)
+            d2[labels == labels[i]] = np.inf
+            want = int(np.argmin(d2))
+            assert got[got["query_id"] == i]["neg_id"].iloc[0] == want
+            assert labels[want] != labels[i]

@@ -449,3 +449,81 @@ def knn_ivf_partitioned(
         batch_format="pyarrow",
     ).to_pandas()
     return _merge_local_topk(local, k, id_col)
+
+
+def hard_negatives(
+    ds,
+    queries: dict,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pd.DataFrame:
+    """Contrastive hard-negative mining: for every query vector, the
+    single nearest corpus vector with a DIFFERENT label →
+    DataFrame(query_id, neg_id, neg_label) — the negative-pair selection
+    pass of contrastive/metric training.
+
+    ``queries`` = {"query_id": [...], "matrix": (nq, d), "label": [...]}.
+    Same shape as :func:`knn_brute` (broadcast query pack, per-batch
+    distance cube, blocks × nq driver merge) with a vectorized label
+    mask; distances use the (x − c)² expansion (argmin/SQL-ROW_NUMBER
+    near-tie parity, ties by ascending id)."""
+    import ray
+
+    qid = np.asarray(queries["query_id"], dtype=np.int64)
+    qm = np.asarray(queries["matrix"], dtype=np.float64)
+    ql = np.asarray(queries["label"], dtype=np.int64)
+    ref = ray.put((qid, qm, ql))
+
+    def local_best(b: pa.Table, *, _ref=ref) -> pa.Table:
+        _qid, _qm, _ql = _cached_ref(_ref)
+        from .pca import _batch_matrix
+
+        x = _batch_matrix(b[vec_col])
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = b[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neg_id": pa.array([], pa.int64()),
+                "neg_label": pa.array([], pa.int64()),
+                "d2": pa.array([], pa.float64()),
+            }
+        )
+        if x.size == 0:
+            return empty
+        out_q, out_i, out_l, out_d = [], [], [], []
+        step = max(1, int(2_000_000 // max(1, x.shape[0])))
+        for s in range(0, _qm.shape[0], step):
+            e = min(_qm.shape[0], s + step)
+            d2 = ((_qm[s:e, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+            mask = _ql[s:e, None] == labs[None, :]
+            d2 = np.where(mask, np.inf, d2)
+            # deterministic argmin with id tiebreak: order columns by id
+            order = np.argsort(ids, kind="stable")
+            d2o = d2[:, order]
+            j = np.argmin(d2o, axis=1)  # first (lowest id) on ties
+            best = d2o[np.arange(e - s), j]
+            ok = np.isfinite(best)
+            out_q.append(_qid[s:e][ok])
+            out_i.append(ids[order][j][ok])
+            out_l.append(labs[order][j][ok])
+            out_d.append(best[ok])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neg_id": pa.array(np.concatenate(out_i), pa.int64()),
+                "neg_label": pa.array(np.concatenate(out_l), pa.int64()),
+                "d2": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(local_best, batch_format="pyarrow").to_pandas()
+    if local.empty:
+        return pd.DataFrame(columns=["query_id", "neg_id", "neg_label"])
+    # blocks × nq driver merge: per query the globally smallest (d2, id)
+    local = local.sort_values(
+        ["query_id", "d2", "neg_id"], kind="stable"
+    ).groupby("query_id", as_index=False).first()
+    return local[["query_id", "neg_id", "neg_label"]].reset_index(drop=True)
