@@ -4029,6 +4029,30 @@ def q_hard_negatives(sf_dir: str):
     return out.sort_values("query_id").reset_index(drop=True)
 
 
+def q_psi(sf_dir: str):
+    """Population Stability Index of events.value between even- and
+    odd-user segments (stages/profile.py:psi_drift): reference-decile
+    bins + Laplace-smoothed PSI terms, all from ONE (segment, value)
+    count-universe aggregate."""
+    from zonal_stats_toolkit_ray.stages.profile import psi_drift
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "seg": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                ),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return psi_drift(ds, value_col="value", seg_col="seg", ref_segment=0)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4113,6 +4137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford": q_benford,
         "chi2": q_chi2,
         "hard_negatives": q_hard_negatives,
+        "psi": q_psi,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4718,6 +4743,40 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "psi": """
+            WITH a AS (
+              SELECT value AS v FROM events WHERE user_id % 2 = 0
+            ), bb AS (
+              SELECT value AS v FROM events WHERE user_id % 2 <> 0
+            ), bl AS (
+              SELECT unnest(quantile_cont(v,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS q
+              FROM a
+            ), ba AS (
+              SELECT (SELECT COUNT(*) FROM bl WHERE a.v > bl.q) AS bin FROM a
+            ), bbn AS (
+              SELECT (SELECT COUNT(*) FROM bl WHERE bb.v > bl.q) AS bin FROM bb
+            ), ga AS (SELECT bin, COUNT(*) AS na FROM ba GROUP BY bin),
+            gb AS (SELECT bin, COUNT(*) AS nb FROM bbn GROUP BY bin),
+            bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            j AS (
+              SELECT bins.bin, COALESCE(ga.na, 0) AS na,
+                     COALESCE(gb.nb, 0) AS nb
+              FROM bins LEFT JOIN ga USING (bin) LEFT JOIN gb USING (bin)
+            ), t AS (
+              SELECT CAST(SUM(na) AS DOUBLE) AS ta,
+                     CAST(SUM(nb) AS DOUBLE) AS tb
+              FROM j
+            )
+            SELECT CAST(j.bin AS BIGINT) AS bin,
+                   CAST(j.na AS BIGINT) AS na, CAST(j.nb AS BIGINT) AS nb,
+                   round(((j.na + 0.5) / (t.ta + 5.0)
+                          - (j.nb + 0.5) / (t.tb + 5.0))
+                         * ln(((j.na + 0.5) / (t.ta + 5.0))
+                              / ((j.nb + 0.5) / (t.tb + 5.0))), 6)
+                       AS psi_term
+            FROM j, t ORDER BY j.bin
+        """,
         "hard_negatives": """
             WITH q AS (
               SELECT vec_id AS qid, label AS qlab,

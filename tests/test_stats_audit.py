@@ -128,3 +128,36 @@ class TestHardNegatives:
             want = int(np.argmin(d2))
             assert got[got["query_id"] == i]["neg_id"].iloc[0] == want
             assert labels[want] != labels[i]
+
+
+class TestPsiDrift:
+    def test_no_drift_near_zero_shifted_large(self, rd):
+        from zonal_stats_toolkit_ray.stages.profile import psi_drift
+
+        rng = np.random.default_rng(3)
+        n = 20_000
+        same = pd.DataFrame(
+            {
+                "seg": rng.integers(0, 2, n),
+                "value": np.round(rng.normal(50, 10, n), 2),
+            }
+        )
+        g1 = psi_drift(
+            rd.from_pandas(same).repartition(4),
+            value_col="value",
+            seg_col="seg",
+            ref_segment=0,
+        )
+        assert g1["psi_term"].sum() < 0.01  # same distribution
+        shifted = same.copy()
+        shifted.loc[shifted["seg"] == 1, "value"] += 8.0
+        g2 = psi_drift(
+            rd.from_pandas(shifted),
+            value_col="value",
+            seg_col="seg",
+            ref_segment=0,
+        )
+        assert g2["psi_term"].sum() > 0.2  # conventional drift threshold
+        # reference counts split evenly into its own deciles
+        na = g1["na"].to_numpy()
+        assert na.max() - na.min() <= na.mean() * 0.1

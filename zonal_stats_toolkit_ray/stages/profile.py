@@ -315,3 +315,101 @@ def chi2_independence(
             "n": [np.int64(n)],
         }
     )
+
+
+def psi_drift(
+    ds,
+    *,
+    value_col: str,
+    seg_col: str,
+    ref_segment,
+    n_bins: int = 10,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Population Stability Index between a reference segment and the
+    rest → DataFrame(bin, na, nb, psi_term 6dp) — the standard
+    feature-drift monitor: bins are the reference segment's exact
+    ``n_bins``-quantile boundaries; PSI = Σ (pa − pb)·ln(pa/pb) with
+    +0.5 Laplace smoothing (pa = (na+0.5)/(Na + 0.5·k)) so empty bins
+    stay finite.  Σ psi_term > 0.2 is the conventional "investigate"
+    threshold.
+
+    Shape: ONE (segment, value) count-universe aggregate (the
+    winsorized-mean shape — exact for fixed-decimal data) yields both the
+    interpolated boundaries AND every bin count: binning is a
+    searchsorted over the universe, never a second corpus pass."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        seg = pc.equal(b[seg_col], ref_segment)
+        t = pa.table(
+            {
+                "is_ref": pc.cast(seg, pa.int8()),
+                "v": pc.cast(b[value_col], pa.float64()),
+            }
+        )
+        g = t.group_by(["is_ref", "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "is_ref": g["is_ref"],
+                "v": g["v"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.select_columns([seg_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["is_ref", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values(["is_ref", "v"], kind="stable")
+    )
+    a = uni[uni["is_ref"] == 1]
+    b = uni[uni["is_ref"] == 0]
+    va, ca = a["v"].to_numpy(), a["c"].to_numpy(dtype=np.int64)
+    vb, cb = b["v"].to_numpy(), b["c"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(ca)
+    n_a = int(cum[-1])
+
+    def interp_q(q: float) -> float:
+        r = q * (n_a - 1)
+        k = int(np.floor(r))
+        frac = r - k
+        i = int(np.searchsorted(cum, k, side="right"))
+        vk = va[i]
+        if frac == 0.0:
+            return float(vk)
+        j = int(np.searchsorted(cum, k + 1, side="right"))
+        return float(vk + frac * (va[j] - vk))
+
+    bounds = np.array(
+        [interp_q(i / n_bins) for i in range(1, n_bins)], dtype=np.float64
+    )
+
+    def bin_counts(vals, cnts):
+        # bin of v = number of boundaries strictly below v (v > b)
+        bins = np.searchsorted(bounds, vals, side="left")
+        # searchsorted 'left' counts b >= v... we need v > b: a boundary
+        # EQUAL to v must count the bin BELOW (v > b false) → side='left'
+        # gives first idx with bounds[idx] >= v ⇒ #bounds < v... for
+        # bounds[j] == v, idx stops before it ⇒ v NOT above it ✓
+        return np.bincount(bins, weights=cnts, minlength=n_bins).astype(np.int64)
+
+    na = bin_counts(va, ca)
+    nb = bin_counts(vb, cb)
+    Na, Nb = float(na.sum()), float(nb.sum())
+    pa_ = (na + 0.5) / (Na + 0.5 * n_bins)
+    pb_ = (nb + 0.5) / (Nb + 0.5 * n_bins)
+    term = (pa_ - pb_) * np.log(pa_ / pb_)
+    return pd.DataFrame(
+        {
+            "bin": np.arange(n_bins, dtype=np.int64),
+            "na": na,
+            "nb": nb,
+            "psi_term": np.round(term, 6),
+        }
+    )
