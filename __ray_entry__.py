@@ -4053,6 +4053,18 @@ def q_psi(sf_dir: str):
     return psi_drift(ds, value_col="value", seg_col="seg", ref_segment=0)
 
 
+def q_encode_corpus(sf_dir: str):
+    """Corpus → frequency-ranked token-id sequences (stages/text.py:
+    encode_corpus): distributed vocabulary build + broadcast index_in
+    encode + vectorized ListArray/binary_join rebuild."""
+    from zonal_stats_toolkit_ray.stages.text import encode_corpus
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = encode_corpus(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4138,6 +4150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2": q_chi2,
         "hard_negatives": q_hard_negatives,
         "psi": q_psi,
+        "encode_corpus": q_encode_corpus,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4743,6 +4756,31 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "encode_corpus": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), flat AS (
+              SELECT doc_id, unnest(w) AS token,
+                     unnest(generate_series(1, len(w))) AS pos
+              FROM toks
+            ), df AS (
+              SELECT token, COUNT(DISTINCT doc_id) AS df
+              FROM flat GROUP BY token
+            ), ids AS (
+              SELECT token,
+                     ROW_NUMBER() OVER (ORDER BY df DESC, token) AS tid
+              FROM df
+            )
+            SELECT f.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   string_agg(CAST(ids.tid AS VARCHAR), ' '
+                              ORDER BY f.pos) AS id_seq
+            FROM flat f JOIN ids USING (token)
+            GROUP BY f.doc_id ORDER BY f.doc_id
+        """,
         "psi": """
             WITH a AS (
               SELECT value AS v FROM events WHERE user_id % 2 = 0

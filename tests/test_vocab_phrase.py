@@ -88,3 +88,53 @@ class TestPhraseSearch:
         )
         assert got["doc_id"].tolist() == list(range(50))
         assert stats["buckets_probed"] <= 2 < stats["dirs_total"]
+
+
+class TestEncodeCorpus:
+    def test_roundtrip_decode(self, rd):
+        from zonal_stats_toolkit_ray.stages.text import encode_corpus, vocabulary_ids
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["b a b", "  a   c ", ""],
+            }
+        )
+        ds = rd.from_pandas(df)
+        vocab = vocabulary_ids(ds).to_pandas()
+        id2tok = dict(zip(vocab["token_id"], vocab["token"]))
+        got = (
+            encode_corpus(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [1, 2]  # empty doc omitted
+        # decode back
+        dec = [
+            " ".join(id2tok[int(i)] for i in s.split()) for s in got["id_seq"]
+        ]
+        assert dec == ["b a b", "a c"]
+        assert got["n_tokens"].tolist() == [3, 2]
+        # most frequent token gets id 1: a appears in 2 docs, b in 1
+        assert id2tok[1] == "a"
+
+    def test_multi_block_vocab_consistency(self, rd):
+        from zonal_stats_toolkit_ray.stages.text import encode_corpus
+
+        rng = np.random.default_rng(13)
+        words = [f"w{i:03d}" for i in range(200)]
+        texts = [" ".join(rng.choice(words, 20)) for _ in range(300)]
+        df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+        got = (
+            encode_corpus(rd.from_pandas(df).repartition(8))
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        # every doc encodes to exactly 20 ids; ids are globally consistent
+        assert (got["n_tokens"] == 20).all()
+        first = {}
+        ok = True
+        for txt, seq in zip(texts, got["id_seq"]):
+            for w, i in zip(txt.split(), seq.split()):
+                if w in first and first[w] != i:
+                    ok = False
+                first[w] = i
+        assert ok

@@ -1465,3 +1465,84 @@ def kwic(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def encode_corpus(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_broadcast_threshold: int = 5_000_000,
+    num_partitions: int | None = None,
+):
+    """Tokenize the corpus into frequency-ranked id sequences →
+    Dataset(doc_id, n_tokens, id_seq) — the LLM-preprocessing encode pass:
+    ``vocabulary_ids`` assigns ids (df DESC, token ASC), every document
+    maps its tokens to ids in order, emitted as the space-joined id
+    string (docs with zero tokens are omitted — they have no sequence).
+
+    Shape: the vocabulary builds distributed (see ``vocabulary_ids``),
+    then broadcasts ONCE as parallel (token-array, id-array) for a
+    vectorized ``pc.index_in`` per batch; the sequence rebuild is one
+    ``ListArray`` + ``binary_join`` per batch — no per-row Python.
+    Vocabularies over ``vocab_broadcast_threshold`` raise (explicit, not
+    silently wrong): at that size route through the positional-rows +
+    hash-join + regroup plan instead (the tfidf_top_terms dual-regime
+    shape), which trades one extra shuffle for no broadcast."""
+    import ray
+
+    vocab = vocabulary_ids(ds, text_col=text_col, num_partitions=num_partitions)
+    vdf = vocab.to_pandas()
+    if len(vdf) > vocab_broadcast_threshold:
+        raise ValueError(
+            f"vocabulary ({len(vdf)}) exceeds vocab_broadcast_threshold; "
+            "use the positional hash-join plan for corpus-scale vocabularies"
+        )
+    tok_arr = pa.array(vdf["token"].astype(str), pa.string())
+    id_strs = pa.array(
+        vdf["token_id"].astype(np.int64).astype(str), pa.string()
+    )
+    ref = ray.put((tok_arr, id_strs))
+
+    def encode(b: pa.Table, *, _ref=ref) -> pa.Table:
+        toks_a, ids_a = ray.get(_ref)
+        t = pc.utf8_lower(pc.fill_null(b[text_col], ""))
+        toks = pc.split_pattern_regex(t, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        doc_of = doc_of[ne]
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "id_seq": pa.array([], pa.string()),
+            }
+        )
+        if len(flat) == 0:
+            return empty
+        idx = pc.index_in(flat, value_set=toks_a)
+        mapped = ids_a.take(idx)  # every token is in the vocab by construction
+        ntok = np.bincount(doc_of, minlength=counts.size).astype(np.int64)
+        keep = ntok > 0
+        offsets = np.concatenate([[0], np.cumsum(ntok[keep])]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), mapped)
+        seq = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(ntok[keep], pa.int64()),
+                "id_seq": seq,
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
