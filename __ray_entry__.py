@@ -4065,6 +4065,48 @@ def q_encode_corpus(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal Rank Fusion of two per-lang top-20 rankings
+    (stages/rank.py:rrf_fuse over two distributed topk_per_group lists):
+    list A by n_chars, list B by a deterministic pseudo-relevance hash;
+    score = Σ 1/(60 + rank), top-10 per lang."""
+    from zonal_stats_toolkit_ray.stages.rank import rrf_fuse, topk_per_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "pseudo",
+            pa.array(
+                (t["doc_id"].to_numpy(zero_copy_only=False) * 7919) % 1000,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ranked(value_col: str) -> pd.DataFrame:
+        top = topk_per_group(
+            ds, key_col="lang", value_col=value_col, id_col="doc_id", k=20
+        )
+        top = top.sort_values(
+            ["lang", value_col, "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).reset_index(drop=True)
+        top["rank"] = top.groupby("lang").cumcount() + 1
+        return top[["lang", "doc_id", "rank"]]
+
+    out = rrf_fuse(
+        [ranked("n_chars"), ranked("pseudo")],
+        query_col="lang",
+        doc_col="doc_id",
+    )
+    out["score"] = out["score"].round(6)
+    return out.sort_values(["lang", "rrf_rank"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4151,6 +4193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "psi": q_psi,
         "encode_corpus": q_encode_corpus,
+        "rrf_fusion": q_rrf_fusion,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4756,6 +4799,34 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "rrf_fusion": """
+            WITH a AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS r
+              FROM documents QUALIFY r <= 20
+            ), b AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY (doc_id * 7919) % 1000 DESC,
+                                                 doc_id) AS r
+              FROM documents QUALIFY r <= 20
+            ), u AS (
+              SELECT * FROM a UNION ALL SELECT * FROM b
+            ), s AS (
+              SELECT lang, doc_id, SUM(1.0 / (60 + r)) AS score
+              FROM u GROUP BY 1, 2
+            ), f AS (
+              SELECT lang, doc_id, score,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, doc_id)
+                         AS rrf_rank
+              FROM s
+            )
+            SELECT lang, doc_id, round(score, 6) AS score,
+                   rrf_rank
+            FROM f WHERE rrf_rank <= 10 ORDER BY lang, rrf_rank
+        """,
         "encode_corpus": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -330,3 +330,40 @@ def winsorized_mean_by_group(
         wmean = float((clipped * c).sum() / n)
         rows.append((key, n, lo, hi, wmean))
     return pd.DataFrame(rows, columns=[key_col, "n", "lo", "hi", "wmean"])
+
+
+def rrf_fuse(
+    rankings: "list[pd.DataFrame]",
+    *,
+    query_col: str,
+    doc_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 10,
+) -> "pd.DataFrame":
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    merge ranked lists per query by ``score(d) = Σ_lists 1/(k + rank_d)``
+    → DataFrame(query, doc, score, rrf_rank ≤ top_n) — the standard
+    hybrid-retrieval combiner (BM25 list ⊕ ANN list).
+
+    Pure result-space arithmetic: inputs are top-k lists (queries × k
+    rows each — produced distributed by topk_per_group / bm25_topk /
+    knn), so fusion itself is driver-sized by construction.  Ties break
+    by ascending doc id (ROW_NUMBER parity)."""
+    import pandas as pd
+
+    u = pd.concat(
+        [r[[query_col, doc_col, rank_col]] for r in rankings], ignore_index=True
+    )
+    u["__s"] = 1.0 / (k + u[rank_col].to_numpy(dtype=np.float64))
+    s = (
+        u.groupby([query_col, doc_col], as_index=False)["__s"]
+        .sum()
+        .rename(columns={"__s": "score"})
+    )
+    s = s.sort_values(
+        [query_col, "score", doc_col], ascending=[True, False, True], kind="stable"
+    ).reset_index(drop=True)
+    s["rrf_rank"] = s.groupby(query_col).cumcount() + 1
+    out = s[s["rrf_rank"] <= top_n].reset_index(drop=True)
+    return out
