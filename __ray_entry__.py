@@ -4107,6 +4107,21 @@ def q_rrf_fusion(sf_dir: str):
     return out.sort_values(["lang", "rrf_rank"]).reset_index(drop=True)
 
 
+def q_quantile_transform(sf_dir: str):
+    """ECDF transform of events.value (stages/normalize.py:
+    quantile_transform): one value-universe aggregate, broadcast cum
+    table, vectorized searchsorted.  Oracle = CUME_DIST() window."""
+    from zonal_stats_toolkit_ray.stages.normalize import quantile_transform
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+    out = quantile_transform(ds).to_pandas()
+    out["ecdf"] = out["ecdf"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4194,6 +4209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi": q_psi,
         "encode_corpus": q_encode_corpus,
         "rrf_fusion": q_rrf_fusion,
+        "quantile_transform": q_quantile_transform,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4799,6 +4815,11 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "quantile_transform": """
+            SELECT event_id,
+                   round(CUME_DIST() OVER (ORDER BY value), 6) AS ecdf
+            FROM events ORDER BY event_id
+        """,
         "rrf_fusion": """
             WITH a AS (
               SELECT lang, doc_id,

@@ -131,3 +131,59 @@ def normalize_by_group(
         )
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+def quantile_transform(
+    ds,
+    *,
+    id_col: str = "event_id",
+    value_col: str = "value",
+    num_partitions: int = 4,
+):
+    """ECDF (rank) transform → Dataset(id, ecdf): each value maps to
+    ``count(v' ≤ v) / n`` — SQL ``CUME_DIST()`` — the uniformizing
+    feature transform (quantile normalization's per-column half).
+
+    Shape: one (value, count) universe aggregate (exact for bounded
+    distinct universes — fixed-decimal data), driver cumsum, broadcast
+    (values, cum) arrays, then a vectorized searchsorted per batch.  The
+    corpus streams; only the value universe ever leaves the workers."""
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(b[value_col], pa.float64())})
+        g = t.group_by("v").aggregate([([], "count_all")])
+        return pa.table(
+            {"v": g["v"], "c": pc.cast(g["count_all"], pa.int64())}
+        )
+
+    uni = (
+        ds.select_columns([value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("v", kind="stable")
+    )
+    vals = uni["v"].to_numpy(dtype=np.float64)
+    cum = np.cumsum(uni["c"].to_numpy(dtype=np.int64))
+    n = float(cum[-1]) if cum.size else 1.0
+    ref = ray.put((vals, cum.astype(np.float64)))
+
+    def transform(b: pa.Table, *, _ref=ref) -> pa.Table:
+        v = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        vv, cc = ray.get(_ref)
+        idx = np.searchsorted(vv, v, side="right") - 1
+        ecdf = cc[idx] / n
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "ecdf": pa.array(ecdf, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")
