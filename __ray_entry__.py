@@ -4122,6 +4122,49 @@ def q_quantile_transform(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_entity_resolution(sf_dir: str):
+    """Entity resolution: PassJoin edit-distance pairs (text prefixes,
+    k=2) → distributed connected components → canonical id per doc
+    (min id of the fuzzy-match cluster; singletons stay themselves).
+    Oracle = levenshtein pair edges + WITH RECURSIVE reachability."""
+    from zonal_stats_toolkit_ray.stages.dedup import (
+        distributed_connected_components,
+    )
+    from zonal_stats_toolkit_ray.stages.editjoin import edit_distance_join
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    strs = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "s": pc.utf8_slice_codeunits(pc.fill_null(t["text"], ""), 0, 24),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs = edit_distance_join(strs, id_col="doc_id", str_col="s", k=2)
+    ids = docs.select_columns(["doc_id"]).to_pandas()
+    if len(pairs):
+        cc = distributed_connected_components(
+            rd.from_pandas(pairs[["a", "b"]].astype(np.int64))
+        )
+        out = ids.merge(cc, on="doc_id", how="left")
+        out["canonical_id"] = (
+            out["cluster_id"].fillna(out["doc_id"]).astype(np.int64)
+        )
+    else:
+        out = ids.copy()
+        out["canonical_id"] = out["doc_id"]
+    return (
+        out[["doc_id", "canonical_id"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4210,6 +4253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_corpus": q_encode_corpus,
         "rrf_fusion": q_rrf_fusion,
         "quantile_transform": q_quantile_transform,
+        "entity_resolution": q_entity_resolution,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4815,6 +4859,31 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "entity_resolution": """
+            WITH RECURSIVE s AS (
+              SELECT doc_id, substr(text, 1, 24) AS s FROM documents
+            ), e AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM s a JOIN s b
+                ON a.doc_id < b.doc_id
+               AND abs(len(a.s) - len(b.s)) <= 2
+              WHERE levenshtein(a.s, b.s) <= 2
+            ), ee AS (
+              SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), reach AS (
+              SELECT a AS node, b AS r FROM ee
+              UNION
+              SELECT reach.node, ee.b
+              FROM reach JOIN ee ON ee.a = reach.r
+            ), lab AS (
+              SELECT node, LEAST(node, MIN(r)) AS canonical
+              FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(lab.canonical, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "quantile_transform": """
             SELECT event_id,
                    round(CUME_DIST() OVER (ORDER BY value), 6) AS ecdf
