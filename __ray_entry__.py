@@ -4165,6 +4165,18 @@ def q_entity_resolution(sf_dir: str):
     )
 
 
+def q_negative_samples(sf_dir: str):
+    """word2vec/NCE negative sampling (stages/text.py:negative_samples):
+    5 deterministic draws per doc from the unigram^0.75 distribution via
+    Knuth-hash uniforms through the broadcast inverse CDF."""
+    from zonal_stats_toolkit_ray.stages.text import negative_samples
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = negative_samples(ds, per_doc=5).to_pandas()
+    return out.sort_values(["doc_id", "j"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4254,6 +4266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": q_rrf_fusion,
         "quantile_transform": q_quantile_transform,
         "entity_resolution": q_entity_resolution,
+        "negative_samples": q_negative_samples,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4859,6 +4872,36 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "negative_samples": r"""
+            WITH flat AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\s+'), x -> x <> ''
+                     ))) AS token
+              FROM documents
+            ), df AS (
+              SELECT token, COUNT(*) AS df FROM flat GROUP BY token
+            ), c AS (
+              SELECT token,
+                     SUM(pow(CAST(df AS DOUBLE), 0.75)) OVER (
+                       ORDER BY token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cw
+              FROM df
+            ), tt AS (
+              SELECT MAX(cw) AS tot FROM c
+            ), draws AS (
+              SELECT doc_id, t.j,
+                     CAST(((doc_id * 5 + t.j) * 2654435761) % 4294967296
+                          AS DOUBLE) / 4294967296.0 AS u
+              FROM documents, generate_series(0, 4) AS t(j)
+            )
+            SELECT d.doc_id, CAST(d.j AS BIGINT) AS j,
+                   (SELECT c.token FROM c, tt
+                    WHERE c.cw > d.u * tt.tot
+                    ORDER BY c.cw LIMIT 1) AS neg_token
+            FROM draws d ORDER BY d.doc_id, d.j
+        """,
         "entity_resolution": """
             WITH RECURSIVE s AS (
               SELECT doc_id, substr(text, 1, 24) AS s FROM documents

@@ -138,3 +138,30 @@ class TestEncodeCorpus:
                     ok = False
                 first[w] = i
         assert ok
+
+
+class TestNegativeSamples:
+    def test_distribution_follows_df_power(self, rd):
+        from zonal_stats_toolkit_ray.stages.text import negative_samples
+
+        # token 'hot' in ~all docs, 'cold' in few → hot drawn far more often
+        rng = np.random.default_rng(7)
+        texts = []
+        for i in range(400):
+            toks = ["hot"]
+            if i % 40 == 0:
+                toks.append("cold")
+            toks.append(f"mid{i % 20}")
+            texts.append(" ".join(toks))
+        df = pd.DataFrame({"doc_id": np.arange(400), "text": texts})
+        got = negative_samples(
+            rd.from_pandas(df).repartition(4), per_doc=10
+        ).to_pandas()
+        counts = got["neg_token"].value_counts()
+        assert counts.get("hot", 0) > 10 * counts.get("cold", 1)
+        assert len(got) == 4000
+        # deterministic: re-run identical
+        again = negative_samples(rd.from_pandas(df), per_doc=10).to_pandas()
+        a = got.sort_values(["doc_id", "j"]).reset_index(drop=True)
+        b = again.sort_values(["doc_id", "j"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

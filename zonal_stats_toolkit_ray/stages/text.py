@@ -1546,3 +1546,61 @@ def encode_corpus(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def negative_samples(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    per_doc: int = 5,
+    power: float = 0.75,
+    num_partitions: int | None = None,
+):
+    """Deterministic negative sampling (word2vec/NCE): ``per_doc`` tokens
+    per document drawn from the unigram^``power`` distribution
+    (Mikolov et al. 2013's df^0.75 smoothing) → Dataset(doc_id, j,
+    neg_token).
+
+    Reproducible by construction: draw j of doc d uses the Knuth-hash
+    uniform ``((d·per_doc + j)·2654435761 mod 2³²) / 2³²`` (the
+    train_val_split hash) through the inverse CDF of the token-ascending
+    cumulative weights — fully SQL-expressible, partition-independent.
+
+    Shape: the (token, df) vocabulary builds distributed (doc_frequency
+    partials), the (tokens, cumweights) arrays broadcast once, and each
+    batch draws vectorized (one searchsorted per batch)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        doc_frequency_batch, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    ).repartition(num_partitions or 4)
+    agg = partials.groupby("token").aggregate(Sum("df", alias_name="df"))
+    vdf = agg.to_pandas()  # vocabulary-sized
+    vdf = vdf.sort_values("token", kind="stable").reset_index(drop=True)
+    wt = np.power(vdf["df"].to_numpy(dtype=np.float64), power)
+    cw = np.cumsum(wt)
+    tot = float(cw[-1])
+    toks = pa.array(vdf["token"].astype(str), pa.string())
+    ref = ray.put((toks, cw))
+
+    def draw(b: pa.Table, *, _ref=ref) -> pa.Table:
+        toks_a, cw_a = ray.get(_ref)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.repeat(ids, per_doc)
+        j = np.tile(np.arange(per_doc, dtype=np.int64), ids.size)
+        u = ((d * per_doc + j) * np.int64(2654435761) % np.int64(2**32)).astype(
+            np.float64
+        ) / float(2**32)
+        idx = np.searchsorted(cw_a, u * tot, side="right")
+        idx = np.minimum(idx, len(cw_a) - 1)  # u·tot == tot edge
+        return pa.table(
+            {
+                id_col: pa.array(d, pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "neg_token": toks_a.take(pa.array(idx)),
+            }
+        )
+
+    return ds.select_columns([id_col]).map_batches(draw, batch_format="pyarrow")
