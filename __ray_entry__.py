@@ -4177,6 +4177,20 @@ def q_negative_samples(sf_dir: str):
     return out.sort_values(["doc_id", "j"]).reset_index(drop=True)
 
 
+def q_gini(sf_dir: str):
+    """Gini concentration of l_quantity per returnflag (stages/rank.py:
+    gini_by_group): closed-form tie-block rank algebra over the
+    (key, value) count universe — integer-exact vs the SQL ROW_NUMBER
+    form."""
+    from zonal_stats_toolkit_ray.stages.rank import gini_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return gini_by_group(ds, key_col="l_returnflag", value_col="l_quantity")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4267,6 +4281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_transform": q_quantile_transform,
         "entity_resolution": q_entity_resolution,
         "negative_samples": q_negative_samples,
+        "gini": q_gini,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4872,6 +4887,22 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "gini": """
+            WITH b AS (
+              SELECT l_returnflag AS k, CAST(l_quantity AS DOUBLE) AS v
+              FROM lineitem
+            ), r AS (
+              SELECT k, v,
+                     ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY k) AS n,
+                     SUM(v) OVER (PARTITION BY k) AS s
+              FROM b
+            )
+            SELECT k AS l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+                   round(SUM((2.0 * rn - n - 1) * v) / (MAX(n) * MAX(s)), 6)
+                       AS gini
+            FROM r GROUP BY k ORDER BY k
+        """,
         "negative_samples": r"""
             WITH flat AS (
               SELECT doc_id,

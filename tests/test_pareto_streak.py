@@ -139,3 +139,36 @@ class TestMaxStreak:
         df = pd.DataFrame({"user_id": np.zeros(5000, dtype=np.int64), "ts": ts})
         got = max_streak_by_key(rd.from_pandas(df).repartition(16))
         assert got["max_streak"].tolist() == [5000]
+
+
+class TestGini:
+    def test_matches_sorted_formula(self, rd):
+        from zonal_stats_toolkit_ray.stages.rank import gini_by_group
+
+        rng = np.random.default_rng(5)
+        df = pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b"], 4000),
+                "v": rng.integers(1, 100, 4000).astype(float),
+            }
+        )
+        got = gini_by_group(
+            rd.from_pandas(df).repartition(5), key_col="k", value_col="v"
+        ).set_index("k")
+        for k, g in df.groupby("k"):
+            x = np.sort(g["v"].to_numpy())
+            n = len(x)
+            want = ((2 * np.arange(1, n + 1) - n - 1) * x).sum() / (n * x.sum())
+            assert abs(got.loc[k, "gini"] - want) < 1e-6
+
+    def test_extremes(self, rd):
+        from zonal_stats_toolkit_ray.stages.rank import gini_by_group
+
+        equal = pd.DataFrame({"k": ["e"] * 100, "v": np.full(100, 7.0)})
+        got = gini_by_group(rd.from_pandas(equal), key_col="k", value_col="v")
+        assert got["gini"].tolist() == [0.0]
+        skew = pd.DataFrame(
+            {"k": ["s"] * 100, "v": [0.0] * 99 + [1000.0]}
+        )
+        got2 = gini_by_group(rd.from_pandas(skew), key_col="k", value_col="v")
+        assert got2["gini"][0] > 0.98

@@ -367,3 +367,63 @@ def rrf_fuse(
     s["rrf_rank"] = s.groupby(query_col).cumcount() + 1
     out = s[s["rrf_rank"] <= top_n].reset_index(drop=True)
     return out
+
+
+def gini_by_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 4,
+) -> "pd.DataFrame":
+    """Gini coefficient per group → DataFrame(key, n, gini 6dp) — the
+    inequality/concentration readout (host traffic concentration, spend
+    skew): ``G = Σ (2·rank − n − 1)·x / (n · Σx)`` over each group's
+    ascending values.
+
+    Exactness: the rank-weighted sum over a tie block is invariant to
+    rank assignment within the block, so it computes in closed form from
+    the (key, value) count universe — ``x·(2·(c·cum_before + c(c+1)/2)
+    − c(n+1))`` per distinct value — all int64 when values are integral
+    (cast upstream), making the result bit-identical to the SQL
+    ROW_NUMBER form.  One universe aggregate, driver finalize."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                key_col: b[key_col],
+                "v": pc.cast(b[value_col], pa.float64()),
+            }
+        )
+        g = t.group_by([key_col, "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "v": g["v"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values([key_col, "v"], kind="stable")
+    )
+    rows = []
+    for k, g in uni.groupby(key_col, sort=True):
+        v = g["v"].to_numpy(dtype=np.float64)
+        c = g["c"].to_numpy(dtype=np.float64)
+        n = c.sum()
+        cum_before = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        w = 2.0 * (c * cum_before + c * (c + 1.0) / 2.0) - c * (n + 1.0)
+        num = float((v * w).sum())
+        den = n * float((v * c).sum())
+        rows.append((k, int(n), round(num / den, 6) if den else np.nan))
+    return pd.DataFrame(rows, columns=[key_col, "n", "gini"])
