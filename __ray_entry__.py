@@ -4191,6 +4191,35 @@ def q_gini(sf_dir: str):
     return gini_by_group(ds, key_col="l_returnflag", value_col="l_quantity")
 
 
+def q_range_layout(sf_dir: str):
+    """Range-sorted layout with manifest pruning (stages/sorted_layout.py
+    — the Iceberg sort-order zone-map pattern): orders sorted by
+    o_totalprice into per-block files; a [100k, 150k] range query reads
+    ONLY overlapping files (asserted) and must equal the full-scan
+    filter."""
+    from zonal_stats_toolkit_ray.stages.sorted_layout import (
+        range_read,
+        sorted_layout_write,
+    )
+    import ray.data as rd
+
+    out = "/tmp/graft_sorted_layout"
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    sorted_layout_write(ds, out, key_col="o_totalprice")
+    stats: dict = {}
+    res = (
+        range_read(out, 100_000.0, 150_000.0, stats_out=stats)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert stats["files_read"] <= stats["files_total"]  # pruning telemetry
+    res["o_totalprice"] = res["o_totalprice"].round(6)
+    return res[["o_orderkey", "o_totalprice"]]
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4282,6 +4311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": q_entity_resolution,
         "negative_samples": q_negative_samples,
         "gini": q_gini,
+        "range_layout": q_range_layout,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4887,6 +4917,12 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "range_layout": """
+            SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
+            FROM orders
+            WHERE o_totalprice >= 100000.0 AND o_totalprice <= 150000.0
+            ORDER BY o_orderkey
+        """,
         "gini": """
             WITH b AS (
               SELECT l_returnflag AS k, CAST(l_quantity AS DOUBLE) AS v
