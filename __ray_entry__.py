@@ -4220,6 +4220,36 @@ def q_range_layout(sf_dir: str):
     return res[["o_orderkey", "o_totalprice"]]
 
 
+def q_auc(sf_dir: str):
+    """Per-variant ROC AUC of value against is-purchase (stages/bivar.py:
+    auc_by_group): Mann–Whitney midrank form from the (group, score)
+    count universe — exact half-integer arithmetic vs the SQL
+    RANK()+COUNT() window."""
+    from zonal_stats_toolkit_ray.stages.bivar import auc_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "grp": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                ),
+                "y": pc.cast(
+                    pc.equal(t["event_type"], "purchase"), pa.int64()
+                ),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return auc_by_group(
+        ds, group_col="grp", label_col="y", score_col="value"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4312,6 +4342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples": q_negative_samples,
         "gini": q_gini,
         "range_layout": q_range_layout,
+        "auc": q_auc,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4917,6 +4948,29 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "auc": """
+            WITH b AS (
+              SELECT CAST(user_id % 2 AS BIGINT) AS grp,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+                     value AS s
+              FROM events
+            ), r AS (
+              SELECT grp, y, s,
+                     RANK() OVER (PARTITION BY grp ORDER BY s) AS rmin,
+                     COUNT(*) OVER (PARTITION BY grp, s) AS c
+              FROM b
+            ), a AS (
+              SELECT grp,
+                     SUM(CASE WHEN y = 1
+                              THEN rmin + (c - 1) / 2.0 ELSE 0 END) AS sp,
+                     SUM(y) AS np, SUM(1 - y) AS nn
+              FROM r GROUP BY grp
+            )
+            SELECT grp, CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg,
+                   round((sp - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+            FROM a ORDER BY grp
+        """,
         "range_layout": """
             SELECT o_orderkey, round(o_totalprice, 6) AS o_totalprice
             FROM orders

@@ -161,3 +161,39 @@ class TestPsiDrift:
         # reference counts split evenly into its own deciles
         na = g1["na"].to_numpy()
         assert na.max() - na.min() <= na.mean() * 0.1
+
+
+class TestAucByGroup:
+    def test_matches_pairwise_definition(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import auc_by_group
+
+        rng = np.random.default_rng(13)
+        n = 3000
+        grp = rng.integers(0, 2, n)
+        y = rng.integers(0, 2, n)
+        # scores correlated with label → AUC > 0.5; heavy ties via rounding
+        s = np.round(y * 1.0 + rng.normal(0, 1.5, n), 1)
+        df = pd.DataFrame({"g": grp, "y": y, "s": s})
+        got = auc_by_group(
+            rd.from_pandas(df).repartition(5),
+            group_col="g",
+            label_col="y",
+            score_col="s",
+        ).set_index("g")
+        for k, gg in df.groupby("g"):
+            pos = gg[gg["y"] == 1]["s"].to_numpy()
+            neg = gg[gg["y"] == 0]["s"].to_numpy()
+            wins = (pos[:, None] > neg[None, :]).sum()
+            ties = (pos[:, None] == neg[None, :]).sum()
+            want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+            assert abs(got.loc[k, "auc"] - want) < 1e-6
+            assert got.loc[k, "auc"] > 0.6
+
+    def test_degenerate_group_null(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import auc_by_group
+
+        df = pd.DataFrame({"g": ["a"] * 3, "y": [1, 1, 1], "s": [1.0, 2.0, 3.0]})
+        got = auc_by_group(
+            rd.from_pandas(df), group_col="g", label_col="y", score_col="s"
+        )
+        assert np.isnan(got["auc"][0])

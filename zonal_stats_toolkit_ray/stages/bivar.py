@@ -431,3 +431,65 @@ def target_encode_loo(
         return b.append_column(out_col, pa.array(te, pa.float64()))
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def auc_by_group(
+    ds,
+    *,
+    group_col: str,
+    label_col: str,
+    score_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """ROC AUC of ``score_col`` against the binary ``label_col`` per group
+    → DataFrame(group, n_pos, n_neg, auc 6dp) — the Mann–Whitney rank
+    form with midrank tie correction:
+    ``AUC = (Σ midrank(positives) − n_pos(n_pos+1)/2) / (n_pos·n_neg)``.
+
+    Shape: in-batch (group, score) pos/neg count partials → one hash
+    aggregate over the (group, score) universe → driver cum-rank finalize
+    (midrank of a tie block = cum_before + (c+1)/2 — exact half-integer
+    arithmetic, bit-identical to the SQL RANK()+COUNT() window form).
+    Exact for bounded distinct-score universes; degenerate groups (no
+    positives or no negatives) yield NULL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        y = pc.cast(b[label_col], pa.int64())
+        t = pa.table(
+            {
+                group_col: b[group_col],
+                "s": pc.cast(b[score_col], pa.float64()),
+                "pos": y,
+                "neg": pc.subtract(pa.scalar(1, pa.int64()), y),
+            }
+        )
+        g = t.group_by([group_col, "s"]).aggregate(
+            [("pos", "sum"), ("neg", "sum")]
+        )
+        return g.rename_columns([group_col, "s", "pos", "neg"])
+
+    uni = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([group_col, "s"])
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
+        .to_pandas()
+        .sort_values([group_col, "s"], kind="stable")
+    )
+    rows = []
+    for k, g in uni.groupby(group_col, sort=True):
+        pos = g["pos"].to_numpy(dtype=np.float64)
+        neg = g["neg"].to_numpy(dtype=np.float64)
+        c = pos + neg
+        cum_before = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+        midrank = cum_before + (c + 1.0) / 2.0
+        np_, nn_ = pos.sum(), neg.sum()
+        auc = np.nan
+        if np_ > 0 and nn_ > 0:
+            sp = float((pos * midrank).sum())
+            auc = round((sp - np_ * (np_ + 1.0) / 2.0) / (np_ * nn_), 6)
+        rows.append((k, int(np_), int(nn_), auc))
+    return pd.DataFrame(rows, columns=[group_col, "n_pos", "n_neg", "auc"])
