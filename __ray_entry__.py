@@ -4250,6 +4250,62 @@ def q_auc(sf_dir: str):
     )
 
 
+def q_csv_jsonl_source(sf_dir: str):
+    """Source-format coverage: export two event shards (even event_ids →
+    CSV, odd → JSONL — integer/string columns, lossless roundtrip), read
+    them back with ray.data.read_csv / read_json, union, and aggregate.
+    Oracle = the same counts straight off the parquet."""
+    import shutil
+
+    import ray.data as rd
+
+    base = "/tmp/graft_altsrc"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/csv", exist_ok=True)
+    os.makedirs(f"{base}/jsonl", exist_ok=True)
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+
+    def shard(parity: int):
+        return ds.map_batches(
+            lambda t, p=parity: t.filter(
+                pa.array(t["event_id"].to_numpy(zero_copy_only=False) % 2 == p)
+            ),
+            batch_format="pyarrow",
+        )
+
+    shard(0).write_csv(f"{base}/csv")
+    shard(1).write_json(f"{base}/jsonl")
+    back = rd.read_csv(f"{base}/csv").union(rd.read_json(f"{base}/jsonl"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["event_type", "user_id"])
+            .group_by("event_type")
+            .aggregate([("user_id", "count"), ("user_id", "sum")])
+        )
+        return pa.table(
+            {
+                "event_type": g["event_type"],
+                "n": pc.cast(g["user_id_count"], pa.int64()),
+                "sum_user": pc.cast(g["user_id_sum"], pa.int64()),
+            }
+        )
+
+    p = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        p.groupby("event_type", as_index=False)[["n", "sum_user"]]
+        .sum()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_user"] = out["sum_user"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4343,6 +4399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini": q_gini,
         "range_layout": q_range_layout,
         "auc": q_auc,
+        "csv_jsonl_source": q_csv_jsonl_source,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -4948,6 +5005,12 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "csv_jsonl_source": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(user_id) AS BIGINT) AS sum_user
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "auc": """
             WITH b AS (
               SELECT CAST(user_id % 2 AS BIGINT) AS grp,
