@@ -4306,6 +4306,48 @@ def q_csv_jsonl_source(sf_dir: str):
     return out
 
 
+def q_zonal_algebra(sf_dir: str):
+    """Raster map algebra + zonal statistics: the NDVI-shape normalized
+    difference of two synthetic bands (sources/raster.py:raster_algebra —
+    one tile-key hash join + one vectorized buffer pass, Q2 isclose
+    nodata propagation), reduced by the flagship zonal pipeline with the
+    rows_sink export oracle (the q_zonal_raster pattern).  The algebra
+    kernel itself is pytest-pinned (brute numpy equality)."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.geom.window import GridSpec
+    from zonal_stats_toolkit_ray.pipelines.zonal import zonal_stats_raster
+    from zonal_stats_toolkit_ray.sources.raster import (
+        raster_algebra,
+        synth_tiles_table,
+    )
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+
+    grid = GridSpec(
+        x0=-180.0, y0=90.0, dx=1.875, dy=-1.875, width=192, height=96,
+        nodata=-9999.0, tile_size=64,
+    )
+    zs = ZoneSet(synth_zones(seed=42, n_zones=24))
+    d = _reset_oracle_dir("algebra")
+    _write_group_universe(
+        d,
+        zs.unique_groups,
+        fid_map=(zs.all_fids, [zs.fid_to_group[f] for f in zs.all_fids]),
+    )
+    a = rd.from_arrow(synth_tiles_table(grid, seed=42))
+    b = rd.from_arrow(synth_tiles_table(grid, seed=43))
+    derived = raster_algebra(
+        a, b, nodata_a=-9999.0, nodata_b=-9999.0, nodata_out=-9999.0
+    )
+    stats = zonal_stats_raster(
+        derived, grid, zs, percentiles=[5.0, 95.0], concurrency=2,
+        rows_sink=os.path.join(d, "rows"),
+    )
+    rows = []
+    for gv in sorted(stats, key=lambda v: (v is None, str(v))):
+        rows.append({"group_value": "" if gv is None else str(gv), **stats[gv]})
+    return _round_stats_frame(pd.DataFrame(rows))
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4400,6 +4442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_layout": q_range_layout,
         "auc": q_auc,
         "csv_jsonl_source": q_csv_jsonl_source,
+        "zonal_algebra": q_zonal_algebra,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -6106,6 +6149,45 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(a.p95 AS DOUBLE), 6) AS p95
             FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/pages/groups.parquet') g
             LEFT JOIN a ON a.group_key = g.group_key
+            ORDER BY (g.group_value = ''), g.group_value
+        """,
+        "zonal_algebra": f"""
+            WITH r AS (
+              SELECT m.group_value, x.value, x.nodata
+              FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/algebra/rows/*.parquet') x
+              JOIN read_parquet('{_FLAGSHIP_ORACLE_DIR}/algebra/fid_groups.parquet') m
+                ON x.group_key = m.fid
+            ),
+            a AS (
+              SELECT group_value,
+                     count(*) AS count,
+                     count(*) FILTER (WHERE nodata) AS nodata_count,
+                     count(*) FILTER (WHERE NOT nodata) AS valid_count,
+                     coalesce(sum(value) FILTER (WHERE NOT nodata), 0.0) AS sum,
+                     min(value) FILTER (WHERE NOT nodata) AS min,
+                     max(value) FILTER (WHERE NOT nodata) AS max,
+                     sum(value * value) FILTER (WHERE NOT nodata) AS sumsq,
+                     quantile_cont(CAST(CAST(value AS FLOAT) AS DOUBLE), 0.05)
+                       FILTER (WHERE NOT nodata) AS p5,
+                     quantile_cont(CAST(CAST(value AS FLOAT) AS DOUBLE), 0.95)
+                       FILTER (WHERE NOT nodata) AS p95
+              FROM r GROUP BY group_value
+            )
+            SELECT g.group_value,
+                   round(a.min, 6) AS min,
+                   round(a.max, 6) AS max,
+                   coalesce(a.count, 0) AS count,
+                   coalesce(a.nodata_count, 0) AS nodata_count,
+                   coalesce(a.valid_count, 0) AS valid_count,
+                   round(coalesce(a.sum, 0.0), 6) AS sum,
+                   round(CASE WHEN a.valid_count > 0 THEN sqrt(greatest(0.0,
+                       a.sumsq / a.valid_count
+                       - (a.sum / a.valid_count) * (a.sum / a.valid_count)))
+                     END, 6) AS stdev,
+                   round(CAST(a.p5 AS DOUBLE), 6) AS p5,
+                   round(CAST(a.p95 AS DOUBLE), 6) AS p95
+            FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/algebra/groups.parquet') g
+            LEFT JOIN a ON a.group_value = g.group_value
             ORDER BY (g.group_value = ''), g.group_value
         """,
         "zonal_raster": f"""

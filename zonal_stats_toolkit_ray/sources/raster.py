@@ -181,3 +181,94 @@ def read_grid_spec(path: str) -> GridSpec:
     md = pq.read_schema(p).metadata or {}
     spec = json.loads(md[b"grid_spec"].decode())
     return GridSpec(**spec)
+
+
+def raster_algebra(
+    tiles_a,
+    tiles_b,
+    *,
+    nodata_a: float,
+    nodata_b: float,
+    nodata_out: float,
+    op: str = "normdiff",
+):
+    """Raster map algebra over two aligned tiled rasters → derived tiles
+    Dataset with the same (tile_x, tile_y, values) layout — the raster
+    calculator the reference delegates to ecoshard/GDAL
+    (``raster_calculator``-shape; runner.py itself only consumes single
+    rasters).  ``op='normdiff'`` computes the NDVI-style normalized
+    difference ``(a − b) / (a + b)``.
+
+    Semantics (Q2 parity): an input pixel is nodata under ``np.isclose``
+    to its band's nodata (runner.py:644-647); any pixel where either
+    input is nodata — or the op is undefined (a + b == 0) — emits
+    ``nodata_out``.
+
+    Shape: ONE dual-regime hash join on the packed tile key aligns the
+    two bands (tiles are the unit of IO, so the join moves tile rows,
+    never pixels individually); the arithmetic is one vectorized pass
+    over the flattened value buffers, offsets preserved."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_join
+
+    if op != "normdiff":  # pragma: no cover
+        raise ValueError(f"unknown op {op!r}")
+
+    def pack(t: pa.Table, prefix: str) -> pa.Table:
+        tx = t["tile_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t["tile_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "tkey": pa.array(tx * 1_000_000 + ty, pa.int64()),
+                f"{prefix}tile_x": t["tile_x"],
+                f"{prefix}tile_y": t["tile_y"],
+                f"{prefix}values": t["values"],
+            }
+        )
+
+    a = tiles_a.map_batches(lambda t: pack(t, ""), batch_format="pyarrow")
+    b = tiles_b.map_batches(lambda t: pack(t, "b_"), batch_format="pyarrow")
+    j = hash_join(a, b, on="tkey", how="inner")
+
+    def derive(t: pa.Table) -> pa.Table:
+        va = t["values"]
+        vb = t["b_values"]
+        if isinstance(va, pa.ChunkedArray):
+            va = va.combine_chunks()
+        if isinstance(vb, pa.ChunkedArray):
+            vb = vb.combine_chunks()
+        # offsets may be a non-zero-based slice view after the join's
+        # take — slice the child buffers and rebase explicitly
+        oa = va.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        ob = vb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        fa = (
+            va.values.to_numpy(zero_copy_only=False)[oa[0] : oa[-1]]
+            .astype(np.float64)
+        )
+        fb = (
+            vb.values.to_numpy(zero_copy_only=False)[ob[0] : ob[-1]]
+            .astype(np.float64)
+        )
+        bad = (
+            np.isclose(fa, nodata_a)
+            | np.isclose(fb, nodata_b)
+            | (fa + fb == 0.0)
+        )
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = (fa - fb) / (fa + fb)
+        out = np.where(bad, np.float64(nodata_out), out).astype(np.float32)
+        rebased = (oa - oa[0]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(rebased, pa.int32()), pa.array(out, pa.float32())
+        )
+        return pa.table(
+            {
+                "tile_x": t["tile_x"],
+                "tile_y": t["tile_y"],
+                "values": lists,
+            },
+            schema=TILES_SCHEMA,
+        )
+
+    return j.map_batches(derive, batch_format="pyarrow")
