@@ -4348,6 +4348,61 @@ def q_zonal_algebra(sf_dir: str):
     return _round_stats_frame(pd.DataFrame(rows))
 
 
+def q_cdc_apply(sf_dir: str):
+    """CDC log application with tombstones: a synthetic change log over
+    orders (seq 0 = insert; seq 1 = repriced update for keys %7; seq 2 =
+    DELETE for keys %13==5) reduced by latest_by_key, then delete rows
+    drop — the MERGE-with-deletes compaction.  Oracle = ROW_NUMBER DESC
+    + op <> 'D'."""
+    from zonal_stats_toolkit_ray.stages.incremental import latest_by_key
+    import ray.data as rd
+
+    def log_rows(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        parts = [
+            pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.float64()),
+                    "seq": pa.array(np.zeros(k.size, dtype=np.int64)),
+                    "op": pa.array(["U"] * k.size, pa.string()),
+                }
+            )
+        ]
+        upd = k % 7 == 0
+        parts.append(
+            pa.table(
+                {
+                    "k": pa.array(k[upd], pa.int64()),
+                    "v": pa.array(v[upd] + 1000.0, pa.float64()),
+                    "seq": pa.array(np.ones(upd.sum(), dtype=np.int64)),
+                    "op": pa.array(["U"] * int(upd.sum()), pa.string()),
+                }
+            )
+        )
+        dele = k % 13 == 5
+        parts.append(
+            pa.table(
+                {
+                    "k": pa.array(k[dele], pa.int64()),
+                    "v": pa.array(np.zeros(int(dele.sum())), pa.float64()),
+                    "seq": pa.array(np.full(int(dele.sum()), 2, dtype=np.int64)),
+                    "op": pa.array(["D"] * int(dele.sum()), pa.string()),
+                }
+            )
+        )
+        return pa.concat_tables(parts).combine_chunks()
+
+    log = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(log_rows, batch_format="pyarrow")
+    latest = latest_by_key(log, key_col="k", order_cols=["seq"])
+    out = latest[latest["op"] != "D"][["k", "v", "seq"]].reset_index(drop=True)
+    out["v"] = out["v"].round(6)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4443,6 +4498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "auc": q_auc,
         "csv_jsonl_source": q_csv_jsonl_source,
         "zonal_algebra": q_zonal_algebra,
+        "cdc_apply": q_cdc_apply,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5048,6 +5104,25 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "cdc_apply": """
+            WITH log AS (
+              SELECT o_orderkey AS k, o_totalprice AS v, 0 AS seq, 'U' AS op
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_totalprice + 1000.0, 1, 'U' FROM orders
+              WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, 0.0, 2, 'D' FROM orders
+              WHERE o_orderkey % 13 = 5
+            ), r AS (
+              SELECT k, v, seq, op,
+                     ROW_NUMBER() OVER (PARTITION BY k
+                                        ORDER BY seq DESC) AS rn
+              FROM log
+            )
+            SELECT k, round(v, 6) AS v, CAST(seq AS BIGINT) AS seq
+            FROM r WHERE rn = 1 AND op <> 'D' ORDER BY k
+        """,
         "csv_jsonl_source": """
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n,
