@@ -4403,6 +4403,20 @@ def q_cdc_apply(sf_dir: str):
     return out
 
 
+def q_association_rules(sf_dir: str):
+    """Market-basket association rules over (user, event_type) baskets
+    (stages/cohort.py:association_rules): distributed distinct universe,
+    one self hash-join for co-occurrence counts, integer-exact
+    confidence/lift."""
+    from zonal_stats_toolkit_ray.stages.cohort import association_rules
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return association_rules(ds)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4499,6 +4513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_jsonl_source": q_csv_jsonl_source,
         "zonal_algebra": q_zonal_algebra,
         "cdc_apply": q_cdc_apply,
+        "association_rules": q_association_rules,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5104,6 +5119,33 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "association_rules": """
+            WITH d AS (
+              SELECT DISTINCT user_id, event_type FROM events
+            ), singles AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY event_type
+            ), baskets AS (
+              SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS nb FROM d
+            ), p AS (
+              SELECT a.event_type AS antecedent, b.event_type AS consequent,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id
+               AND a.event_type <> b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.antecedent, p.consequent, p.n_both,
+                   sa.n AS n_ante, sc.n AS n_cons, baskets.nb AS baskets,
+                   round(CAST(p.n_both AS DOUBLE) / sa.n, 6) AS confidence,
+                   round(p.n_both * CAST(baskets.nb AS DOUBLE)
+                         / (sa.n * sc.n), 6) AS lift
+            FROM p
+            JOIN singles sa ON sa.event_type = p.antecedent
+            JOIN singles sc ON sc.event_type = p.consequent
+            CROSS JOIN baskets
+            ORDER BY p.antecedent, p.consequent
+        """,
         "cdc_apply": """
             WITH log AS (
               SELECT o_orderkey AS k, o_totalprice AS v, 0 AS seq, 'U' AS op

@@ -167,3 +167,108 @@ def weekly_growth(
         }
     )
     return out.reset_index(drop=True)
+
+
+def association_rules(
+    ds,
+    *,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Directional association rules over (basket, item) observations →
+    DataFrame(antecedent, consequent, n_both, n_ante, n_cons, baskets,
+    confidence, lift) for every ordered item pair — the market-basket
+    readout (support/confidence/lift).
+
+    Shape: the distinct (basket, item) universe builds distributed (the
+    in-batch-combiner distinct); co-occurrence counts come from ONE
+    self hash-join on the basket key (fan-out per basket = items²,
+    bounded by the item vocabulary) reduced by in-batch pair-count
+    partials; singles and basket totals are tiny aggregates.  Ratios are
+    integer-exact on both sides (confidence = n_both/n_ante, lift =
+    n_both·baskets/(n_ante·n_cons), 6 dp)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from .joins import distinct_rows, hash_join
+
+    d = distinct_rows(
+        ds.select_columns([basket_col, item_col]), [basket_col, item_col],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda t: (
+            pa.table(
+                {
+                    basket_col: t[basket_col],
+                    item_col: pc.cast(t[item_col], pa.string()),
+                }
+            )
+            if basket_col in t.column_names
+            else pa.table(
+                {
+                    basket_col: pa.array([], pa.int64()),
+                    item_col: pa.array([], pa.string()),
+                }
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    singles = (
+        d.groupby(item_col).aggregate(Count(alias_name="n")).to_pandas()
+    ).set_index(item_col)["n"]
+    baskets = distinct_rows(d, [basket_col]).count()
+    right = d.map_batches(
+        lambda t: t.rename_columns([basket_col, "item2"]),
+        batch_format="pyarrow",
+    )
+    j = hash_join(d, right, on=basket_col, how="inner")
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if item_col not in t.column_names:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "c": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        t = t.filter(pc.not_equal(t[item_col], t["item2"]))
+        g = t.group_by([item_col, "item2"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "a": g[item_col],
+                "c": g["item2"],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    pairs = (
+        j.map_batches(pair_partials, batch_format="pyarrow")
+        .repartition(2)
+        .groupby(["a", "c"])
+        .aggregate(Sum("n", alias_name="n_both"))
+        .to_pandas()  # item-vocabulary²-sized
+    )
+    pairs["n_ante"] = pairs["a"].map(singles).astype(np.int64)
+    pairs["n_cons"] = pairs["c"].map(singles).astype(np.int64)
+    pairs["baskets"] = np.int64(baskets)
+    pairs["confidence"] = np.round(
+        pairs["n_both"] / pairs["n_ante"], 6
+    )
+    pairs["lift"] = np.round(
+        pairs["n_both"] * float(baskets) / (pairs["n_ante"] * pairs["n_cons"]),
+        6,
+    )
+    out = pairs.rename(columns={"a": "antecedent", "c": "consequent"})
+    return (
+        out[
+            [
+                "antecedent", "consequent", "n_both", "n_ante", "n_cons",
+                "baskets", "confidence", "lift",
+            ]
+        ]
+        .sort_values(["antecedent", "consequent"])
+        .reset_index(drop=True)
+    )
