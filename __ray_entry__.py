@@ -4417,6 +4417,43 @@ def q_association_rules(sf_dir: str):
     return association_rules(ds)
 
 
+def q_group_histogram(sf_dir: str):
+    """Per-event_type equi-width histogram of value over [0, 500), 10
+    bins (stages/sketch.py:group_histogram): (group, bin) count partials
+    → one hash aggregate → zero-filled grid."""
+    from zonal_stats_toolkit_ray.stages.sketch import group_histogram
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return group_histogram(
+        ds, key_col="event_type", value_col="value", lo=0.0, hi=500.0
+    )
+
+
+def q_topk_dense(sf_dir: str):
+    """DENSE_RANK ≤ 3 per returnflag on l_quantity (stages/rank.py:
+    topk_dense_per_group): distinct-value universe → broadcast k-th
+    threshold → one streaming filter pass (ties included)."""
+    from zonal_stats_toolkit_ray.stages.rank import topk_dense_per_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    out = (
+        topk_dense_per_group(
+            ds, key_col="l_returnflag", value_col="l_quantity", k=3
+        )
+        .to_pandas()
+        .sort_values(["l_orderkey", "l_linenumber"])
+        .reset_index(drop=True)
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4514,6 +4551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_algebra": q_zonal_algebra,
         "cdc_apply": q_cdc_apply,
         "association_rules": q_association_rules,
+        "group_histogram": q_group_histogram,
+        "topk_dense": q_topk_dense,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5119,6 +5158,35 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "topk_dense": """
+            SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+            FROM (
+              SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                     DENSE_RANK() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_quantity DESC) AS dr
+              FROM lineitem
+            ) WHERE dr <= 3
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "group_histogram": """
+            WITH b AS (
+              SELECT event_type,
+                     CAST(least(greatest(floor((value - 0.0) / 50.0), 0),
+                                9) AS BIGINT) AS bin
+              FROM events
+            ), g AS (
+              SELECT event_type, bin, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY 1, 2
+            ), grid AS (
+              SELECT t.event_type, s.bin
+              FROM (SELECT DISTINCT event_type FROM events) t
+              CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) s
+            )
+            SELECT grid.event_type, CAST(grid.bin AS BIGINT) AS bin,
+                   COALESCE(g.n, 0) AS n
+            FROM grid LEFT JOIN g USING (event_type, bin)
+            ORDER BY grid.event_type, grid.bin
+        """,
         "association_rules": """
             WITH d AS (
               SELECT DISTINCT user_id, event_type FROM events

@@ -130,3 +130,26 @@ class TestOls2:
             rd.from_pandas(df), key_col="k", x1_col="x1", x2_col="x2", y_col="y"
         )
         assert np.isnan(got["b1"][0]) and np.isnan(got["b2"][0])
+
+
+class TestTopkDense:
+    def test_ties_included(self, rd):
+        from zonal_stats_toolkit_ray.stages.rank import topk_dense_per_group
+
+        df = pd.DataFrame(
+            {
+                "k": ["a"] * 6 + ["b"] * 2,
+                "v": [9.0, 9.0, 8.0, 7.0, 7.0, 1.0, 5.0, 5.0],
+                "id": range(8),
+            }
+        )
+        got = (
+            topk_dense_per_group(
+                rd.from_pandas(df).repartition(3), key_col="k", value_col="v", k=3
+            )
+            .to_pandas()
+            .sort_values("id")
+        )
+        # group a: top-3 distinct = {9, 8, 7} → 5 rows incl. both ties;
+        # group b has < 3 distinct → all rows
+        assert got["id"].tolist() == [0, 1, 2, 3, 4, 6, 7]

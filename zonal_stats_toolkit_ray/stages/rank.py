@@ -427,3 +427,58 @@ def gini_by_group(
         den = n * float((v * c).sum())
         rows.append((k, int(n), round(num / den, 6) if den else np.nan))
     return pd.DataFrame(rows, columns=[key_col, "n", "gini"])
+
+
+def topk_dense_per_group(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    k: int,
+    num_partitions: int = 4,
+):
+    """ALL rows whose value is among each group's top-``k`` DISTINCT
+    values — SQL ``DENSE_RANK() ≤ k`` semantics (ties included, unlike
+    :func:`topk_per_group`'s ROW_NUMBER form) → streaming Dataset.
+
+    Shape: the distinct (key, value) universe aggregates distributed
+    (in-batch drop-duplicates combiner); each group's k-th largest
+    distinct value broadcasts as a threshold; the output is ONE
+    vectorized ``value ≥ threshold`` filter pass — rows never shuffle,
+    and the result streams (ties can make it arbitrarily large)."""
+    import ray
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .joins import distinct_rows
+
+    uni = (
+        distinct_rows(
+            ds.select_columns([key_col, value_col]),
+            [key_col, value_col],
+            num_partitions=num_partitions,
+        )
+        .to_pandas()  # (key, value)-universe-sized
+        .sort_values([key_col, value_col], ascending=[True, False], kind="stable")
+    )
+    # threshold per group = smallest of its top-k distinct values (the
+    # whole group's min when it has fewer than k distinct values)
+    t = (
+        uni.groupby(key_col, sort=False)
+        .head(k)
+        .groupby(key_col, sort=False)[value_col]
+        .min()
+    )
+    keys = pa.array(t.index.astype(str), pa.string())
+    vals = t.to_numpy(dtype=np.float64)
+    ref = ray.put((keys, vals))
+
+    def keep(b: pa.Table, *, _ref=ref) -> pa.Table:
+        ks, vs = ray.get(_ref)
+        idx = pc.index_in(
+            pc.cast(b[key_col], pa.string()), value_set=ks
+        ).to_numpy(zero_copy_only=False)
+        v = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(v >= vs[idx]))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -557,3 +557,76 @@ def cms_estimate(m: np.ndarray, keys: np.ndarray) -> np.ndarray:
     idx = cms_rows(keys, depth, width)
     ests = np.stack([m[r, idx[r].astype(np.int64)] for r in range(depth)])
     return ests.min(axis=0)
+
+
+def group_histogram(
+    ds,
+    *,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    num_partitions: int = 4,
+) -> "pd.DataFrame":
+    """Exact equi-width histogram PER GROUP → DataFrame(key, bin, n) for
+    every (group, bin 0..n_bins−1) cell (zero cells included) — the 2-D
+    extension of :func:`histogram_ds`.  Bin = ``floor((v − lo)/w)``
+    clamped to [0, n_bins−1]; values outside [lo, hi] clamp into the edge
+    bins (SQL ``least/greatest`` parity, same float expression both
+    sides).
+
+    One pass of per-(group, bin) count partials (each block emits ≤
+    groups × n_bins rows) → one hash aggregate → driver grid fill."""
+    import pandas as pd
+
+    w = (hi - lo) / n_bins
+
+    def partials(b: pa.Table) -> pa.Table:
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        v = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        bins = np.floor((v - lo) / w)
+        bins = np.minimum(np.maximum(bins, 0.0), n_bins - 1).astype(np.int64)
+        codes = np.asarray(kcol.dictionary_encode().indices, dtype=np.int64)
+        packed = codes * n_bins + bins
+        cnt = np.bincount(packed)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                key_col: kcol.take(pa.array(_first_index_of(codes, nz // n_bins))),
+                "bin": pa.array(nz % n_bins, pa.int64()),
+                "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, "bin"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    keys = sorted(agg[key_col].unique())
+    grid = pd.MultiIndex.from_product(
+        [keys, range(n_bins)], names=[key_col, "bin"]
+    )
+    out = (
+        agg.set_index([key_col, "bin"])
+        .reindex(grid, fill_value=0)
+        .reset_index()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    out["bin"] = out["bin"].astype(np.int64)
+    return out
+
+
+def _first_index_of(codes: np.ndarray, wanted: np.ndarray) -> np.ndarray:
+    """First row index holding each wanted dictionary code (vectorized)."""
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    pos = np.searchsorted(sorted_codes, wanted, side="left")
+    return order[pos]
