@@ -4454,6 +4454,39 @@ def q_topk_dense(sf_dir: str):
     return out
 
 
+def q_impute_median(sf_dir: str):
+    """Group-median imputation (stages/normalize.py:impute_group_median):
+    values planted NULL (event_id % 17 == 0) fill with their
+    event_type's exact median of the remaining values."""
+    from zonal_stats_toolkit_ray.stages.normalize import impute_group_median
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value": pc.if_else(
+                    pa.array(
+                        t["event_id"].to_numpy(zero_copy_only=False) % 17 == 0
+                    ),
+                    pa.scalar(None, pa.float64()),
+                    pc.cast(t["value"], pa.float64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = impute_group_median(
+        ds, id_col="event_id", key_col="event_type", value_col="value"
+    ).to_pandas()
+    out["v_filled"] = out["v_filled"].round(6)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4553,6 +4586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "association_rules": q_association_rules,
         "group_histogram": q_group_histogram,
         "topk_dense": q_topk_dense,
+        "impute_median": q_impute_median,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5158,6 +5192,19 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "impute_median": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CASE WHEN event_id % 17 = 0 THEN NULL
+                          ELSE value END AS v
+              FROM events
+            ), m AS (
+              SELECT event_type, median(v) AS med FROM e GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   round(COALESCE(e.v, m.med), 6) AS v_filled
+            FROM e JOIN m USING (event_type) ORDER BY e.event_id
+        """,
         "topk_dense": """
             SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
             FROM (

@@ -187,3 +187,83 @@ def quantile_transform(
         )
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+def impute_group_median(
+    ds,
+    *,
+    id_col: str,
+    key_col: str,
+    value_col: str,
+    num_partitions: int = 4,
+):
+    """Missing-value imputation by group median → Dataset(id, key,
+    v_filled): NULLs in ``value_col`` fill with their group's exact
+    median of the NON-null values (``quantile_cont`` 0.5 interpolation)
+    — the standard tabular-ML imputation pass.
+
+    Shape: one (key, value) count-universe aggregate over non-null rows
+    (the winsorized-mean shape), driver interpolation, broadcast medians,
+    one vectorized fill pass.  Groups that are entirely NULL stay NULL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[value_col], pa.float64())
+        t = pa.table({key_col: b[key_col], "v": v}).filter(pc.is_valid(v))
+        g = t.group_by([key_col, "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                key_col: g[key_col],
+                "v": g["v"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([key_col, "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values([key_col, "v"], kind="stable")
+    )
+    meds: dict = {}
+    for k, g in uni.groupby(key_col, sort=True):
+        v = g["v"].to_numpy(dtype=np.float64)
+        cum = np.cumsum(g["c"].to_numpy(dtype=np.int64))
+        n = int(cum[-1])
+        r = 0.5 * (n - 1)
+        kk = int(np.floor(r))
+        frac = r - kk
+        i = int(np.searchsorted(cum, kk, side="right"))
+        med = v[i]
+        if frac != 0.0:
+            j = int(np.searchsorted(cum, kk + 1, side="right"))
+            med = med + frac * (v[j] - med)
+        meds[k] = float(med)
+    keys = pa.array([str(k) for k in meds], pa.string())
+    vals = np.array(list(meds.values()), dtype=np.float64)
+    ref = ray.put((keys, vals))
+
+    def fill(b: pa.Table, *, _ref=ref) -> pa.Table:
+        ks, ms = ray.get(_ref)
+        v = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(b[value_col]).to_numpy(zero_copy_only=False)
+        idx = pc.index_in(
+            pc.cast(b[key_col], pa.string()), value_set=ks
+        ).to_numpy(zero_copy_only=False)
+        known = idx >= 0 if idx.dtype.kind == "i" else ~np.isnan(idx)
+        filled = np.where(
+            valid, v, np.where(known, ms[np.where(known, idx, 0)], np.nan)
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                key_col: b[key_col],
+                "v_filled": pa.array(filled, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fill, batch_format="pyarrow")
