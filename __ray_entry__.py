@@ -4487,6 +4487,55 @@ def q_impute_median(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_ndcg(sf_dir: str):
+    """NDCG@10 of the RRF-fused ranking against graded relevance
+    (rel = 21 − rank in the n_chars list) — stages/rank.py:ndcg_at_k over
+    the distributed rankings of q_rrf_fusion."""
+    from zonal_stats_toolkit_ray.stages.rank import ndcg_at_k, rrf_fuse, topk_per_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "pseudo",
+            pa.array(
+                (t["doc_id"].to_numpy(zero_copy_only=False) * 7919) % 1000,
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+    def ranked(value_col: str) -> pd.DataFrame:
+        top = topk_per_group(
+            ds, key_col="lang", value_col=value_col, id_col="doc_id", k=20
+        )
+        top = top.sort_values(
+            ["lang", value_col, "doc_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).reset_index(drop=True)
+        top["rank"] = top.groupby("lang").cumcount() + 1
+        return top[["lang", "doc_id", "rank"]]
+
+    ra = ranked("n_chars")
+    rb = ranked("pseudo")
+    fused = rrf_fuse([ra, rb], query_col="lang", doc_col="doc_id")
+    rels = ra.copy()
+    rels["rel"] = (21 - rels["rank"]).astype(np.float64)
+    out = ndcg_at_k(
+        fused.rename(columns={"rrf_rank": "rank"}),
+        rels[["lang", "doc_id", "rel"]],
+        query_col="lang",
+        doc_col="doc_id",
+        rank_col="rank",
+        rel_col="rel",
+        k=10,
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4587,6 +4636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_histogram": q_group_histogram,
         "topk_dense": q_topk_dense,
         "impute_median": q_impute_median,
+        "ndcg": q_ndcg,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5192,6 +5242,49 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "ndcg": """
+            WITH a AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS r
+              FROM documents QUALIFY r <= 20
+            ), b AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY (doc_id * 7919) % 1000 DESC,
+                                                 doc_id) AS r
+              FROM documents QUALIFY r <= 20
+            ), u AS (
+              SELECT * FROM a UNION ALL SELECT * FROM b
+            ), s AS (
+              SELECT lang, doc_id, SUM(1.0 / (60 + r)) AS score
+              FROM u GROUP BY 1, 2
+            ), fused AS (
+              SELECT lang, doc_id,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY score DESC, doc_id) AS rk
+              FROM s QUALIFY rk <= 10
+            ), rel AS (
+              SELECT lang, doc_id, CAST(21 - r AS DOUBLE) AS rel FROM a
+            ), dcg AS (
+              SELECT fused.lang,
+                     SUM(COALESCE(rel.rel, 0.0) / log2(fused.rk + 1.0)) AS dcg
+              FROM fused LEFT JOIN rel USING (lang, doc_id)
+              GROUP BY fused.lang
+            ), ideal AS (
+              SELECT lang, rel,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY rel DESC) AS i
+              FROM rel QUALIFY i <= 10
+            ), idcg AS (
+              SELECT lang, SUM(rel / log2(i + 1.0)) AS idcg
+              FROM ideal GROUP BY lang
+            )
+            SELECT dcg.lang, round(dcg.dcg, 6) AS dcg,
+                   round(idcg.idcg, 6) AS idcg,
+                   round(dcg.dcg / idcg.idcg, 6) AS ndcg
+            FROM dcg JOIN idcg USING (lang) ORDER BY dcg.lang
+        """,
         "impute_median": """
             WITH e AS (
               SELECT event_id, event_type,

@@ -482,3 +482,53 @@ def topk_dense_per_group(
         return b.filter(pa.array(v >= vs[idx]))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def ndcg_at_k(
+    ranking: "pd.DataFrame",
+    rels: "pd.DataFrame",
+    *,
+    query_col: str,
+    doc_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> "pd.DataFrame":
+    """NDCG@k per query → DataFrame(query, dcg, idcg, ndcg 6dp):
+    ``DCG = Σ_{i≤k} rel_i / log2(i + 1)`` over the ranking's order,
+    ideal DCG from the same relevance multiset sorted descending —
+    the standard retrieval-quality readout for fused/learned rankers.
+
+    Result-space arithmetic (rankings are queries × k rows, produced
+    distributed upstream); unjudged docs carry relevance 0."""
+    import pandas as pd
+
+    r = ranking[ranking[rank_col] <= k].merge(
+        rels, on=[query_col, doc_col], how="left"
+    )
+    r[rel_col] = r[rel_col].fillna(0.0)
+    r["g"] = r[rel_col] / np.log2(r[rank_col].to_numpy(dtype=np.float64) + 1.0)
+    dcg = r.groupby(query_col, sort=True)["g"].sum()
+    ideal = rels.sort_values(
+        [query_col, rel_col], ascending=[True, False], kind="stable"
+    ).copy()
+    ideal["i"] = ideal.groupby(query_col).cumcount() + 1
+    ideal = ideal[ideal["i"] <= k]
+    ideal["g"] = ideal[rel_col] / np.log2(
+        ideal["i"].to_numpy(dtype=np.float64) + 1.0
+    )
+    idcg = ideal.groupby(query_col, sort=True)["g"].sum()
+    out = pd.DataFrame(
+        {
+            query_col: dcg.index,
+            "dcg": dcg.to_numpy(),
+            "idcg": idcg.reindex(dcg.index).fillna(0.0).to_numpy(),
+        }
+    )
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out["ndcg"] = np.round(
+            np.where(out["idcg"] > 0, out["dcg"] / out["idcg"], 0.0), 6
+        )
+    out["dcg"] = np.round(out["dcg"], 6)
+    out["idcg"] = np.round(out["idcg"], 6)
+    return out.reset_index(drop=True)
