@@ -4536,6 +4536,77 @@ def q_ndcg(sf_dir: str):
     return out.sort_values("lang").reset_index(drop=True)
 
 
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan–Meier time-to-first-purchase per variant (stages/cohort.py:
+    kaplan_meier): per-user (first event, first purchase, last event)
+    min/max partials → duration days (censored at last activity) →
+    product-limit curve; identical operation order to the SQL windowed
+    product()."""
+    from zonal_stats_toolkit_ray.stages.cohort import kaplan_meier
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    BIG = np.int64(1) << 62
+
+    def partials(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (
+            pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False
+        )
+        p_ts = np.where(is_p, ts, BIG)
+        tb = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "a": pa.array(ts, pa.int64()),
+                "b": pa.array(ts, pa.int64()),
+                "p": pa.array(p_ts, pa.int64()),
+            }
+        )
+        g = tb.group_by("user_id").aggregate(
+            [("a", "min"), ("b", "max"), ("p", "min")]
+        )
+        return g.rename_columns(["user_id", "a_min", "a_max", "p_min"])
+
+    users = (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(4)
+        .groupby("user_id")
+        .aggregate(
+            Min("a_min", alias_name="a_min"),
+            Max("a_max", alias_name="a_max"),
+            Min("p_min", alias_name="p_min"),
+        )
+        .to_pandas()  # user-universe-sized
+    )
+    day = 86_400_000_000
+    has_p = users["p_min"].to_numpy() < BIG
+    t = np.where(
+        has_p,
+        (users["p_min"].to_numpy() - users["a_min"].to_numpy()) // day,
+        (users["a_max"].to_numpy() - users["a_min"].to_numpy()) // day,
+    ).astype(np.int64)
+    frame = pd.DataFrame(
+        {
+            "grp": (users["user_id"].to_numpy() % 2).astype(np.int64),
+            "t": t,
+            "event": has_p.astype(np.int64),
+        }
+    )
+    return kaplan_meier(
+        rd.from_pandas(frame),
+        group_col="grp",
+        duration_col="t",
+        event_col="event",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4637,6 +4708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_dense": q_topk_dense,
         "impute_median": q_impute_median,
         "ndcg": q_ndcg,
+        "kaplan_meier": q_kaplan_meier,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5242,6 +5314,43 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "kaplan_meier": """
+            WITH u AS (
+              SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,
+                     min(ts) AS a_min, max(ts) AS a_max,
+                     min(ts) FILTER (event_type = 'purchase') AS p_min
+              FROM events GROUP BY user_id
+            ), d2 AS (
+              SELECT grp,
+                     CASE WHEN p_min IS NOT NULL
+                          THEN CAST(floor((epoch(p_min) - epoch(a_min))
+                                          / 86400.0) AS BIGINT)
+                          ELSE CAST(floor((epoch(a_max) - epoch(a_min))
+                                          / 86400.0) AS BIGINT) END AS t,
+                     CASE WHEN p_min IS NOT NULL THEN 1 ELSE 0 END AS d
+              FROM u
+            ), km AS (
+              SELECT grp, t, SUM(d) AS d, SUM(1 - d) AS c
+              FROM d2 GROUP BY grp, t
+            ), w AS (
+              SELECT grp, t, d, c,
+                     COALESCE(SUM(d + c) OVER (
+                       PARTITION BY grp ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS bef,
+                     SUM(d + c) OVER (PARTITION BY grp) AS total
+              FROM km
+            ), f AS (
+              SELECT grp, t, d, CAST(total - bef AS BIGINT) AS n_risk
+              FROM w WHERE d > 0
+            )
+            SELECT grp, t, n_risk, CAST(d AS BIGINT) AS d,
+                   round(product(1.0 - CAST(d AS DOUBLE) / n_risk) OVER (
+                     PARTITION BY grp ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     6) AS surv
+            FROM f ORDER BY grp, t
+        """,
         "ndcg": """
             WITH a AS (
               SELECT lang, doc_id,

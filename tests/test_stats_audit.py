@@ -197,3 +197,47 @@ class TestAucByGroup:
             rd.from_pandas(df), group_col="g", label_col="y", score_col="s"
         )
         assert np.isnan(got["auc"][0])
+
+
+class TestKaplanMeier:
+    def test_matches_lifelines_style_reference(self, rd):
+        from zonal_stats_toolkit_ray.stages.cohort import kaplan_meier
+
+        rng = np.random.default_rng(3)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "grp": rng.integers(0, 2, n),
+                "t": rng.integers(0, 30, n),
+                "event": rng.integers(0, 2, n),
+            }
+        )
+        got = kaplan_meier(
+            rd.from_pandas(df).repartition(4),
+            group_col="grp",
+            duration_col="t",
+            event_col="event",
+        )
+        for k, g in df.groupby("grp"):
+            s = 1.0
+            sub = got[got["grp"] == k].set_index("t")
+            for t in sorted(g["t"].unique()):
+                at_risk = int((g["t"] >= t).sum())
+                d = int(((g["t"] == t) & (g["event"] == 1)).sum())
+                if d > 0:
+                    s *= 1.0 - d / at_risk
+                    assert sub.loc[t, "n_risk"] == at_risk
+                    assert sub.loc[t, "d"] == d
+                    assert abs(sub.loc[t, "surv"] - s) < 1e-6
+        # survival is non-increasing
+        for _, g in got.groupby("grp"):
+            assert (np.diff(g["surv"].to_numpy()) <= 1e-12).all()
+
+    def test_all_censored(self, rd):
+        from zonal_stats_toolkit_ray.stages.cohort import kaplan_meier
+
+        df = pd.DataFrame({"grp": [1, 1], "t": [5, 9], "event": [0, 0]})
+        got = kaplan_meier(
+            rd.from_pandas(df), group_col="grp", duration_col="t", event_col="event"
+        )
+        assert len(got) == 0  # no event times → no curve rows

@@ -272,3 +272,66 @@ def association_rules(
         .sort_values(["antecedent", "consequent"])
         .reset_index(drop=True)
     )
+
+
+def kaplan_meier(
+    ds,
+    *,
+    group_col: str,
+    duration_col: str,
+    event_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Kaplan–Meier survival estimator per group over (duration, event)
+    observations (event = 1 observed, 0 right-censored) →
+    DataFrame(group, t, n_risk, d, surv 6dp) — one row per EVENT time:
+    ``S(t_i) = Π_{j ≤ i} (1 − d_j / n_j)`` with censored subjects leaving
+    the risk set without a factor (the standard product-limit form;
+    retention/time-to-conversion curves).
+
+    Shape: in-batch (group, duration, event) count partials → one hash
+    aggregate over the durations universe (bounded: calendar days) →
+    driver risk-set cumsums + cumprod, sequential in time order — the
+    identical operation order as the SQL window ``product()``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        e = pc.cast(b[event_col], pa.int64())
+        t = pa.table(
+            {
+                group_col: b[group_col],
+                "t": pc.cast(b[duration_col], pa.int64()),
+                "d": e,
+                "c": pc.subtract(pa.scalar(1, pa.int64()), e),
+            }
+        )
+        g = t.group_by([group_col, "t"]).aggregate([("d", "sum"), ("c", "sum")])
+        return g.rename_columns([group_col, "t", "d", "c"])
+
+    uni = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([group_col, "t"])
+        .aggregate(Sum("d", alias_name="d"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values([group_col, "t"], kind="stable")
+    )
+    rows = []
+    for k, g in uni.groupby(group_col, sort=True):
+        d = g["d"].to_numpy(dtype=np.int64)
+        c = g["c"].to_numpy(dtype=np.int64)
+        t = g["t"].to_numpy(dtype=np.int64)
+        leave = d + c
+        total = int(leave.sum())
+        before = np.concatenate([[0], np.cumsum(leave)[:-1]])
+        n_risk = total - before
+        ev = d > 0
+        factors = 1.0 - d[ev].astype(np.float64) / n_risk[ev].astype(np.float64)
+        surv = np.cumprod(factors)
+        for ti, ni, di, si in zip(t[ev], n_risk[ev], d[ev], surv):
+            rows.append((k, int(ti), int(ni), int(di), round(float(si), 6)))
+    return pd.DataFrame(
+        rows, columns=[group_col, "t", "n_risk", "d", "surv"]
+    )
