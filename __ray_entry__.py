@@ -4607,6 +4607,23 @@ def q_kaplan_meier(sf_dir: str):
     )
 
 
+def q_spearman(sf_dir: str):
+    """Spearman rank correlation of quantity vs extendedprice per
+    returnflag (stages/bivar.py:spearman_by_group): broadcast midrank
+    maps + one six-moment pass; half-integer ranks keep both sides
+    exact."""
+    from zonal_stats_toolkit_ray.stages.bivar import spearman_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return spearman_by_group(
+        ds, key_col="l_returnflag", x_col="l_quantity", y_col="l_extendedprice"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4709,6 +4726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_median": q_impute_median,
         "ndcg": q_ndcg,
         "kaplan_meier": q_kaplan_meier,
+        "spearman": q_spearman,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5314,6 +5332,24 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "spearman": """
+            WITH b AS (
+              SELECT l_returnflag AS k,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     CAST(l_extendedprice AS DOUBLE) AS y
+              FROM lineitem
+            ), r AS (
+              SELECT k,
+                     RANK() OVER (PARTITION BY k ORDER BY x)
+                       + (COUNT(*) OVER (PARTITION BY k, x) - 1) / 2.0 AS xr,
+                     RANK() OVER (PARTITION BY k ORDER BY y)
+                       + (COUNT(*) OVER (PARTITION BY k, y) - 1) / 2.0 AS yr
+              FROM b
+            )
+            SELECT k AS l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(corr(xr, yr), 6) AS rho
+            FROM r GROUP BY k ORDER BY k
+        """,
         "kaplan_meier": """
             WITH u AS (
               SELECT user_id, CAST(user_id % 2 AS BIGINT) AS grp,

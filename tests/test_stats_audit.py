@@ -241,3 +241,35 @@ class TestKaplanMeier:
             rd.from_pandas(df), group_col="grp", duration_col="t", event_col="event"
         )
         assert len(got) == 0  # no event times → no curve rows
+
+
+class TestSpearman:
+    def test_matches_scipy_definition(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import spearman_by_group
+
+        rng = np.random.default_rng(7)
+        n = 2000
+        k = rng.choice(["a", "b"], n)
+        x = rng.integers(0, 40, n).astype(float)
+        y = x + rng.normal(0, 8, n).round(1)  # monotone-ish, heavy x ties
+        df = pd.DataFrame({"k": k, "x": x, "y": y})
+        got = spearman_by_group(
+            rd.from_pandas(df).repartition(5), key_col="k", x_col="x", y_col="y"
+        ).set_index("k")
+        for key, g in df.groupby("k"):
+            xr = pd.Series(g["x"]).rank().to_numpy()
+            yr = pd.Series(g["y"]).rank().to_numpy()
+            want = np.corrcoef(xr, yr)[0, 1]
+            assert abs(got.loc[key, "rho"] - want) < 1e-6
+            assert got.loc[key, "rho"] > 0.5
+
+    def test_perfect_monotone(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import spearman_by_group
+
+        df = pd.DataFrame(
+            {"k": ["m"] * 50, "x": np.arange(50.0), "y": np.exp(np.arange(50.0) / 10)}
+        )
+        got = spearman_by_group(
+            rd.from_pandas(df), key_col="k", x_col="x", y_col="y"
+        )
+        assert got["rho"].tolist() == [1.0]

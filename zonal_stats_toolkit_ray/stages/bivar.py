@@ -493,3 +493,110 @@ def auc_by_group(
             auc = round((sp - np_ * (np_ + 1.0) / 2.0) / (np_ * nn_), 6)
         rows.append((k, int(np_), int(nn_), auc))
     return pd.DataFrame(rows, columns=[group_col, "n_pos", "n_neg", "auc"])
+
+
+def spearman_by_group(
+    ds,
+    *,
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Spearman rank correlation per group → DataFrame(key, n, rho 6dp):
+    Pearson correlation of the MIDRANKS (tie-corrected, the
+    scipy.stats.spearmanr convention) — the robust monotone-association
+    readout.
+
+    Shape: two (key, value) count-universe aggregates (x and y) yield
+    per-value midranks (cum_before + (c+1)/2 — exact half-integers, the
+    AUC kernel); the maps broadcast and ONE pass attaches both ranks and
+    emits six-moment partials (the grouped_corr kernel).  Degenerate
+    groups yield NULL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def universe(col: str) -> pd.DataFrame:
+        def partials(b: pa.Table) -> pa.Table:
+            t = pa.table(
+                {key_col: b[key_col], "v": pc.cast(b[col], pa.float64())}
+            )
+            g = t.group_by([key_col, "v"]).aggregate([([], "count_all")])
+            return pa.table(
+                {
+                    key_col: g[key_col],
+                    "v": g["v"],
+                    "c": pc.cast(g["count_all"], pa.int64()),
+                }
+            )
+
+        return (
+            ds.select_columns([key_col, col])
+            .map_batches(partials, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby([key_col, "v"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+            .sort_values([key_col, "v"], kind="stable")
+        )
+
+    def rank_map(uni: pd.DataFrame) -> dict:
+        out = {}
+        for k, g in uni.groupby(key_col, sort=False):
+            c = g["c"].to_numpy(dtype=np.float64)
+            cum_before = np.concatenate([[0.0], np.cumsum(c)[:-1]])
+            out[k] = (
+                g["v"].to_numpy(dtype=np.float64),
+                cum_before + (c + 1.0) / 2.0,
+            )
+        return out
+
+    mx = rank_map(universe(x_col))
+    my = rank_map(universe(y_col))
+    rx = ray.put(mx)
+    ry = ray.put(my)
+
+    def moments(b: pa.Table, *, _rx=rx, _ry=ry) -> pa.Table:
+        mxx, myy = ray.get(_rx), ray.get(_ry)
+        kcol = b[key_col]
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.combine_chunks()
+        keys = kcol.to_pandas().to_numpy()
+        xv = pc.cast(b[x_col], pa.float64()).to_numpy(zero_copy_only=False)
+        yv = pc.cast(b[y_col], pa.float64()).to_numpy(zero_copy_only=False)
+        xr = np.empty(len(b))
+        yr = np.empty(len(b))
+        # vectorized per distinct key in the batch (keys per batch bounded)
+        import pandas as pd_
+
+        for k in pd_.unique(keys):
+            m = keys == k
+            vx, rkx = mxx[k]
+            vy, rky = myy[k]
+            xr[m] = rkx[np.searchsorted(vx, xv[m])]
+            yr[m] = rky[np.searchsorted(vy, yv[m])]
+        t = pa.table(
+            {
+                key_col: kcol,
+                "x": pa.array(xr, pa.float64()),
+                "y": pa.array(yr, pa.float64()),
+            }
+        )
+        return bivar_partials_batch(t, keys=[key_col], x_col="x", y_col="y")
+
+    merged = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(key_col)
+        .aggregate(*[Sum(m, alias_name=m) for m in _MOMENTS])
+        .to_pandas()
+    )
+    fin = finalize_bivar(merged)
+    out = pd.DataFrame(
+        {
+            key_col: fin[key_col],
+            "n": fin["n"].astype(np.int64),
+            "rho": np.round(fin["corr"].astype(np.float64), 6),
+        }
+    )
+    return out.sort_values(key_col).reset_index(drop=True)
