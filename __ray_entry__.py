@@ -4624,6 +4624,36 @@ def q_spearman(sf_dir: str):
     )
 
 
+def q_kendall_tau(sf_dir: str):
+    """Kendall τ-b of quantity vs discount·100 per returnflag
+    (stages/bivar.py:kendall_tau_by_group): exact C/D from 2-D prefix
+    sums over the joint contingency — int64 throughout, the SQL twin
+    counts the same cell pairs."""
+    from zonal_stats_toolkit_ray.stages.bivar import kendall_tau_by_group
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "x": pc.cast(t["l_quantity"], pa.float64()),
+                "y": pa.array(
+                    np.rint(
+                        t["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return kendall_tau_by_group(
+        ds, key_col="l_returnflag", x_col="x", y_col="y"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4727,6 +4757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ndcg": q_ndcg,
         "kaplan_meier": q_kaplan_meier,
         "spearman": q_spearman,
+        "kendall_tau": q_kendall_tau,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5332,6 +5363,41 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "kendall_tau": """
+            WITH b AS (
+              SELECT l_returnflag AS k,
+                     CAST(l_quantity AS DOUBLE) AS x,
+                     round(l_discount * 100) AS y
+              FROM lineitem
+            ), cells AS (
+              SELECT k, x, y, CAST(count(*) AS BIGINT) AS n
+              FROM b GROUP BY 1, 2, 3
+            ), cd AS (
+              SELECT a.k,
+                     CAST(COALESCE(SUM(a.n * c.n) FILTER (
+                       c.x < a.x AND c.y < a.y), 0) AS DOUBLE) AS c_pairs,
+                     CAST(COALESCE(SUM(a.n * c.n) FILTER (
+                       c.x < a.x AND c.y > a.y), 0) AS DOUBLE) AS d_pairs
+              FROM cells a JOIN cells c ON a.k = c.k
+              GROUP BY a.k
+            ), marg AS (
+              SELECT k,
+                     CAST(SUM(n) AS DOUBLE) AS n,
+                     CAST(SUM(n) * (SUM(n) - 1) / 2 AS DOUBLE) AS n0,
+                     CAST((SELECT SUM(tx * (tx - 1) / 2) FROM (
+                       SELECT SUM(n) AS tx FROM cells c2
+                       WHERE c2.k = cells.k GROUP BY c2.x)) AS DOUBLE) AS n1,
+                     CAST((SELECT SUM(ty * (ty - 1) / 2) FROM (
+                       SELECT SUM(n) AS ty FROM cells c3
+                       WHERE c3.k = cells.k GROUP BY c3.y)) AS DOUBLE) AS n2
+              FROM cells GROUP BY k
+            )
+            SELECT marg.k AS l_returnflag, CAST(marg.n AS BIGINT) AS n,
+                   round((cd.c_pairs - cd.d_pairs)
+                         / sqrt((marg.n0 - marg.n1) * (marg.n0 - marg.n2)),
+                         6) AS tau
+            FROM marg JOIN cd ON cd.k = marg.k ORDER BY marg.k
+        """,
         "spearman": """
             WITH b AS (
               SELECT l_returnflag AS k,

@@ -273,3 +273,36 @@ class TestSpearman:
             rd.from_pandas(df), key_col="k", x_col="x", y_col="y"
         )
         assert got["rho"].tolist() == [1.0]
+
+
+class TestKendallTau:
+    def test_matches_scipy_style_bruteforce(self, rd):
+        from zonal_stats_toolkit_ray.stages.bivar import kendall_tau_by_group
+
+        rng = np.random.default_rng(9)
+        n = 600
+        k = rng.choice(["a", "b"], n)
+        x = rng.integers(0, 8, n).astype(float)
+        y = np.clip(x + rng.integers(-3, 4, n), 0, 10).astype(float)
+        df = pd.DataFrame({"k": k, "x": x, "y": y})
+        got = kendall_tau_by_group(
+            rd.from_pandas(df).repartition(4), key_col="k", x_col="x", y_col="y"
+        ).set_index("k")
+        for key, g in df.groupby("k"):
+            xv, yv = g["x"].to_numpy(), g["y"].to_numpy()
+            dx = np.sign(xv[:, None] - xv[None, :])
+            dy = np.sign(yv[:, None] - yv[None, :])
+            iu = np.triu_indices(len(xv), 1)
+            s = dx[iu] * dy[iu]
+            C = int((s > 0).sum())
+            D = int((s < 0).sum())
+            n0 = len(xv) * (len(xv) - 1) // 2
+            n1 = sum(
+                t * (t - 1) // 2 for t in pd.Series(xv).value_counts()
+            )
+            n2 = sum(
+                t * (t - 1) // 2 for t in pd.Series(yv).value_counts()
+            )
+            want = (C - D) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+            assert abs(got.loc[key, "tau"] - want) < 1e-6
+            assert got.loc[key, "tau"] > 0.3  # planted monotone trend
