@@ -4654,6 +4654,29 @@ def q_kendall_tau(sf_dir: str):
     )
 
 
+def q_mutual_info(sf_dir: str):
+    """Mutual information between event_type and variant (stages/
+    profile.py:mutual_information): one contingency pass, SQL-identical
+    p·ln(p/(pq)) terms."""
+    from zonal_stats_toolkit_ray.stages.profile import mutual_information
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "variant": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return mutual_information(ds, row_col="event_type", col_col="variant")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4758,6 +4781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": q_kaplan_meier,
         "spearman": q_spearman,
         "kendall_tau": q_kendall_tau,
+        "mutual_info": q_mutual_info,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5363,6 +5387,22 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "mutual_info": """
+            WITH c AS (
+              SELECT event_type AS r, CAST(user_id % 2 AS BIGINT) AS c2,
+                     CAST(count(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2
+            ), t AS (SELECT SUM(o) AS n FROM c),
+            rt AS (SELECT r, SUM(o) AS rt FROM c GROUP BY r),
+            ct AS (SELECT c2, SUM(o) AS ct FROM c GROUP BY c2)
+            SELECT round(SUM((c.o / t.n)
+                     * ln((c.o / t.n)
+                          / ((rt.rt / t.n) * (ct.ct / t.n)))), 6) AS mi,
+                   CAST(MAX(t.n) AS BIGINT) AS n
+            FROM c JOIN rt ON rt.r = c.r
+                   JOIN ct ON ct.c2 = c.c2
+                   CROSS JOIN t
+        """,
         "kendall_tau": """
             WITH b AS (
               SELECT l_returnflag AS k,

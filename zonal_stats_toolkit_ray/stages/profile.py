@@ -413,3 +413,50 @@ def psi_drift(
             "psi_term": np.round(term, 6),
         }
     )
+
+
+def mutual_information(
+    ds,
+    *,
+    row_col: str,
+    col_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Mutual information (nats) between two categorical columns →
+    DataFrame(mi 6dp, n) — the dependence strength behind feature
+    selection: ``MI = Σ_ij p_ij · ln(p_ij / (p_i · p_j))`` over the
+    observed contingency cells.
+
+    Same one-pass contingency shape as :func:`chi2_independence`;
+    SQL-identical term algebra."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({row_col: b[row_col], col_col: b[col_col]})
+        g = t.group_by([row_col, col_col]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                row_col: g[row_col],
+                col_col: g[col_col],
+                "n": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.select_columns([row_col, col_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby([row_col, col_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n = float(uni["n"].sum())
+    ri = uni.groupby(row_col)["n"].sum()
+    ci = uni.groupby(col_col)["n"].sum()
+    pij = uni["n"].to_numpy(dtype=np.float64) / n
+    pi = uni[row_col].map(ri).to_numpy(dtype=np.float64) / n
+    pj = uni[col_col].map(ci).to_numpy(dtype=np.float64) / n
+    mi = float((pij * np.log(pij / (pi * pj))).sum())
+    return pd.DataFrame({"mi": [round(mi, 6)], "n": [np.int64(n)]})
