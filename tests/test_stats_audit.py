@@ -306,3 +306,29 @@ class TestKendallTau:
             want = (C - D) / np.sqrt(float(n0 - n1) * float(n0 - n2))
             assert abs(got.loc[key, "tau"] - want) < 1e-6
             assert got.loc[key, "tau"] > 0.3  # planted monotone trend
+
+
+class TestMutualInfo:
+    def test_independent_zero_dependent_positive(self, rd):
+        from zonal_stats_toolkit_ray.stages.profile import mutual_information
+
+        rng = np.random.default_rng(5)
+        n = 8000
+        r = rng.choice(["a", "b", "c"], n)
+        ind = rng.choice([0, 1], n)
+        dep = np.where(r == "a", 1, 0)
+        mi_ind = mutual_information(
+            rd.from_pandas(pd.DataFrame({"r": r, "c": ind})),
+            row_col="r",
+            col_col="c",
+        )["mi"][0]
+        mi_dep = mutual_information(
+            rd.from_pandas(pd.DataFrame({"r": r, "c": dep})),
+            row_col="r",
+            col_col="c",
+        )["mi"][0]
+        assert mi_ind < 0.01 < mi_dep
+        # dep is a deterministic function of r → MI = H(dep)
+        p = dep.mean()
+        h = -(p * np.log(p) + (1 - p) * np.log(1 - p))
+        assert abs(mi_dep - h) < 0.01
