@@ -4677,6 +4677,29 @@ def q_mutual_info(sf_dir: str):
     return mutual_information(ds, row_col="event_type", col_col="variant")
 
 
+def q_ks_test(sf_dir: str):
+    """Two-sample KS statistic between even/odd user segments
+    (stages/profile.py:ks_test): exact cumulative fractions from one
+    (segment, value) count-universe aggregate."""
+    from zonal_stats_toolkit_ray.stages.profile import ks_test
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "seg": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                ),
+                "value": t["value"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ks_test(ds, value_col="value", seg_col="seg", ref_segment=0)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4782,6 +4805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": q_spearman,
         "kendall_tau": q_kendall_tau,
         "mutual_info": q_mutual_info,
+        "ks_test": q_ks_test,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5387,6 +5411,38 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "ks_test": """
+            WITH b AS (
+              SELECT value AS v,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+              FROM events
+            ), c AS (
+              SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM b GROUP BY v
+            ), t AS (
+              SELECT CAST(SUM(ca) AS DOUBLE) AS na,
+                     CAST(SUM(cb) AS DOUBLE) AS nb
+              FROM c
+            ), w AS (
+              SELECT v,
+                     SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cuma,
+                     SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS cumb
+              FROM c
+            ), d AS (
+              SELECT w.v,
+                     abs(CAST(cuma AS DOUBLE) / t.na
+                         - CAST(cumb AS DOUBLE) / t.nb) AS diff
+              FROM w, t
+            ), m AS (
+              SELECT v, diff,
+                     ROW_NUMBER() OVER (ORDER BY diff DESC, v) AS rn
+              FROM d
+            )
+            SELECT round(m.diff, 6) AS d, m.v AS at_value,
+                   CAST(t.na AS BIGINT) AS n_a, CAST(t.nb AS BIGINT) AS n_b
+            FROM m, t WHERE m.rn = 1
+        """,
         "mutual_info": """
             WITH c AS (
               SELECT event_type AS r, CAST(user_id % 2 AS BIGINT) AS c2,

@@ -332,3 +332,40 @@ class TestMutualInfo:
         p = dep.mean()
         h = -(p * np.log(p) + (1 - p) * np.log(1 - p))
         assert abs(mi_dep - h) < 0.01
+
+
+class TestKsTest:
+    def test_identical_small_shifted_large(self, rd):
+        from zonal_stats_toolkit_ray.stages.profile import ks_test
+
+        rng = np.random.default_rng(3)
+        n = 10_000
+        seg = rng.integers(0, 2, n)
+        same = pd.DataFrame(
+            {"seg": seg, "value": np.round(rng.normal(0, 1, n), 2)}
+        )
+        d1 = ks_test(
+            rd.from_pandas(same).repartition(4),
+            value_col="value",
+            seg_col="seg",
+            ref_segment=0,
+        )["d"][0]
+        shifted = same.copy()
+        shifted.loc[shifted["seg"] == 1, "value"] += 1.0
+        d2 = ks_test(
+            rd.from_pandas(shifted),
+            value_col="value",
+            seg_col="seg",
+            ref_segment=0,
+        )["d"][0]
+        assert d1 < 0.05 < d2
+        # scipy-style reference on the shifted case
+        from itertools import chain
+
+        a = shifted[shifted["seg"] == 0]["value"].to_numpy()
+        b = shifted[shifted["seg"] == 1]["value"].to_numpy()
+        vals = np.unique(np.concatenate([a, b]))
+        fa = np.searchsorted(np.sort(a), vals, side="right") / len(a)
+        fb = np.searchsorted(np.sort(b), vals, side="right") / len(b)
+        want = np.abs(fa - fb).max()
+        assert abs(d2 - want) < 1e-6

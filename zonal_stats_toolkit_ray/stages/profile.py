@@ -460,3 +460,70 @@ def mutual_information(
     pj = uni[col_col].map(ci).to_numpy(dtype=np.float64) / n
     mi = float((pij * np.log(pij / (pi * pj))).sum())
     return pd.DataFrame({"mi": [round(mi, 6)], "n": [np.int64(n)]})
+
+
+def ks_test(
+    ds,
+    *,
+    value_col: str,
+    seg_col: str,
+    ref_segment,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between a reference
+    segment and the rest → DataFrame(d 6dp, at_value, n_a, n_b):
+    ``D = max_v |ECDF_a(v) − ECDF_b(v)|`` with the value attaining it
+    (smallest such value on ties) — the classic distribution-shift test
+    (exact counterpart of the binned PSI above).
+
+    Exact from ONE (segment, value) count-universe aggregate: merged
+    distinct values, cumulative fractions (integer counts / totals —
+    identical arithmetic to the SQL window form), vectorized max."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        seg = pc.equal(b[seg_col], ref_segment)
+        t = pa.table(
+            {
+                "is_ref": pc.cast(seg, pa.int8()),
+                "v": pc.cast(b[value_col], pa.float64()),
+            }
+        )
+        g = t.group_by(["is_ref", "v"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "is_ref": g["is_ref"],
+                "v": g["v"],
+                "c": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    uni = (
+        ds.select_columns([seg_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .groupby(["is_ref", "v"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    piv = (
+        uni.pivot_table(index="v", columns="is_ref", values="c", fill_value=0)
+        .sort_index()
+    )
+    ca = piv.get(1, pd.Series(0, index=piv.index)).to_numpy(dtype=np.int64)
+    cb = piv.get(0, pd.Series(0, index=piv.index)).to_numpy(dtype=np.int64)
+    na, nb = float(ca.sum()), float(cb.sum())
+    fa = np.cumsum(ca) / na
+    fb = np.cumsum(cb) / nb
+    diff = np.abs(fa - fb)
+    i = int(np.argmax(diff))  # first (smallest value) max on ties
+    return pd.DataFrame(
+        {
+            "d": [round(float(diff[i]), 6)],
+            "at_value": [float(piv.index[i])],
+            "n_a": [np.int64(na)],
+            "n_b": [np.int64(nb)],
+        }
+    )
