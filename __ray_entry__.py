@@ -4700,6 +4700,29 @@ def q_ks_test(sf_dir: str):
     return ks_test(ds, value_col="value", seg_col="seg", ref_segment=0)
 
 
+def q_cramers_v(sf_dir: str):
+    """Cramér's V of event_type × variant (stages/profile.py:cramers_v):
+    χ² reuse + pruned distinct cardinalities; SQL computes V from the
+    identically-rounded χ²."""
+    from zonal_stats_toolkit_ray.stages.profile import cramers_v
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "variant": pa.array(
+                    t["user_id"].to_numpy(zero_copy_only=False) % 2, pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return cramers_v(ds, row_col="event_type", col_col="variant")
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4806,6 +4829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": q_kendall_tau,
         "mutual_info": q_mutual_info,
         "ks_test": q_ks_test,
+        "cramers_v": q_cramers_v,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5411,6 +5435,40 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "cramers_v": """
+            WITH c AS (
+              SELECT event_type AS r, CAST(user_id % 2 AS BIGINT) AS c2,
+                     CAST(count(*) AS DOUBLE) AS o
+              FROM events GROUP BY 1, 2
+            ), rr AS (SELECT DISTINCT r FROM c),
+            cc AS (SELECT DISTINCT c2 FROM c),
+            cells AS (
+              SELECT rr.r, cc.c2, COALESCE(c.o, 0.0) AS o
+              FROM rr CROSS JOIN cc
+              LEFT JOIN c ON c.r = rr.r AND c.c2 = cc.c2
+            ), rt AS (SELECT r, SUM(o) AS rt FROM cells GROUP BY r),
+            ct AS (SELECT c2, SUM(o) AS ct FROM cells GROUP BY c2),
+            t AS (SELECT SUM(o) AS n FROM cells),
+            x AS (
+              SELECT round(SUM(
+                       (cells.o - rt.rt * ct.ct / t.n)
+                       * (cells.o - rt.rt * ct.ct / t.n)
+                       / (rt.rt * ct.ct / t.n)), 6) AS chi2,
+                     CAST(((SELECT count(*) FROM rr) - 1)
+                          * ((SELECT count(*) FROM cc) - 1) AS BIGINT)
+                         AS dof,
+                     CAST(MAX(t.n) AS BIGINT) AS n,
+                     CAST(least((SELECT count(*) FROM rr) - 1,
+                                (SELECT count(*) FROM cc) - 1) AS DOUBLE)
+                         AS k
+              FROM cells JOIN rt ON cells.r = rt.r
+                         JOIN ct ON cells.c2 = ct.c2
+                         CROSS JOIN t
+            )
+            SELECT round(sqrt(chi2 / (CAST(n AS DOUBLE) * k)), 6) AS v,
+                   chi2, dof, n
+            FROM x
+        """,
         "ks_test": """
             WITH b AS (
               SELECT value AS v,

@@ -527,3 +527,29 @@ def ks_test(
             "n_b": [np.int64(nb)],
         }
     )
+
+
+def cramers_v(
+    ds,
+    *,
+    row_col: str,
+    col_col: str,
+    num_partitions: int = 4,
+) -> pd.DataFrame:
+    """Cramér's V effect size → DataFrame(v 6dp, chi2, dof, n):
+    ``V = sqrt(χ² / (n · min(r−1, c−1)))`` — the normalized [0, 1]
+    strength companion to :func:`chi2_independence` (which it reuses;
+    the cardinalities come from two pruned distinct counts)."""
+    from .joins import distinct_rows
+
+    chi = chi2_independence(
+        ds, row_col=row_col, col_col=col_col, num_partitions=num_partitions
+    )
+    r = distinct_rows(ds.select_columns([row_col]), [row_col]).count()
+    c = distinct_rows(ds.select_columns([col_col]), [col_col]).count()
+    n = float(chi["n"][0])
+    k = float(min(r - 1, c - 1))
+    v = float(np.sqrt(chi["chi2"][0] / (n * k))) if k > 0 else np.nan
+    out = chi.copy()
+    out.insert(0, "v", round(v, 6))
+    return out
