@@ -4723,6 +4723,43 @@ def q_cramers_v(sf_dir: str):
     return cramers_v(ds, row_col="event_type", col_col="variant")
 
 
+def q_bounce_rate(sf_dir: str):
+    """Sessionized bounce counts per user: single-event sessions over the
+    scale-safe chunked sessionizer (stages/window.py:session_windows) →
+    per-user (n_sessions, bounces) — integer outputs, rate derivable."""
+    from zonal_stats_toolkit_ray.stages.window import session_windows
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    sess = session_windows(ds, gap_seconds=1800.0)
+
+    def mark(t: pa.Table) -> pa.Table:
+        if "n_events" not in t.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                }
+            )
+        b = pc.cast(pc.equal(t["n_events"], 1), pa.int64())
+        return pa.table({"user_id": t["user_id"], "b": b})
+
+    out = (
+        sess.map_batches(mark, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_sessions"), Sum("b", alias_name="bounces"))
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    out["n_sessions"] = out["n_sessions"].astype(np.int64)
+    out["bounces"] = out["bounces"].astype(np.int64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4830,6 +4867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_info": q_mutual_info,
         "ks_test": q_ks_test,
         "cramers_v": q_cramers_v,
+        "bounce_rate": q_bounce_rate,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5435,6 +5473,29 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "bounce_rate": """
+            WITH d AS (
+                SELECT user_id, epoch(ts) AS t,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                            OR lag(epoch(ts)) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, t,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY t) AS sid
+                FROM d
+            ), per AS (
+                SELECT user_id, sid, count(*) AS ne
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS bounces
+            FROM per GROUP BY user_id ORDER BY user_id
+        """,
         "cramers_v": """
             WITH c AS (
               SELECT event_type AS r, CAST(user_id % 2 AS BIGINT) AS c2,
