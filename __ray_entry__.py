@@ -4760,6 +4760,42 @@ def q_bounce_rate(sf_dir: str):
     return out
 
 
+def q_churn_labels(sf_dir: str):
+    """ML label engineering: retained = another event by the SAME user
+    within 7 days (inclusive window [t, t+7d]).  A FORWARD window via
+    time REFLECTION: ts' = T0 − ts turns the trailing RANGE kernel
+    (stages/rolling.py:rolling_window_stats, tied-timestamp peers
+    included) into a forward one — no new shuffle shape.  Oracle = COUNT
+    OVER RANGE ... 7 DAYS FOLLOWING ≥ 2."""
+    from zonal_stats_toolkit_ray.stages.rolling import rolling_window_stats
+    import ray.data as rd
+
+    T0 = pd.Timestamp("2030-01-01").value // 1000  # epoch µs, past all data
+
+    def reflect(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        us = us.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": pa.array(T0 - us, pa.timestamp("us")),
+                "value": pa.array(np.zeros(len(t))),
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    ).map_batches(reflect, batch_format="pyarrow")
+    out = rolling_window_stats(ds, window_s=7 * 86400.0).to_pandas()
+    out["retained"] = (out["roll_n"] >= 2).astype(np.int64)
+    return (
+        out[["event_id", "user_id", "retained"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4868,6 +4904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_test": q_ks_test,
         "cramers_v": q_cramers_v,
         "bounce_rate": q_bounce_rate,
+        "churn_labels": q_churn_labels,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5473,6 +5510,15 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "churn_labels": """
+            SELECT event_id, user_id,
+                   CASE WHEN COUNT(*) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN CURRENT ROW
+                               AND INTERVAL 7 DAYS FOLLOWING) >= 2
+                        THEN 1 ELSE 0 END AS retained
+            FROM events ORDER BY event_id
+        """,
         "bounce_rate": """
             WITH d AS (
                 SELECT user_id, epoch(ts) AS t,
