@@ -4796,6 +4796,18 @@ def q_churn_labels(sf_dir: str):
     )
 
 
+def q_readability(sf_dir: str):
+    """Flesch-style readability per doc (stages/text.py:
+    readability_batch): three RE2 count kernels + the standard formula;
+    embarrassingly parallel."""
+    from zonal_stats_toolkit_ray.stages.text import readability_batch
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(readability_batch, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4905,6 +4917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cramers_v": q_cramers_v,
         "bounce_rate": q_bounce_rate,
         "churn_labels": q_churn_labels,
+        "readability": q_readability,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5510,6 +5523,27 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "readability": r"""
+            WITH c AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     len(regexp_extract_all(text, '[.!?]+')) AS n_sents,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                         AS n_syll
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_sents AS BIGINT) AS n_sents,
+                   CAST(n_syll AS BIGINT) AS n_syll,
+                   round(206.835
+                         - 1.015 * (CAST(n_words AS DOUBLE)
+                                    / greatest(CAST(n_sents AS DOUBLE), 1.0))
+                         - 84.6 * (CAST(n_syll AS DOUBLE)
+                                   / greatest(CAST(n_words AS DOUBLE), 1.0)),
+                         6) AS flesch
+            FROM c ORDER BY doc_id
+        """,
         "churn_labels": """
             SELECT event_id, user_id,
                    CASE WHEN COUNT(*) OVER (

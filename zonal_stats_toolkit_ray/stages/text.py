@@ -1604,3 +1604,37 @@ def negative_samples(
         )
 
     return ds.select_columns([id_col]).map_batches(draw, batch_format="pyarrow")
+
+
+def readability_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Flesch-style reading-ease features per doc → (doc_id, n_words,
+    n_sents, n_syll, flesch 6dp): words = ``\\S+`` runs, sentences =
+    ``[.!?]+`` runs (min 1), syllables ≈ vowel-group runs ``[aeiouy]+``
+    on the lowered text (the standard cheap proxy);
+    ``flesch = 206.835 − 1.015·(words/sents) − 84.6·(syll/words)``.
+
+    All three counts are single RE2 ``count_substring_regex`` kernels —
+    identical non-overlapping leftmost-match semantics to DuckDB's
+    ``regexp_extract_all``, so the SQL twin is exact."""
+    t = pc.fill_null(batch[text_col], "")
+    words = pc.count_substring_regex(t, r"\S+").to_numpy(zero_copy_only=False)
+    sents = pc.count_substring_regex(t, r"[.!?]+").to_numpy(
+        zero_copy_only=False
+    )
+    syll = pc.count_substring_regex(
+        pc.utf8_lower(t), r"[aeiouy]+"
+    ).to_numpy(zero_copy_only=False)
+    w = words.astype(np.float64)
+    s = np.maximum(sents.astype(np.float64), 1.0)
+    y = syll.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (y / np.maximum(w, 1.0))
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(words.astype(np.int64), pa.int64()),
+            "n_sents": pa.array(sents.astype(np.int64), pa.int64()),
+            "n_syll": pa.array(syll.astype(np.int64), pa.int64()),
+            "flesch": pa.array(np.round(flesch, 6), pa.float64()),
+        }
+    )
