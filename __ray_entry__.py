@@ -4808,6 +4808,41 @@ def q_readability(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_arrival_rate(sf_dir: str):
+    """Per-user Poisson arrival-rate MLE, events/day: inter-arrival gaps
+    telescope, so λ = (n − 1) / span_days needs only (count, min ts,
+    max ts) — one partial+final aggregate, nothing row-sized moves.
+    Users with one event yield NULL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    agg = (
+        ds.groupby("user_id")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("ts", alias_name="t0"),
+            Max("ts", alias_name="t1"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(dtype=np.int64)
+    span_days = (
+        agg["t1"].astype("datetime64[us]").astype(np.int64)
+        - agg["t0"].astype("datetime64[us]").astype(np.int64)
+    ).to_numpy() / 86_400_000_000.0
+    with np.errstate(invalid="ignore", divide="ignore"):
+        lam = np.where((n > 1) & (span_days > 0), (n - 1) / span_days, np.nan)
+    out = pd.DataFrame(
+        {
+            "user_id": agg["user_id"].astype(np.int64),
+            "n": n,
+            "rate_per_day": np.round(lam, 6),
+        }
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4918,6 +4953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": q_bounce_rate,
         "churn_labels": q_churn_labels,
         "readability": q_readability,
+        "arrival_rate": q_arrival_rate,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5523,6 +5559,16 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "arrival_rate": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                   CASE WHEN count(*) > 1
+                        AND epoch(max(ts)) > epoch(min(ts))
+                        THEN round((count(*) - 1)
+                               / ((epoch(max(ts)) - epoch(min(ts)))
+                                  / 86400.0), 6)
+                        END AS rate_per_day
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
         "readability": r"""
             WITH c AS (
               SELECT doc_id,
