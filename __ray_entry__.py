@@ -4843,6 +4843,51 @@ def q_arrival_rate(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_ttr(sf_dir: str):
+    """Type-token ratio per doc (unigram lexical diversity — the
+    companion to the 8-gram repetition_ratio): distinct/total token
+    counts via the shared flatten kernel; integer outputs."""
+    from zonal_stats_toolkit_ray.stages.text import doc_frequency_batch
+    import ray.data as rd
+
+    def per_doc(b: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(b["text"], ""))
+        toks = pc.split_pattern_regex(t, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_of = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+        ne = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(ne))
+        doc_of = doc_of[ne]
+        total = np.bincount(doc_of, minlength=counts.size).astype(np.int64)
+        d = (
+            pa.table({"d": pa.array(doc_of), "g": flat})
+            .group_by(["d", "g"])
+            .aggregate([])
+        )
+        dd = d["d"].to_numpy(zero_copy_only=False)
+        distinct = np.bincount(dd, minlength=counts.size).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(total, pa.int64()),
+                "n_types": pa.array(distinct, pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -4954,6 +4999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churn_labels": q_churn_labels,
         "readability": q_readability,
         "arrival_rate": q_arrival_rate,
+        "ttr": q_ttr,
         "distinct_count": q_distinct_count,
         "three_way_join": q_three_way_join,
         "weighted_sample": q_weighted_sample,
@@ -5559,6 +5605,18 @@ def oracle_sql() -> dict[str, str]:
             FROM j
         """,
         "expectations": _expect_sql() + " ORDER BY rule",
+        "ttr": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(w)) AS BIGINT) AS n_types
+            FROM toks ORDER BY doc_id
+        """,
         "arrival_rate": """
             SELECT user_id, CAST(count(*) AS BIGINT) AS n,
                    CASE WHEN count(*) > 1
