@@ -74,3 +74,16 @@ class TestSilhouette:
         assert np.abs(got["s"].to_numpy() - want).max() < 1e-9
         # well-separated blobs → high scores
         assert got["s"].mean() > 0.8
+
+    def test_k1_raises_clear_error(self, rd):
+        # ADVICE r4: np.partition(d2, 1) needs >= 2 centroid columns;
+        # k = 1 must fail fast with guidance, not an opaque numpy error
+        import pytest as _pytest
+
+        from zonal_stats_toolkit_ray.stages.kmeans import silhouette
+
+        df = pd.DataFrame(
+            {"vec_id": [0, 1], "embedding": [np.zeros(4, np.float32)] * 2}
+        )
+        with _pytest.raises(ValueError, match="k >= 2"):
+            silhouette(rd.from_pandas(df), np.zeros((1, 4)))

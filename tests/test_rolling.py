@@ -106,6 +106,29 @@ class TestRollingWindow:
         ds = rd.from_pandas(df).repartition(8)
         _cmp(ds, 1800.0)
 
+    def test_frame_edge_row_survives_tied_cross_block_run(self, ray_session):
+        # ADVICE r4 repro: a row at EXACTLY t − window, strictly inside an
+        # earlier block, plus a tied run at t straddling block boundaries.
+        # The inclusive RANGE frame of every tied row must count the edge
+        # row; the old strict `>` boundary export dropped it for rows in
+        # later blocks.
+        n_tied = 60
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n_tied + 1, dtype=np.int64),
+                "user_id": np.int64(3),
+                "ts": pd.to_datetime(
+                    [0] + [3_600_000_000] * n_tied, unit="us"
+                ),
+                "value": [100.0] + [1.0] * n_tied,
+            }
+        )
+        ds = rd.from_pandas(df).repartition(12)
+        out = _cmp(ds, 3600.0)
+        tied = out[out["event_id"] > 0]
+        assert (tied["roll_n"] == n_tied + 1).all()
+        assert np.allclose(tied["roll_sum"], 100.0 + n_tied)
+
     def test_boundary_threshold_raises(self, ray_session):
         df = _events_df(2_000, 1, seed=5, span_s=10)
         ds = rd.from_pandas(df).repartition(4)

@@ -191,6 +191,11 @@ def silhouette(ds, cent: np.ndarray, *, id_col: str = "vec_id", vec_col: str = "
     import ray
 
     cent = np.asarray(cent, dtype=np.float64)
+    if cent.ndim != 2 or cent.shape[0] < 2:
+        raise ValueError(
+            "silhouette needs a (k, d) centroid matrix with k >= 2 — "
+            "'nearest OTHER centroid' is undefined for k = 1"
+        )
     cent_ref = ray.put(cent)
 
     def score(batch: pa.Table, *, _ref=cent_ref) -> pa.Table:

@@ -144,9 +144,13 @@ def rolling_window_stats(
         vals = (
             _combined(b[value_col]).to_numpy(zero_copy_only=False).astype(np.float64)
         )
-        # trailing context: last key's rows within window of that key's max ts
+        # trailing context: last key's rows within window of that key's max
+        # ts — INCLUSIVE lower bound: a later block can hold a row tied with
+        # ts[-1], whose RANGE frame [t − window, t] includes a row at exactly
+        # ts[-1] − window (ADVICE r4: strict `>` dropped frame-edge rows when
+        # a tied run straddles the block boundary)
         last_mask = codes == codes[-1]
-        tail = last_mask & (ts > ts[-1] - np.int64(window_us))
+        tail = last_mask & (ts >= ts[-1] - np.int64(window_us))
         # forward peers: first key's rows tied with the block's first ts
         head = (codes == codes[0]) & (ts == ts[0])
         keep = np.flatnonzero(tail | head)

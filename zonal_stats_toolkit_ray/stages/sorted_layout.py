@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import uuid
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -57,11 +58,22 @@ def sorted_layout_write(ds, out_dir: str, *, key_col: str) -> dict:
         k = pc.cast(b[key_col], pa.float64()).to_numpy(zero_copy_only=False)
         name = f"part-{uuid.uuid4().hex}.parquet"
         pq.write_table(b, os.path.join(out_dir, name))
+        # NaN keys sort last, so k[-1] can be NaN — record FINITE bounds
+        # (nanmin/nanmax) or ±inf for an all-NaN file so `e["max"] >= lo`
+        # never wrongly prunes the file holding the largest finite keys
+        # (ADVICE r4).  range_read's [lo, hi] is a finite interval, so an
+        # all-NaN file (bounds -inf/+inf here) is read and its NaN rows are
+        # dropped by the row filter — conservative, never wrong.
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            kmin, kmax = np.nanmin(k), np.nanmax(k)
+        if np.isnan(kmin):  # all-NaN file
+            kmin, kmax = -np.inf, np.inf
         return pa.table(
             {
                 "file": pa.array([name], pa.string()),
-                "min": pa.array([float(k[0])], pa.float64()),
-                "max": pa.array([float(k[-1])], pa.float64()),
+                "min": pa.array([float(kmin)], pa.float64()),
+                "max": pa.array([float(kmax)], pa.float64()),
                 "rows": pa.array([len(b)], pa.int64()),
             }
         )
