@@ -440,6 +440,7 @@ def auc_by_group(
     label_col: str,
     score_col: str,
     num_partitions: int = 4,
+    max_universe: int | None = None,
 ) -> pd.DataFrame:
     """ROC AUC of ``score_col`` against the binary ``label_col`` per group
     → DataFrame(group, n_pos, n_neg, auc 6dp) — the Mann–Whitney rank
@@ -451,10 +452,17 @@ def auc_by_group(
     (midrank of a tie block = cum_before + (c+1)/2 — exact half-integer
     arithmetic, bit-identical to the SQL RANK()+COUNT() window form).
     Exact for bounded distinct-score universes; degenerate groups (no
-    positives or no negatives) yield NULL."""
+    positives or no negatives) yield NULL.  Round 5: the bounded-universe
+    regime is CODE-enforced (``max_universe``, guard.collect_universe) —
+    continuous scores should be rounded/binned upstream."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    if max_universe is None:
+        max_universe = DEFAULT_MAX_UNIVERSE
 
     def partials(b: pa.Table) -> pa.Table:
         y = pc.cast(b[label_col], pa.int64())
@@ -471,14 +479,14 @@ def auc_by_group(
         )
         return g.rename_columns([group_col, "s", "pos", "neg"])
 
-    uni = (
+    uni = collect_universe(
         ds.map_batches(partials, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby([group_col, "s"])
-        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg"))
-        .to_pandas()
-        .sort_values([group_col, "s"], kind="stable")
-    )
+        .aggregate(Sum("pos", alias_name="pos"), Sum("neg", alias_name="neg")),
+        max_universe=max_universe,
+        what="auc_by_group",
+    ).sort_values([group_col, "s"], kind="stable")
     rows = []
     for k, g in uni.groupby(group_col, sort=True):
         pos = g["pos"].to_numpy(dtype=np.float64)

@@ -139,6 +139,7 @@ def quantile_transform(
     id_col: str = "event_id",
     value_col: str = "value",
     num_partitions: int = 4,
+    max_universe: int | None = None,
 ):
     """ECDF (rank) transform → Dataset(id, ecdf): each value maps to
     ``count(v' ≤ v) / n`` — SQL ``CUME_DIST()`` — the uniformizing
@@ -147,11 +148,17 @@ def quantile_transform(
     Shape: one (value, count) universe aggregate (exact for bounded
     distinct universes — fixed-decimal data), driver cumsum, broadcast
     (values, cum) arrays, then a vectorized searchsorted per batch.  The
-    corpus streams; only the value universe ever leaves the workers."""
+    corpus streams; only the value universe ever leaves the workers —
+    and the universe itself is guarded (round 5, ``max_universe``)."""
     import ray
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    if max_universe is None:
+        max_universe = DEFAULT_MAX_UNIVERSE
 
     def partials(b: pa.Table) -> pa.Table:
         t = pa.table({"v": pc.cast(b[value_col], pa.float64())})
@@ -160,15 +167,15 @@ def quantile_transform(
             {"v": g["v"], "c": pc.cast(g["count_all"], pa.int64())}
         )
 
-    uni = (
+    uni = collect_universe(
         ds.select_columns([value_col])
         .map_batches(partials, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby("v")
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values("v", kind="stable")
-    )
+        .aggregate(Sum("c", alias_name="c")),
+        max_universe=max_universe,
+        what="quantile_transform",
+    ).sort_values("v", kind="stable")
     vals = uni["v"].to_numpy(dtype=np.float64)
     cum = np.cumsum(uni["c"].to_numpy(dtype=np.int64))
     n = float(cum[-1]) if cum.size else 1.0
@@ -220,15 +227,17 @@ def impute_group_median(
             }
         )
 
-    uni = (
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    uni = collect_universe(
         ds.select_columns([key_col, value_col])
         .map_batches(partials, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby([key_col, "v"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values([key_col, "v"], kind="stable")
-    )
+        .aggregate(Sum("c", alias_name="c")),
+        max_universe=DEFAULT_MAX_UNIVERSE,
+        what="impute_group_median",
+    ).sort_values([key_col, "v"], kind="stable")
     meds: dict = {}
     for k, g in uni.groupby(key_col, sort=True):
         v = g["v"].to_numpy(dtype=np.float64)

@@ -469,6 +469,7 @@ def ks_test(
     seg_col: str,
     ref_segment,
     num_partitions: int = 4,
+    max_universe: int | None = None,
 ) -> pd.DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between a reference
     segment and the rest → DataFrame(d 6dp, at_value, n_a, n_b):
@@ -478,10 +479,18 @@ def ks_test(
 
     Exact from ONE (segment, value) count-universe aggregate: merged
     distinct values, cumulative fractions (integer counts / totals —
-    identical arithmetic to the SQL window form), vectorized max."""
+    identical arithmetic to the SQL window form), vectorized max.
+    Round 5: bounded-universe regime CODE-enforced (``max_universe``,
+    guard.collect_universe) — bin continuous inputs upstream (the PSI
+    operator is the pre-binned sibling)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    if max_universe is None:
+        max_universe = DEFAULT_MAX_UNIVERSE
 
     def partials(b: pa.Table) -> pa.Table:
         seg = pc.equal(b[seg_col], ref_segment)
@@ -500,13 +509,14 @@ def ks_test(
             }
         )
 
-    uni = (
+    uni = collect_universe(
         ds.select_columns([seg_col, value_col])
         .map_batches(partials, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby(["is_ref", "v"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
+        .aggregate(Sum("c", alias_name="c")),
+        max_universe=max_universe,
+        what="ks_test",
     )
     piv = (
         uni.pivot_table(index="v", columns="is_ref", values="c", fill_value=0)

@@ -223,6 +223,7 @@ def weighted_median_by_group(
     weight_col: str,
     q: float = 0.5,
     num_partitions: int = 4,
+    max_universe: int | None = None,
 ) -> "pd.DataFrame":
     """Exact lower weighted q-quantile per group → DataFrame(key, wq):
     the smallest value v with cumweight(≤ v) ≥ q · totalweight, weights
@@ -235,13 +236,20 @@ def weighted_median_by_group(
     quantities, prices in cents, categorical scores — the weighted-median
     use cases); for unbounded continuous values the universe approaches
     the input and the salted percentile machinery (stages/zonal.py:
-    salted_group_percentiles) is the right tool instead (documented, not
-    silently wrong: the exchange here is universe-sized, never row-sized).
-    """
+    salted_group_percentiles) is the right tool instead.  Round 5: the
+    regime is CODE-enforced — the universe row count is checked before the
+    driver collect (``max_universe``, default
+    guard.DEFAULT_MAX_UNIVERSE; None here means the default, pass a
+    larger value for a provisioned driver)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    if max_universe is None:
+        max_universe = DEFAULT_MAX_UNIVERSE
 
     def partials(b: pa.Table) -> pa.Table:
         w = pc.cast(b[weight_col], pa.float64())
@@ -256,11 +264,14 @@ def weighted_median_by_group(
         return g.rename_columns([key_col, value_col, "w"])
 
     uni = (
-        ds.map_batches(partials, batch_format="pyarrow")
-        .repartition(num_partitions)
-        .groupby([key_col, value_col])
-        .aggregate(Sum("w", alias_name="w"))
-        .to_pandas()  # (key, value)-universe-sized
+        collect_universe(
+            ds.map_batches(partials, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .groupby([key_col, value_col])
+            .aggregate(Sum("w", alias_name="w")),
+            max_universe=max_universe,
+            what="weighted_median_by_group",
+        )
         .sort_values([key_col, value_col], kind="stable")
         .reset_index(drop=True)
     )
@@ -284,6 +295,7 @@ def winsorized_mean_by_group(
     q_lo: float = 0.05,
     q_hi: float = 0.95,
     num_partitions: int = 4,
+    max_universe: int | None = None,
 ) -> "pd.DataFrame":
     """Winsorized mean per group — the robust-statistics readout: clip
     each group's values at its own exact [q_lo, q_hi] quantiles
@@ -296,11 +308,17 @@ def winsorized_mean_by_group(
     ``Σ count·clip(value)`` needs no second corpus read.  Exact for
     bounded distinct-value universes (ints, prices); for unbounded
     continuous values use the salted percentile machinery instead
-    (stages/zonal.py) — documented, not silently wrong."""
+    (stages/zonal.py).  Round 5: regime CODE-enforced via
+    guard.collect_universe (``max_universe``)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    if max_universe is None:
+        max_universe = DEFAULT_MAX_UNIVERSE
 
     def partials(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -318,14 +336,14 @@ def winsorized_mean_by_group(
             }
         )
 
-    uni = (
+    uni = collect_universe(
         ds.map_batches(partials, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby([key_col, value_col])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values([key_col, value_col], kind="stable")
-    )
+        .aggregate(Sum("c", alias_name="c")),
+        max_universe=max_universe,
+        what="winsorized_mean_by_group",
+    ).sort_values([key_col, value_col], kind="stable")
 
     def interp_q(v: np.ndarray, cum: np.ndarray, n: int, q: float) -> float:
         # quantile_cont: rank r = q·(n−1) over the EXPANDED sorted values;
@@ -397,6 +415,7 @@ def gini_by_group(
     key_col: str,
     value_col: str,
     num_partitions: int = 4,
+    max_universe: int | None = None,
 ) -> "pd.DataFrame":
     """Gini coefficient per group → DataFrame(key, n, gini 6dp) — the
     inequality/concentration readout (host traffic concentration, spend
@@ -408,11 +427,17 @@ def gini_by_group(
     the (key, value) count universe — ``x·(2·(c·cum_before + c(c+1)/2)
     − c(n+1))`` per distinct value — all int64 when values are integral
     (cast upstream), making the result bit-identical to the SQL
-    ROW_NUMBER form.  One universe aggregate, driver finalize."""
+    ROW_NUMBER form.  One universe aggregate, driver finalize — guarded
+    by ``max_universe`` (round 5, guard.collect_universe)."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from .guard import DEFAULT_MAX_UNIVERSE, collect_universe
+
+    if max_universe is None:
+        max_universe = DEFAULT_MAX_UNIVERSE
 
     def partials(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -430,14 +455,14 @@ def gini_by_group(
             }
         )
 
-    uni = (
+    uni = collect_universe(
         ds.map_batches(partials, batch_format="pyarrow")
         .repartition(num_partitions)
         .groupby([key_col, "v"])
-        .aggregate(Sum("c", alias_name="c"))
-        .to_pandas()
-        .sort_values([key_col, "v"], kind="stable")
-    )
+        .aggregate(Sum("c", alias_name="c")),
+        max_universe=max_universe,
+        what="gini_by_group",
+    ).sort_values([key_col, "v"], kind="stable")
     rows = []
     for k, g in uni.groupby(key_col, sort=True):
         v = g["v"].to_numpy(dtype=np.float64)
