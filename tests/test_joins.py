@@ -231,6 +231,92 @@ class TestAsofChunked:
         got = out["last_click_value"].to_numpy()
         assert np.allclose(got, want, equal_nan=True)
 
+    def _brute_max_tie(self, df):
+        """Row-wise reference under the engine's deterministic tie-break:
+        latest click ts ≤ row ts; among ties at that ts, MAX value."""
+        ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        clicks = (df["event_type"] == "click").to_numpy()
+        vals = df["value"].to_numpy(dtype=np.float64)
+        out = np.full(len(df), np.nan)
+        cts, cvs = ts[clicks], vals[clicks]
+        if cts.size:
+            order = np.lexsort((cvs, cts))
+            cts, cvs = cts[order], cvs[order]
+            last = np.concatenate([cts[1:] != cts[:-1], [True]])
+            rts, rvs = cts[last], cvs[last]
+            pos = np.searchsorted(rts, ts, side="right") - 1
+            ok = pos >= 0
+            out[ok] = rvs[pos[ok]]
+        return out
+
+    def test_tied_one_hot_key_runs_chunked_and_deterministic(self, ray_session):
+        """VERDICT r4 #5 stress: 200k rows, ONE key, MANY tied (key, ts)
+        click groups with different values, split across 16 blocks.  The
+        default (chunked) form must be exact under the engine's
+        deterministic max-value tie-break, equal to the per-key form."""
+        from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+        n = 200_000
+        rng = np.random.default_rng(41)
+        # coarse timestamps -> heavy ties (~40 rows per distinct ts)
+        ts = np.sort(rng.integers(0, 5_000, n)) * 1_000_000
+        etype = np.where(rng.random(n) < 0.05, "click", "view")
+        df = pd.DataFrame(
+            {
+                "user_id": np.zeros(n, dtype=np.int64),
+                "ts": pd.to_datetime(ts, unit="us"),
+                "event_type": etype,
+                "value": rng.integers(0, 1000, n).astype(np.float64),
+                "event_id": np.arange(n, dtype=np.int64),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(16)
+        out = (
+            asof_join_self(ds)  # default -> chunked, no probe
+            .to_pandas()
+            .sort_values("event_id", kind="stable")
+            .reset_index(drop=True)
+        )
+        want = self._brute_max_tie(df)
+        assert np.allclose(
+            out["last_click_value"].to_numpy(), want, equal_nan=True
+        )
+        # the per-key reference form implements the SAME tie-break
+        ref = (
+            asof_join_self(rd.from_pandas(df).repartition(4), chunked=False)
+            .to_pandas()
+            .sort_values("event_id", kind="stable")
+            .reset_index(drop=True)
+        )
+        assert np.allclose(
+            ref["last_click_value"].to_numpy(), want, equal_nan=True
+        )
+
+    def test_tied_click_in_later_block_is_seen(self, ray_session):
+        """A click tied at a query row's ts that lands in a LATER block
+        (the range sort splits tied runs arbitrarily) must still win —
+        the HEAD carry export."""
+        from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+        T = 1_000_000
+        # many tied rows at T: views first, the only click last (so a
+        # block split anywhere inside the run strands the click later)
+        n_tied = 40
+        df = pd.DataFrame(
+            {
+                "user_id": np.zeros(n_tied + 1, dtype=np.int64),
+                "ts": pd.to_datetime([T] * n_tied + [T], unit="us"),
+                "event_type": ["view"] * n_tied + ["click"],
+                "value": list(np.arange(n_tied, dtype=np.float64)) + [777.0],
+                "event_id": np.arange(n_tied + 1, dtype=np.int64),
+            }
+        )
+        out = (
+            asof_join_self(rd.from_pandas(df).repartition(10))
+            .to_pandas()
+        )
+        assert (out["last_click_value"] == 777.0).all()
+
 
 class TestExceptDistinct:
     def test_except_and_empty(self, ray_session):

@@ -263,42 +263,40 @@ def asof_join_self(
     SCALE-SAFE form.  A distributed (key, ts) sort range-partitions the
     events — one pathological key splits across blocks instead of landing
     on one worker — each sorted block answers its rows from in-block
-    clicks with vectorized searchsorted per key run, and rows preceding
-    their key's first in-block click are filled from a broadcast CARRY
+    clicks with vectorized searchsorted per key run, and a broadcast CARRY
     table (the last click per (block, key) — block-count-bounded, never
-    event-count-bounded).  Exactly equal to the per-key form whenever
-    (key, ts) pairs of filter rows are unique; ties on identical click
-    timestamps are resolved arbitrarily in both forms.
+    event-count-bounded) supplies clicks from earlier blocks.
 
-    ``chunked=None`` (default, round-4 continuation — closes the
-    "make chunked the default" residual): AUTO.  One slim distributed
-    distinct over the filter rows' (key, ts) pairs decides: tie-free ⇒
-    the scale-safe chunked form (bit-identical there), ties ⇒ the
-    per-key form (where tie resolution is the established arbitrary-
-    but-fixed behavior the oracle was validated against).
+    Tie-break (round 5, VERDICT r4 #5 — what makes chunked ALWAYS
+    eligible): filter rows tied at the same (key, ts) resolve to the
+    MAXIMUM ``value_col`` — engine-defined and deterministic, enforced
+    identically in both forms (DuckDB's ASOF leaves the pick
+    unspecified, so any fixed rule is oracle-compatible on tie-free data
+    and self-consistent on ties).  Each query row takes the better of
+    its in-block candidate and its carry candidate by (ts, value) order,
+    so the rule holds even when a tied click run straddles blocks.
+
+    ``chunked=None`` (default): the scale-safe chunked form — always
+    exact now, no probe needed.  ``chunked=False`` keeps the per-key
+    ``map_groups`` reference form (equality-pinned in tests; fine when
+    no key is hot).
 
     Returns the joined **Dataset** (round-2 fix: the join output is
     corpus-sized, so it must stream — callers aggregate distributedly or
     write it out, never ``to_pandas`` the whole thing)."""
 
     if chunked is None:
-        flt = ds.map_batches(
-            lambda t: t.filter(
-                pc.fill_null(
-                    pc.equal(t[right_filter_col], right_filter_value), False
-                )
-            ).select([key_col, ts_col]),
-            batch_format="pyarrow",
-        ).materialize()
-        n_filter = flt.count()
-        n_distinct = distinct_rows(flt, [key_col, ts_col]).count()
-        chunked = n_distinct == n_filter  # tie-free ⇒ scale-safe form
+        chunked = True
 
     if not chunked:
 
         def per_key(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(ts_col, kind="stable")
-            right = g[g[right_filter_col] == right_filter_value][[ts_col, value_col]]
+            right = g[g[right_filter_col] == right_filter_value][
+                [ts_col, value_col]
+            ].sort_values([ts_col, value_col], kind="stable")
+            # deterministic tie-break: max value per tied click ts
+            right = right.drop_duplicates(ts_col, keep="last")
             right = right.rename(columns={value_col: out_col})
             out = pd.merge_asof(
                 g,
@@ -331,9 +329,27 @@ def asof_join_self(
         vals = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         return kcol, starts, ends, clicks, ts, vals
 
+    def _tie_dedup(cts: np.ndarray, cvs: np.ndarray):
+        """(ts, value) click pairs → unique ascending ts with the MAX value
+        per tied ts (the deterministic tie-break representative)."""
+        order = np.lexsort((cvs, cts))
+        cts, cvs = cts[order], cvs[order]
+        last = np.concatenate([cts[1:] != cts[:-1], [True]])
+        return cts[last], cvs[last]
+
     def block_carry(b: pa.Table) -> pa.Table:
-        """Per (block, key): the LAST in-block click — the only click of
-        this block that a later block's leading rows can need."""
+        """Per (block, key), the only in-block clicks ANOTHER block's rows
+        can need (the rolling.py head/tail boundary shape):
+
+        * TAIL — the last click (max value among clicks tied at its ts):
+          what later blocks' rows look back to (their ts ≥ this block's
+          max ts, so nothing older than the last click can win);
+        * HEAD — the max-value click tied at the key run's FIRST ts: what
+          EARLIER blocks' rows tied at that ts need — the range sort
+          splits a tied (key, ts) run across blocks arbitrarily, so a
+          click tied with a query row can land in a LATER block.
+
+        Cross-block ties merge on the driver via _tie_dedup."""
         if len(b) == 0:
             return pa.table(
                 {"__k": pa.array([], pa.string()), "__ts": pa.array([], pa.int64()),
@@ -342,12 +358,18 @@ def asof_join_self(
         kcol, starts, ends, clicks, ts, vals = _runs(b)
         ks, tss, vs = [], [], []
         for s, e in zip(starts.tolist(), ends.tolist()):
-            c = np.flatnonzero(clicks[s:e])
+            c = s + np.flatnonzero(clicks[s:e])
             if c.size:
-                j = s + c[-1]
+                mx = ts[c[-1]]  # runs are ts-sorted: last click ts
+                tied = c[ts[c] == mx]
                 ks.append(s)
-                tss.append(ts[j])
-                vs.append(vals[j])
+                tss.append(mx)
+                vs.append(vals[tied].max())
+                head = c[ts[c] == ts[s]]  # clicks tied at the run's first ts
+                if head.size and ts[s] != mx:
+                    ks.append(s)
+                    tss.append(ts[s])
+                    vs.append(vals[head].max())
         return pa.table(
             {
                 "__k": pc.cast(kcol.take(pa.array(ks, pa.int64())), pa.string()),
@@ -359,9 +381,10 @@ def asof_join_self(
     cdf = srt.map_batches(block_carry, batch_format="pyarrow").to_pandas()
     carry: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     if len(cdf):
-        cdf = cdf.sort_values(["__k", "__ts"], kind="stable")
         for k, g in cdf.groupby("__k", sort=False):
-            carry[k] = (g["__ts"].to_numpy(np.int64), g["__v"].to_numpy(np.float64))
+            carry[k] = _tie_dedup(
+                g["__ts"].to_numpy(np.int64), g["__v"].to_numpy(np.float64)
+            )
     carry_ref = ray.put(carry) if ray.is_initialized() else carry
 
     def block_asof(b: pa.Table, *, _ref=carry_ref) -> pa.Table:
@@ -369,33 +392,43 @@ def asof_join_self(
             return b.append_column(out_col, pa.array([], pa.float64()))
         kcol, starts, ends, clicks, ts, vals = _runs(b)
         out = np.full(len(b), np.nan)
-        pend_runs: list[tuple[int, int]] = []
+        cmap = _resolve_ref(_ref)
+        keys_py = None
         for s, e in zip(starts.tolist(), ends.tolist()):
+            # candidate A: best in-block click (tie-deduped to max value)
+            a_ts = np.full(e - s, np.iinfo(np.int64).min, dtype=np.int64)
+            a_v = np.full(e - s, np.nan)
             c_idx = s + np.flatnonzero(clicks[s:e])
             if c_idx.size:
-                pos = np.searchsorted(ts[c_idx], ts[s:e], side="right") - 1
+                rts, rvs = _tie_dedup(ts[c_idx], vals[c_idx])
+                pos = np.searchsorted(rts, ts[s:e], side="right") - 1
                 ok = pos >= 0
-                seg = out[s:e]
-                seg[ok] = vals[c_idx[pos[ok]]]
-                if not ok.all():
-                    pend_runs.append((s, s + int(np.flatnonzero(ok)[0]) if ok.any() else e))
-            else:
-                pend_runs.append((s, e))
-        if pend_runs:
-            cmap = _resolve_ref(_ref)
-            keys_py = None
-            for s, e in pend_runs:
-                if keys_py is None:
-                    keys_py = pc.cast(kcol, pa.string()).to_pylist()
-                hit = cmap.get(keys_py[s])
-                if hit is None:
-                    continue
+                a_ts[ok] = rts[pos[ok]]
+                a_v[ok] = rvs[pos[ok]]
+            # candidate B: best carry click from earlier blocks; a carry
+            # click can TIE candidate A's ts when a tied run straddles
+            # blocks — (ts, value) order picks the global max then
+            if keys_py is None:
+                keys_py = pc.cast(kcol, pa.string()).to_pylist()
+            hit = cmap.get(keys_py[s])
+            if hit is not None:
                 cts, cvs = hit
                 pos = np.searchsorted(cts, ts[s:e], side="right") - 1
                 ok = pos >= 0
-                seg = out[s:e]
-                fill = np.isnan(seg) & ok
-                seg[fill] = cvs[pos[fill]]
+                b_ts = np.full(e - s, np.iinfo(np.int64).min, dtype=np.int64)
+                b_v = np.full(e - s, np.nan)
+                b_ts[ok] = cts[pos[ok]]
+                b_v[ok] = cvs[pos[ok]]
+                take_b = (b_ts > a_ts) | (
+                    (b_ts == a_ts)
+                    & (b_ts > np.iinfo(np.int64).min)
+                    & ~(a_v >= b_v)  # NaN a_v never wins a tie
+                )
+                a_ts = np.where(take_b, b_ts, a_ts)
+                a_v = np.where(take_b, b_v, a_v)
+            seg = out[s:e]
+            found = a_ts > np.iinfo(np.int64).min
+            seg[found] = a_v[found]
         return b.append_column(out_col, pa.array(out, pa.float64()))
 
     return srt.map_batches(block_asof, batch_format="pyarrow")
