@@ -1565,6 +1565,15 @@ def q_knn_brute(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
+    """IVF ANN top-10 with a SCORE re-derivation oracle (round 5, VERDICT
+    r4 #7 — shrink no_oracle): the engine exports its chosen (rank,
+    vec_id) rows to the flagship oracle dir; the SQL recomputes each
+    returned neighbor's cosine score from the embeddings table
+    (list_cosine_similarity, the knn_brute oracle arithmetic) for EXACTLY
+    those rows and must match to 5 dp.  This SQL-verifies the engine's
+    distance arithmetic on every row it returned; recall vs brute force
+    (the approximate part SQL cannot re-derive) stays certified by
+    knn_ivf_cert."""
     from zonal_stats_toolkit_ray.stages.knn import knn_ivf
     import ray.data as rd
     import pyarrow.parquet as pq
@@ -1572,7 +1581,24 @@ def q_knn_ivf(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     t0 = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qvec = np.asarray(t0.filter(pc.equal(t0["vec_id"], 0))["embedding"][0].as_py())
-    return knn_ivf(ds, {"query_id": [0], "matrix": qvec[None, :]}, k=10, nlist=8, nprobe=4)
+    out = knn_ivf(
+        ds, {"query_id": [0], "matrix": qvec[None, :]}, k=10, nlist=8, nprobe=4
+    )
+    d = _reset_oracle_dir("knn_ivf")
+    res = out[["rank", "vec_id", "score"]].copy()
+    res["rank"] = res["rank"].astype("int64")
+    res["vec_id"] = res["vec_id"].astype("int64")
+    res["score"] = pd.to_numeric(res["score"]).round(5)
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array(res["rank"].to_numpy(), pa.int64()),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), pa.int64()),
+            }
+        ),
+        os.path.join(d, "rows.parquet"),
+    )
+    return res.sort_values("rank").reset_index(drop=True)
 
 
 def q_dedup_minhash(sf_dir: str):
@@ -2949,14 +2975,37 @@ def q_zonal_pages(sf_dir: str):
 
 
 def q_zone_knn(sf_dir: str):
-    import ray
+    """Zone-kNN with a DISTANCE re-derivation oracle (round 5, VERDICT r4
+    #7): the engine exports its geocoded points and the zone-part bboxes
+    (INPUT metadata — zones are synthesized in-query, not derivable from
+    testdata in SQL); the oracle cross-joins them, computes the same bbox
+    min-distance ``sqrt(max(minx−x, x−maxx, 0)² + …)`` in SQL, ranks the
+    3 smallest per doc, and must match the engine's (doc_id, rank, dist)
+    rows to 6 dp.  Ties at equal distance carry equal dist values, so the
+    compare is tie-order-robust; fid correctness/zero-iff-inside stays
+    certified by zone_knn_cert."""
+    import pyarrow.parquet as pq
     import ray.data as rd
     from zonal_stats_toolkit_ray.sources.pages import docs_batch_to_pages
-    from zonal_stats_toolkit_ray.sources.zones import synth_zones
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
     from zonal_stats_toolkit_ray.stages.geocode import geocode_batch
     from zonal_stats_toolkit_ray.stages.join import ZoneKNN
 
     zones = synth_zones(seed=42, n_zones=24)
+    zs = ZoneSet(zones)
+    d = _reset_oracle_dir("zone_knn")
+    pq.write_table(
+        pa.table(
+            {
+                "part_id": pa.array(np.arange(zs.n_parts, dtype=np.int64)),
+                "minx": pa.array(np.asarray(zs.minx, np.float64)),
+                "maxx": pa.array(np.asarray(zs.maxx, np.float64)),
+                "miny": pa.array(np.asarray(zs.miny, np.float64)),
+                "maxy": pa.array(np.asarray(zs.maxy, np.float64)),
+            }
+        ),
+        os.path.join(d, "parts.parquet"),
+    )
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
@@ -2967,8 +3016,30 @@ def q_zone_knn(sf_dir: str):
         fn_constructor_kwargs={"zones": zones, "k": 3},
         batch_format="pyarrow",
         concurrency=2,
+    ).select_columns(["url", "lon", "lat", "knn_dists"]).to_pandas()
+    out["doc_id"] = out["url"].str.rsplit("/", n=1).str[-1].astype("int64")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "lon": pa.array(out["lon"].to_numpy(np.float64)),
+                "lat": pa.array(out["lat"].to_numpy(np.float64)),
+            }
+        ),
+        os.path.join(d, "points.parquet"),
     )
-    return out.select_columns(["url", "knn_fids", "knn_dists"])
+    k = 3
+    dists = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in out["knn_dists"]]
+    )
+    long = pd.DataFrame(
+        {
+            "doc_id": np.repeat(out["doc_id"].to_numpy(np.int64), k),
+            "rank": np.tile(np.arange(1, k + 1, dtype=np.int64), len(out)),
+            "dist": np.round(dists.ravel(), 6),
+        }
+    )
+    return long.sort_values(["doc_id", "rank"]).reset_index(drop=True)
 
 
 def q_config_job(sf_dir: str):
@@ -3011,33 +3082,62 @@ base_raster_pattern = {root}/raster*.parquet
 """
     )
     outs = run_config(str(cfg), timestamp="2026_01_01_00_00_00")
-    return pd.read_csv(outs[0])
+    # round 5 (VERDICT r4 #7): deterministic MANIFEST DIGEST with a
+    # constant-SQL oracle — the job is sf-independent (it synthesizes its
+    # own zones/rasters with pinned seeds and timestamp), so the produced
+    # CSV bytes are a pure function of the engine; any regression in INI
+    # parsing, stats, Q8/Q9 pivot or CSV formatting changes the sha256 and
+    # breaks the driver's value hash.  Values are 6-dp-stable (the CSV
+    # writer already rounds).
+    import hashlib
+
+    body = Path(outs[0]).read_bytes()
+    df = pd.read_csv(outs[0])
+    return pd.DataFrame(
+        {
+            "csv_name": [os.path.basename(outs[0])],
+            "n_rows": np.array([len(df)], dtype=np.int64),
+            "n_cols": np.array([df.shape[1]], dtype=np.int64),
+            "sha256": [hashlib.sha256(body).hexdigest()],
+        }
+    )
 
 
 def q_pages_job_resume(sf_dir: str):
-    """Checkpointed partitioned pages-zonal job (north_rule resume): runs
-    the partitioned job twice — the second invocation must skip every
-    completed partition via the manifest — and returns the final grouped
-    stats plus skip counts (rows-only check)."""
+    """Checkpointed partitioned pages-zonal job (north_rule resume) with a
+    REDUCE oracle (round 5, VERDICT r4 #7): the job's own per-partition
+    ``joined`` parquet outputs (written into the flagship oracle dir) are
+    re-aggregated by the SQL — count/valid/sum/min/max/Q3-clamped stdev
+    per group over the union of all partitions — and must match the
+    engine's resumed finalize to 6 dp; the resume behavior itself is
+    pinned by constant skip-count columns (3 completed, then 3 skipped)
+    that the SQL asserts literally.  Pages carry no nodata (value =
+    utf8_length), so nodata_count is identically 0 on both sides."""
     import shutil
-    import tempfile
 
     from zonal_stats_toolkit_ray.pipelines.pages_job import run_pages_job
-    from zonal_stats_toolkit_ray.sources.zones import synth_zones
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
 
-    out = tempfile.mkdtemp(prefix="graft_pjob_")
+    d = _reset_oracle_dir("pjob")
+    out = os.path.join(d, "job")
     shutil.rmtree(out, ignore_errors=True)
     zones = synth_zones(seed=42, n_zones=16)
+    _write_group_universe(d, ZoneSet(zones).unique_groups)
     first = run_pages_job(
         f"{sf_dir}/documents.parquet", zones, out, n_partitions=3
     )
     second = run_pages_job(
         f"{sf_dir}/documents.parquet", zones, out, n_partitions=3
     )
-    df = second["stats"].copy()
-    df["first_run_completed"] = len(first["report"]["completed"])
-    df["second_run_skipped"] = len(second["report"]["skipped"])
-    return df
+    df = _round_stats_frame(second["stats"].copy())
+    df["group_value"] = df["group_value"].map(
+        lambda g: "" if g is None else str(g)
+    )
+    for c in ("count", "nodata_count", "valid_count"):
+        df[c] = df[c].astype("int64")
+    df["first_run_completed"] = np.int64(len(first["report"]["completed"]))
+    df["second_run_skipped"] = np.int64(len(second["report"]["skipped"]))
+    return df.reset_index(drop=True)
 
 
 def q_media_pipeline(sf_dir: str):
@@ -6959,6 +7059,82 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivf_cert": """
             SELECT vec_id AS query_id, TRUE AS recall_ok
             FROM embeddings ORDER BY vec_id LIMIT 4
+        """,
+        # round-5 no_oracle conversions (VERDICT r4 #7): re-derive the
+        # engine's returned distances/scores in SQL from exported rows
+        # (the knn_ivf_partitioned_cert pattern), constant-pin the
+        # sf-independent config job digest, and reduce-oracle the resumed
+        # pages job from its own per-partition joined parquet.
+        "knn_ivf": f"""
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ),
+            c AS (
+                SELECT * FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/knn_ivf/rows.parquet')
+            )
+            SELECT c.rank, c.vec_id,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 5) AS score
+            FROM c JOIN embeddings e USING (vec_id) CROSS JOIN q
+            ORDER BY c.rank
+        """,
+        "zone_knn": f"""
+            WITH d AS (
+                SELECT p.doc_id, b.part_id,
+                       sqrt(
+                         greatest(b.minx - p.lon, p.lon - b.maxx, 0.0)
+                           * greatest(b.minx - p.lon, p.lon - b.maxx, 0.0)
+                         + greatest(b.miny - p.lat, p.lat - b.maxy, 0.0)
+                           * greatest(b.miny - p.lat, p.lat - b.maxy, 0.0)
+                       ) AS dist
+                FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/zone_knn/points.parquet') p
+                CROSS JOIN read_parquet('{_FLAGSHIP_ORACLE_DIR}/zone_knn/parts.parquet') b
+            ),
+            ranked AS (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY dist, part_id
+                       ) AS rank,
+                       dist
+                FROM d
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, round(dist, 6) AS dist
+            FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "config_job": """
+            SELECT 'demo_2026_01_01_00_00_00.csv' AS csv_name,
+                   CAST(7 AS BIGINT) AS n_rows,
+                   CAST(19 AS BIGINT) AS n_cols,
+                   '3f173a1666b6e9317eaddd4d5b2fc094385d9067e29bc67584d87279768887e1' AS sha256
+        """,
+        "pages_job_resume": f"""
+            WITH r AS (
+                SELECT group_value, value
+                FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/pjob/job/p*/joined/*.parquet')
+            ),
+            a AS (
+                SELECT group_value,
+                       count(*) AS n,
+                       sum(value) AS s,
+                       min(value) AS mn,
+                       max(value) AS mx,
+                       sum(value * value) AS ss
+                FROM r GROUP BY group_value
+            )
+            SELECT g.group_value,
+                   round(a.mn, 6) AS min,
+                   round(a.mx, 6) AS max,
+                   coalesce(a.n, 0) AS count,
+                   CAST(0 AS BIGINT) AS nodata_count,
+                   coalesce(a.n, 0) AS valid_count,
+                   round(coalesce(a.s, 0.0), 6) AS sum,
+                   round(CASE WHEN a.n > 0 THEN sqrt(greatest(0.0,
+                       a.ss / a.n - (a.s / a.n) * (a.s / a.n))) END, 6) AS stdev,
+                   CAST(3 AS BIGINT) AS first_run_completed,
+                   CAST(3 AS BIGINT) AS second_run_skipped
+            FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/pjob/groups.parquet') g
+            LEFT JOIN a ON a.group_value = g.group_value
+            ORDER BY (g.group_value = ''), g.group_value
         """,
         "hash_join": """
             SELECT o.o_orderstatus,

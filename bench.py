@@ -753,9 +753,84 @@ def _stats_audit():
     ray.shutdown()
 
 
+def _scale_demo():
+    """`bench.py --scale-demo [replicate]`: the flagship zonal_pages
+    pipeline end-to-end at the largest input this sandbox holds (VERDICT
+    r4 #6) — default replicate 2000 × sf0.1 documents = 10,000,000 pages
+    — streaming, wide text never materialized, reporting pages/s,
+    per-stage ds.stats(), and peak driver RSS.  Corpus build is untimed
+    (at the design point the corpus exists on storage).  Prints ONE JSON
+    line; the stats text goes to stderr."""
+    import resource
+
+    import ray
+    import ray.data as rd
+
+    from zonal_stats_toolkit_ray.pipelines.zonal import (
+        join_points,
+        zonal_stats_points,
+    )
+    from zonal_stats_toolkit_ray.sources.zones import ZoneSet, synth_zones
+    from zonal_stats_toolkit_ray.stages.text import quality_score_batch
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    replicate = int(args[0]) if args else 2000
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _init_ray(int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    calib_pre = calibrate()
+    corpus = _pages_corpus_dir(sf_dir, replicate)
+    n_pages = sum(
+        pq_meta.num_rows
+        for pq_meta in (
+            __import__("pyarrow.parquet", fromlist=["parquet"]).read_metadata(
+                os.path.join(corpus, f)
+            )
+            for f in os.listdir(corpus)
+            if f.endswith(".parquet")
+        )
+    )
+    zones = synth_zones(seed=42, n_zones=48, n_groups=12)
+    zs = ZoneSet(zones)
+    zones_ref = ray.put(zones)
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(corpus, columns=["url", "text"])
+    scored = ds.map_batches(quality_score_batch, batch_format="pyarrow")
+    slim = scored.map_batches(
+        lambda t: t.select(["url", "quality_score"]), batch_format="pyarrow"
+    )
+    # the ONE materialization: slim (url-hash geocode happens inside the
+    # fused join) rows — wide text never crosses the object store
+    joined = join_points(slim, zones_ref).materialize()
+    df = zonal_stats_points(joined, "quality_score", zs, percentiles=[5.0, 95.0])
+    wall = time.perf_counter() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(joined.stats(), file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "zonal_pages_scale_demo",
+                "pages": int(n_pages),
+                "sec": round(wall, 2),
+                "pages_per_sec": int(n_pages / wall),
+                "joined_rows": int(joined.count()),
+                "rows_in_zones": int(df["count"].sum()),
+                "groups": len(df),
+                "driver_rss_gb": round(rss_gb, 2),
+                "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                "calib": {"pre": calib_pre, "ref": CALIB_REF},
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main():
     if "--scaling" in sys.argv:
         _scaling()
+        return
+    if "--scale-demo" in sys.argv:
+        _scale_demo()
         return
     if "--stats" in sys.argv:
         _stats_audit()
