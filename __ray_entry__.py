@@ -1197,6 +1197,30 @@ def q_rolling_stats(sf_dir: str):
     return out[["event_id", "user_id", "roll_n", "roll_sum"]]
 
 
+def q_ewma(sf_dir: str):
+    """Per-user EWMA (pandas adjust=False recurrence, α=0.3) over the
+    events stream (round-5 operator, stages/rolling.py:ewma_by_key):
+    distributed EXACT affine scan — range sort, O(blocks) head/tail run
+    summaries, driver carry chain, one vectorized zero-carry rescan per
+    block.  Oracle: the closed form ``y_i = q^{i−1}x_1 + Σ α q^{i−j}x_j``
+    as a per-key self-join power sum (different summation order, 6 dp)."""
+    from zonal_stats_toolkit_ray.stages.rolling import ewma_by_key
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = (
+        ewma_by_key(ds, alpha=0.3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    out["ewma"] = out["ewma"].round(6)
+    return out[["event_id", "user_id", "ewma"]]
+
+
 _PCA_ORACLE_DIR = "/tmp/graft_pca_oracle"
 
 
@@ -5127,6 +5151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": q_hopping_windows,
         "sessions": q_sessions,
         "rolling_stats": q_rolling_stats,
+        "ewma": q_ewma,
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
@@ -7643,6 +7668,27 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                    AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "ewma": """
+            WITH t AS (
+                SELECT event_id, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ),
+            y AS (
+                SELECT a.event_id, a.user_id,
+                       sum(CASE WHEN b.rn = 1
+                                THEN power(0.7, a.rn - 1) * b.value
+                                ELSE 0.3 * power(0.7, a.rn - b.rn) * b.value
+                           END) AS ewma
+                FROM t a JOIN t b
+                  ON a.user_id = b.user_id AND b.rn <= a.rn
+                GROUP BY a.event_id, a.user_id
+            )
+            SELECT event_id, user_id, round(ewma, 6) AS ewma
+            FROM y ORDER BY event_id
         """,
         "interval_coverage": """
             WITH iv AS (

@@ -138,6 +138,55 @@ class TestRollingWindow:
             ).to_pandas()
 
 
+class TestEwma:
+    def _ref(self, df, alpha):
+        g = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = (
+            g.groupby("user_id")["value"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        )
+        r = g[["event_id", "user_id"]].copy()
+        r["ewma"] = out
+        return r.sort_values("event_id").reset_index(drop=True)
+
+    def _cmp(self, df, alpha, parts):
+        import ray.data as rd
+        from zonal_stats_toolkit_ray.stages.rolling import ewma_by_key
+
+        got = (
+            ewma_by_key(rd.from_pandas(df).repartition(parts), alpha=alpha)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        want = self._ref(df, alpha)
+        assert np.allclose(
+            got["ewma"].to_numpy(), want["ewma"].to_numpy(), rtol=1e-9, atol=1e-12
+        )
+        return got
+
+    def test_matches_pandas_many_keys(self, ray_session):
+        df = _events_df(5_000, 40, seed=7)
+        self._cmp(df, 0.3, 8)
+
+    def test_one_hot_key_cross_block_carry(self, ray_session):
+        # one key split across 16 blocks: every block's carry must chain
+        df = _events_df(20_000, 1, seed=11)
+        self._cmp(df, 0.25, 16)
+
+    def test_long_run_chunked_scan_path(self, ray_session):
+        # 6000-row single block forces the q^i-underflow chunked rescan
+        df = _events_df(6_000, 1, seed=3)
+        self._cmp(df, 0.3, 1)
+
+    def test_alpha_extremes(self, ray_session):
+        df = _events_df(2_000, 5, seed=5)
+        got = self._cmp(df, 1.0, 4)  # y_i = x_i
+        want = df.sort_values("event_id")["value"].to_numpy()
+        assert np.allclose(got["ewma"].to_numpy(), want)
+        self._cmp(df, 0.01, 4)  # slow decay (no underflow regime)
+
+
 class TestWindowSumsKernel:
     def test_run_packing_no_bleed(self):
         # two runs whose timestamps would overlap if packed naively

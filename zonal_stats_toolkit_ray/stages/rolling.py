@@ -289,6 +289,210 @@ def rolling_window_stats_ref(
     )
 
 
+def ewma_by_key(
+    ds,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.3,
+):
+    """Per-key exponentially weighted moving average (pandas
+    ``ewm(adjust=False)`` / the streaming-feature recurrence
+    ``y_i = α·x_i + (1−α)·y_{i−1}``, ``y_0 = x_0``) over (ts, id) order →
+    Dataset(id, key, ewma) — round-5 operator.
+
+    Distributed EXACT affine scan (the linear recurrence composes:
+    ``y_end = S + P·c`` with ``P = (1−α)^n`` and S the zero-carry local
+    scan), with the rolling.py head/tail boundary shape: a range sort
+    splits hot keys across blocks; each block's INTERIOR key runs are
+    self-contained (carry = own first x, since ``y_0 = x_0`` ⇔ carrying
+    the first value itself), so only the FIRST and LAST run of each block
+    export an (n, S, x_first) summary — O(blocks) rows, never O(keys).
+    The driver chains carries across consecutive blocks of the same key
+    (O(blocks) work), broadcasts {block → carry}, and one second pass
+    computes every row as ``l_i + (1−α)^{i+1}·c`` with a vectorized
+    zero-carry scan per run (float64 cumprod/cumsum — exact formulation,
+    no Python row loops).
+
+    Reference parity: no streaming operator exists in the reference
+    (runner.py aggregates whole zones); SURVEY §2 extension family."""
+    import ray
+
+    a = float(alpha)
+    q = 1.0 - a
+
+    slim = ds.select_columns([key_col, ts_col, value_col, id_col])
+    srt = slim.sort([key_col, ts_col, id_col]).materialize()
+
+    def _run_bounds(b: pa.Table):
+        kcol = _combined(b[key_col])
+        codes = np.asarray(kcol.dictionary_encode().indices, dtype=np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], codes[1:] != codes[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [len(b)]])
+        return kcol, starts, ends
+
+    def _zero_scan(x: np.ndarray) -> np.ndarray:
+        """l_i = α·x_i + q·l_{i−1}, l_{−1} = 0, vectorized:
+        l_i = q^i · Σ_{j≤i} α·x_j / q^j  (rescaled cumsum — stable for
+        block-sized n; q^i underflow ⇒ the carry term is 0 anyway)."""
+        n = x.size
+        if q <= 0.0:  # alpha == 1: y_i = x_i
+            return a * x
+        i = np.arange(n, dtype=np.float64)
+        with np.errstate(over="ignore", under="ignore"):
+            qi = q ** i
+            s = np.cumsum(a * x / np.where(qi > 0, qi, 1.0))
+            out = qi * s
+        # q^i underflow (≈ i > 2000 at q=0.7) poisons the rescaling —
+        # rerun as chunks sized so q^chunk stays comfortably normal (each
+        # chunk restarts the scale at q^0 and carries the previous l)
+        if qi[-1] == 0.0 or not np.all(np.isfinite(out)):
+            step = max(1, min(512, int(-500.0 / np.log(q))))
+            out = np.empty(n, dtype=np.float64)
+            c = 0.0
+            for s0 in range(0, n, step):
+                e0 = min(n, s0 + step)
+                seg = x[s0:e0]
+                ii = np.arange(seg.size, dtype=np.float64)
+                qi = q ** ii
+                out[s0:e0] = qi * np.cumsum(a * seg / qi) + qi * q * c
+                c = out[e0 - 1]
+        return out
+
+    def _summ_schema(key_type: pa.DataType) -> pa.Schema:
+        return pa.schema(
+            [
+                ("blk_key", key_type),
+                ("blk_ts", pa.int64()),
+                ("blk_id", pa.int64()),
+                ("pos", pa.string()),  # 'first' | 'last'
+                ("ri", pa.int64()),  # run index within block (first==last ⇔ 1 run)
+                ("key", key_type),
+                ("n", pa.int64()),
+                ("s_end", pa.float64()),
+                ("x_first", pa.float64()),
+            ]
+        )
+
+    def summaries(b: pa.Table) -> pa.Table:
+        kcol = _combined(b[key_col])
+        if len(b) == 0:
+            return _summ_schema(kcol.type).empty_table()
+        _, starts, ends = _run_bounds(b)
+        ts = _ts_us(b[ts_col])
+        ids = _combined(b[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (
+            _combined(b[value_col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        rows = {k: [] for k in ("pos_i", "pos", "ri", "n", "s_end", "x_first")}
+        take = [(0, "first"), (len(starts) - 1, "last")]
+        for ri, pos in take:
+            s, e = starts[ri], ends[ri]
+            l = _zero_scan(x[s:e])
+            rows["pos_i"].append(s)
+            rows["pos"].append(pos)
+            rows["ri"].append(ri)
+            rows["n"].append(e - s)
+            rows["s_end"].append(float(l[-1]))
+            rows["x_first"].append(float(x[s]))
+        idx = pa.array(np.asarray(rows["pos_i"], np.int64))
+        m = len(rows["pos"])
+        return pa.table(
+            {
+                "blk_key": kcol.take(pa.array(np.zeros(m, np.int64))),
+                "blk_ts": pa.array(np.full(m, ts[0]), pa.int64()),
+                "blk_id": pa.array(np.full(m, ids[0]), pa.int64()),
+                "pos": pa.array(rows["pos"], pa.string()),
+                "ri": pa.array(rows["ri"], pa.int64()),
+                "key": kcol.take(idx),
+                "n": pa.array(rows["n"], pa.int64()),
+                "s_end": pa.array(rows["s_end"], pa.float64()),
+                "x_first": pa.array(rows["x_first"], pa.float64()),
+            },
+            schema=_summ_schema(kcol.type),
+        )
+
+    sm = srt.map_batches(
+        summaries, batch_size=None, batch_format="pyarrow"
+    ).to_pandas()  # O(blocks) rows: ≤ 2 per block
+    # global block order = sort order of the block-identity tuple
+    carries: dict = {}
+    if len(sm):
+        sm = sm.sort_values(
+            ["blk_key", "blk_ts", "blk_id"], kind="stable"
+        ).reset_index(drop=True)
+        blocks = list(
+            sm.groupby(["blk_key", "blk_ts", "blk_id"], sort=False)
+        )
+        prev_key = None
+        prev_y_end = None
+        for ident, g in blocks:
+            first = g[g["pos"] == "first"].iloc[0]
+            last = g[g["pos"] == "last"].iloc[0]
+            # carry INTO this block's first run
+            if prev_key is not None and first["key"] == prev_key:
+                c_in = float(prev_y_end)
+                carries[ident] = c_in
+            else:
+                c_in = float(first["x_first"])  # global run start: y_0 = x_0
+            # y at the end of this block's LAST run: same run as the first
+            # (single-run block) ⇒ chain the incoming carry through it,
+            # else the last run starts inside this block (fresh y_0 = x_0)
+            c_last = c_in if int(last["ri"]) == int(first["ri"]) else float(
+                last["x_first"]
+            )
+            # y_end = l_{n−1} + q^n · c  (y_i = l_i + q^{i+1} c at i = n−1)
+            prev_y_end = float(last["s_end"]) + (q ** int(last["n"])) * c_last
+            prev_key = last["key"]
+    import ray as _ray
+
+    carry_ref = _ray.put(carries) if _ray.is_initialized() else carries
+
+    def _out_schema(key_type: pa.DataType) -> pa.Schema:
+        return pa.schema(
+            [(id_col, pa.int64()), (key_col, key_type), ("ewma", pa.float64())]
+        )
+
+    def block_ewma(b: pa.Table, *, _ref=carry_ref) -> pa.Table:
+        kcol = _combined(b[key_col])
+        if len(b) == 0:
+            return _out_schema(kcol.type).empty_table()
+        cmap = _ref if isinstance(_ref, dict) else __import__("ray").get(_ref)
+        _, starts, ends = _run_bounds(b)
+        ts = _ts_us(b[ts_col])
+        ids = _combined(b[id_col]).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = (
+            _combined(b[value_col]).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        keys_py = kcol.to_pylist()
+        ident = (keys_py[0], int(ts[0]), int(ids[0]))
+        out = np.empty(len(b), dtype=np.float64)
+        for ri, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            seg = x[s:e]
+            l = _zero_scan(seg)
+            if ri == 0 and ident in cmap:
+                c = cmap[ident]
+            else:
+                c = seg[0]  # global run start: y_{-1} := x_0 gives y_0 = x_0
+            i = np.arange(seg.size, dtype=np.float64)
+            with np.errstate(under="ignore"):
+                out[s:e] = l + (q ** (i + 1.0)) * c
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                key_col: kcol,
+                "ewma": pa.array(out, pa.float64()),
+            },
+            schema=_out_schema(kcol.type),
+        )
+
+    return srt.map_batches(block_ewma, batch_size=None, batch_format="pyarrow")
+
+
 def rolling_rows_median(
     ds,
     *,
