@@ -1221,6 +1221,48 @@ def q_ewma(sf_dir: str):
     return out[["event_id", "user_id", "ewma"]]
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank (3 fixed power iterations, d=0.85, dangling mass
+    redistributed uniformly) over the customer→supplier order graph
+    (stages/pagerank.py): node universe + out-degrees + per-iteration
+    (hash join → r/deg projection → groupby-sum → left join update) all
+    as Dataset ops — nothing node- or edge-sized on the driver.  Oracle:
+    the identical update unrolled as chained CTEs in SQL; ranks scaled
+    by N so 6-dp rounding keeps ~6 significant digits."""
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+    from zonal_stats_toolkit_ray.stages.pagerank import pagerank
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    edges = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["o_custkey"], pa.int64()),
+                "dst": pc.add(
+                    pc.cast(t["l_suppkey"], pa.int64()), pa.scalar(1_000_000, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        pagerank(edges, iterations=3)
+        .to_pandas()  # node-sized result
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    out["node"] = out["node"].astype("int64")
+    out["rank_scaled"] = out["rank_scaled"].round(6)
+    return out
+
+
 _PCA_ORACLE_DIR = "/tmp/graft_pca_oracle"
 
 
@@ -5152,6 +5194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "rolling_stats": q_rolling_stats,
         "ewma": q_ewma,
+        "pagerank": q_pagerank,
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
@@ -7668,6 +7711,74 @@ def oracle_sql() -> dict[str, str]:
                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                                    AND CURRENT ROW)
             ORDER BY event_id
+        """,
+        "pagerank": """
+            WITH e AS (
+                SELECT o.o_custkey AS src,
+                       1000000 + l.l_suppkey AS dst
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            deg AS (
+                SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src
+            ),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes),
+            d0 AS (
+                SELECT coalesce(sum(r0.r), 0.0) AS dm
+                FROM r0 LEFT JOIN deg ON r0.node = deg.src
+                WHERE deg.src IS NULL
+            ),
+            c0 AS (
+                SELECT e.dst AS node, sum(r0.r / deg.deg) AS s
+                FROM e JOIN r0 ON e.src = r0.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT nodes.node,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (coalesce(c0.s, 0.0)
+                                 + (SELECT dm FROM d0) / (SELECT n FROM nn)) AS r
+                FROM nodes LEFT JOIN c0 ON nodes.node = c0.node
+            ),
+            d1 AS (
+                SELECT coalesce(sum(r1.r), 0.0) AS dm
+                FROM r1 LEFT JOIN deg ON r1.node = deg.src
+                WHERE deg.src IS NULL
+            ),
+            c1 AS (
+                SELECT e.dst AS node, sum(r1.r / deg.deg) AS s
+                FROM e JOIN r1 ON e.src = r1.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT nodes.node,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (coalesce(c1.s, 0.0)
+                                 + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS r
+                FROM nodes LEFT JOIN c1 ON nodes.node = c1.node
+            ),
+            d2 AS (
+                SELECT coalesce(sum(r2.r), 0.0) AS dm
+                FROM r2 LEFT JOIN deg ON r2.node = deg.src
+                WHERE deg.src IS NULL
+            ),
+            c2 AS (
+                SELECT e.dst AS node, sum(r2.r / deg.deg) AS s
+                FROM e JOIN r2 ON e.src = r2.node JOIN deg ON e.src = deg.src
+                GROUP BY e.dst
+            ),
+            r3 AS (
+                SELECT nodes.node,
+                       0.15 / (SELECT n FROM nn)
+                       + 0.85 * (coalesce(c2.s, 0.0)
+                                 + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS r
+                FROM nodes LEFT JOIN c2 ON nodes.node = c2.node
+            )
+            SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_scaled
+            FROM r3 ORDER BY node
         """,
         "ewma": """
             WITH t AS (
