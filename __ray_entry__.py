@@ -1668,35 +1668,81 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup rows with a PAIRS-CC oracle (round 5, VERDICT
+    r4 #7): the engine exports its VERIFIED duplicate pairs; the oracle
+    re-derives the connected components of exactly those pairs with a
+    recursive CTE (min-member canonical ids) over the documents universe —
+    an independent SQL re-clustering of the engine's union-find /
+    distributed min-label propagation.  Candidate recall stays pinned by
+    dedup_minhash_cert."""
     from zonal_stats_toolkit_ray.stages.dedup import minhash_dedup
     import ray.data as rd
 
+    d = _reset_oracle_dir("dedup_minhash")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.7)
+    out = minhash_dedup(
+        ds, threshold=0.7, pairs_sink=os.path.join(d, "pairs")
+    ).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["is_duplicate"] = out["is_duplicate"].astype(bool)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_rows_with_pairs_oracle(sf_dir: str, name: str, fn) -> pd.DataFrame:
+    """Shared round-5 PAIRS-CC export (VERDICT r4 #7): run the dedup with
+    ``pairs_sink`` into the flagship oracle dir and normalize the rows
+    frame; the oracle re-clusters the exported verified pairs with a
+    recursive CTE (see the dedup_minhash SQL shape)."""
+    d = _reset_oracle_dir(name)
+    out = fn(os.path.join(d, "pairs")).to_pandas()
+    id_col = "doc_id" if "doc_id" in out.columns else "vec_id"
+    out[id_col] = out[id_col].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    out["is_duplicate"] = out["is_duplicate"].astype(bool)
+    return out.sort_values(id_col).reset_index(drop=True)
 
 
 def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup rows with the PAIRS-CC oracle (see
+    q_dedup_minhash; recall pinned by dedup_simhash_cert)."""
     from zonal_stats_toolkit_ray.stages.dedup import simhash_dedup
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return simhash_dedup(ds, max_hamming=3)
+    return _dedup_rows_with_pairs_oracle(
+        sf_dir,
+        "dedup_simhash",
+        lambda sink: simhash_dedup(ds, max_hamming=3, pairs_sink=sink),
+    )
 
 
 def q_dedup_ngram(sf_dir: str):
+    """Word-ngram Jaccard near-dup rows with the PAIRS-CC oracle (see
+    q_dedup_minhash; recall pinned by dedup_ngram_cert)."""
     from zonal_stats_toolkit_ray.stages.dedup import ngram_jaccard_dedup
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return ngram_jaccard_dedup(ds, threshold=0.8)
+    return _dedup_rows_with_pairs_oracle(
+        sf_dir,
+        "dedup_ngram",
+        lambda sink: ngram_jaccard_dedup(ds, threshold=0.8, pairs_sink=sink),
+    )
 
 
 def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup rows with the PAIRS-CC oracle over the
+    embeddings id universe (recall pinned by dedup_embedding_cert)."""
     from zonal_stats_toolkit_ray.stages.dedup import embedding_dedup
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dedup(ds, threshold=0.99)
+    return _dedup_rows_with_pairs_oracle(
+        sf_dir,
+        "dedup_embedding",
+        lambda sink: embedding_dedup(ds, threshold=0.99, pairs_sink=sink),
+    )
 
 
 def _cocluster_cert(sf_dir: str, dedup_fn) -> pd.DataFrame:
@@ -7145,6 +7191,90 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 5) AS score
             FROM c JOIN embeddings e USING (vec_id) CROSS JOIN q
             ORDER BY c.rank
+        """,
+        "dedup_minhash": f"""
+            WITH RECURSIVE p AS (
+                SELECT a, b
+                FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/dedup_minhash/pairs/*.parquet')
+            ),
+            ee AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+                SELECT a AS node, b AS r FROM ee
+                UNION
+                SELECT reach.node, ee.b FROM reach JOIN ee ON ee.a = reach.r
+            ),
+            lab AS (
+                SELECT node, LEAST(node, MIN(r)) AS canonical
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(lab.canonical, d.doc_id) AS cluster_id,
+                   (COALESCE(lab.canonical, d.doc_id) <> d.doc_id) AS is_duplicate
+            FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH RECURSIVE p AS (
+                SELECT a, b
+                FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/dedup_simhash/pairs/*.parquet')
+            ),
+            ee AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+                SELECT a AS node, b AS r FROM ee
+                UNION
+                SELECT reach.node, ee.b FROM reach JOIN ee ON ee.a = reach.r
+            ),
+            lab AS (
+                SELECT node, LEAST(node, MIN(r)) AS canonical
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(lab.canonical, d.doc_id) AS cluster_id,
+                   (COALESCE(lab.canonical, d.doc_id) <> d.doc_id) AS is_duplicate
+            FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "dedup_ngram": f"""
+            WITH RECURSIVE p AS (
+                SELECT a, b
+                FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/dedup_ngram/pairs/*.parquet')
+            ),
+            ee AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+                SELECT a AS node, b AS r FROM ee
+                UNION
+                SELECT reach.node, ee.b FROM reach JOIN ee ON ee.a = reach.r
+            ),
+            lab AS (
+                SELECT node, LEAST(node, MIN(r)) AS canonical
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   COALESCE(lab.canonical, d.doc_id) AS cluster_id,
+                   (COALESCE(lab.canonical, d.doc_id) <> d.doc_id) AS is_duplicate
+            FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "dedup_embedding": f"""
+            WITH RECURSIVE p AS (
+                SELECT a, b
+                FROM read_parquet('{_FLAGSHIP_ORACLE_DIR}/dedup_embedding/pairs/*.parquet')
+            ),
+            ee AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach AS (
+                SELECT a AS node, b AS r FROM ee
+                UNION
+                SELECT reach.node, ee.b FROM reach JOIN ee ON ee.a = reach.r
+            ),
+            lab AS (
+                SELECT node, LEAST(node, MIN(r)) AS canonical
+                FROM reach GROUP BY node
+            )
+            SELECT e.vec_id,
+                   COALESCE(lab.canonical, e.vec_id) AS cluster_id,
+                   (COALESCE(lab.canonical, e.vec_id) <> e.vec_id) AS is_duplicate
+            FROM embeddings e LEFT JOIN lab ON lab.node = e.vec_id
+            ORDER BY e.vec_id
         """,
         "zone_knn": f"""
             WITH d AS (

@@ -820,6 +820,47 @@ def jaccard_verify(
     return pd.DataFrame({"a": keep_a, "b": keep_b, "jaccard": j})
 
 
+def _sink_pairs(verified, sink: str | None):
+    """Optionally persist the VERIFIED duplicate-pair list (columns a, b)
+    as parquet under ``sink`` — the audit/oracle export (round 5, VERDICT
+    r4 #7: lets the DuckDB oracle re-derive the connected components of
+    the engine's own verified pairs with a recursive CTE).  Always writes
+    at least one (possibly empty) file so downstream globs never dangle.
+    Returns the (possibly materialized) verified input so the caller's CC
+    pass reuses the same execution."""
+    if sink is None:
+        return verified
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(sink, exist_ok=True)
+    for f in os.listdir(sink):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(sink, f))
+    if isinstance(verified, pd.DataFrame):
+        pq.write_table(
+            pa.table(
+                {
+                    "a": pa.array(verified["a"].to_numpy(np.int64), pa.int64()),
+                    "b": pa.array(verified["b"].to_numpy(np.int64), pa.int64()),
+                }
+            ),
+            os.path.join(sink, "pairs-0.parquet"),
+        )
+        return verified
+    verified = verified.materialize()
+    verified.write_parquet(sink)
+    if not any(f.endswith(".parquet") for f in os.listdir(sink)):
+        pq.write_table(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            ),
+            os.path.join(sink, "pairs-0.parquet"),
+        )
+    return verified
+
+
 def connected_components(pairs: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     """Union-find over verified duplicate pairs → (id_col, cluster_id) with
     cluster_id = min id of the component — over the PAIR ids only.  Every id
@@ -867,8 +908,12 @@ def minhash_dedup(
     join_num_partitions: int | None = None,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     materialize_input: bool = True,
+    pairs_sink: str | None = None,
 ):
     """Full near-dup pipeline → Dataset(doc_id, cluster_id, is_duplicate).
+
+    ``pairs_sink`` (round 5): write the verified duplicate pairs (a, b)
+    as parquet — the audit export the recursive-CTE oracle re-clusters.
 
     is_duplicate marks rows that are NOT their cluster's min id.  Only
     candidate-pair texts are fetched to the driver for the exact-Jaccard
@@ -916,6 +961,7 @@ def minhash_dedup(
         small = _fetch_rows_by_id(slim, id_col, [text_col], cand_ids)
         texts = dict(zip(small[id_col].astype(int), small[text_col]))
         verified = jaccard_verify(texts, cand, threshold=threshold, shingle_k=shingle_k)
+        verified = _sink_pairs(verified, pairs_sink)
         comp = connected_components(verified, id_col=id_col)
     else:
         # fully-distributed regime: pairs never reach the driver
@@ -939,6 +985,7 @@ def minhash_dedup(
             verified_ds = _pairs_verify_distributed(
                 texts, cand, pair_ok, as_dataset=True
             )
+        verified_ds = _sink_pairs(verified_ds, pairs_sink)
         comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(slim, id_col, comp)
 
@@ -959,6 +1006,7 @@ def simhash_dedup(
     join_num_partitions: int | None = None,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     materialize_input: bool = True,
+    pairs_sink: str | None = None,
 ):
     """SimHash near-dup → Dataset(doc_id, cluster_id, is_duplicate):
     4×16-bit band buckets → Hamming-distance verify → components.  Any pair
@@ -1032,6 +1080,7 @@ def simhash_dedup(
             cand, sig_slim, id_col, "simhash", keep,
             cand_ids=cand_ids, num_partitions=join_num_partitions,
         )
+        verified_ds = _sink_pairs(verified_ds, pairs_sink)
         comp = distributed_connected_components(verified_ds, id_col=id_col)
         return _attach_clusters(sig_slim, id_col, comp)
     keys = np.empty(0, np.int64)
@@ -1048,6 +1097,7 @@ def simhash_dedup(
             xb = sims[np.searchsorted(keys, cand["b"].to_numpy(np.int64))]
             ham = _popcount64(xa ^ xb)
             cand = cand[ham <= max_hamming]
+        cand = _sink_pairs(cand, pairs_sink)
         comp = connected_components(cand, id_col=id_col)
     else:
         # distributed Hamming filter: broadcast the id→simhash arrays
@@ -1065,7 +1115,9 @@ def simhash_dedup(
             ham = _popcount64(xa ^ xb)
             return b.select(["a", "b"]).filter(pa.array(ham <= max_hamming))
 
-        verified_ds = cand.map_batches(ham_filter, batch_format="pyarrow")
+        verified_ds = _sink_pairs(
+            cand.map_batches(ham_filter, batch_format="pyarrow"), pairs_sink
+        )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(sig_slim, id_col, comp)
 
@@ -1141,6 +1193,7 @@ def ngram_jaccard_dedup(
     join_num_partitions: int | None = None,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     materialize_input: bool = True,
+    pairs_sink: str | None = None,
 ):
     """Near-dup on word n-gram sets → Dataset(doc_id, cluster_id,
     is_duplicate): word-shingle MinHash bands for candidates, exact
@@ -1221,6 +1274,7 @@ def ngram_jaccard_dedup(
             verified_ds = _pairs_verify_distributed(
                 texts, cand, pair_ok, as_dataset=True
             )
+        verified_ds = _sink_pairs(verified_ds, pairs_sink)
         comp = distributed_connected_components(verified_ds, id_col=id_col)
         return _attach_clusters(slim, id_col, comp)
     if len(cand) > 200_000:
@@ -1239,6 +1293,7 @@ def ngram_jaccard_dedup(
                 keep["a"].append(int(a))
                 keep["b"].append(int(b))
         verified = pd.DataFrame(keep)
+    verified = _sink_pairs(verified, pairs_sink)
     comp = connected_components(verified, id_col=id_col)
     return _attach_clusters(slim, id_col, comp)
 
@@ -1280,6 +1335,7 @@ def embedding_dedup(
     join_num_partitions: int | None = None,
     bucket_cap: int | None = DEFAULT_BUCKET_CAP,
     materialize_input: bool = True,
+    pairs_sink: str | None = None,
 ):
     """Random-hyperplane LSH buckets → in-bucket pairwise cosine ≥ τ →
     components → Dataset(vec_id, cluster_id, is_duplicate).  Multi-probe:
@@ -1375,9 +1431,12 @@ def embedding_dedup(
             return cos >= threshold
 
         side = slim.map_batches(pack, batch_format="pyarrow")
-        verified_ds = _verify_pairs_via_join(
-            cand, side, id_col, "__vecbin", keep,
-            cand_ids=cand_ids, num_partitions=join_num_partitions,
+        verified_ds = _sink_pairs(
+            _verify_pairs_via_join(
+                cand, side, id_col, "__vecbin", keep,
+                cand_ids=cand_ids, num_partitions=join_num_partitions,
+            ),
+            pairs_sink,
         )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
         return _attach_clusters(slim, id_col, comp)
@@ -1407,6 +1466,7 @@ def embedding_dedup(
             if len(cand)
             else pd.DataFrame({"a": [], "b": []})
         )
+        verified = _sink_pairs(verified, pairs_sink)
         comp = connected_components(verified, id_col=id_col)
     else:
         import ray
@@ -1423,6 +1483,8 @@ def embedding_dedup(
                 pa.array(_cosine_keep_mask(k, m, nr, a_, b_, _t))
             )
 
-        verified_ds = cand.map_batches(cos_filter, batch_format="pyarrow")
+        verified_ds = _sink_pairs(
+            cand.map_batches(cos_filter, batch_format="pyarrow"), pairs_sink
+        )
         comp = distributed_connected_components(verified_ds, id_col=id_col)
     return _attach_clusters(slim, id_col, comp)
