@@ -1263,6 +1263,47 @@ def q_pagerank(sf_dir: str):
     return out
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs & authorities (2 fixed iterations, L2-normalized per
+    half-step) over the customer→supplier order graph
+    (stages/pagerank.py:hits) — per half-step one hash join + one
+    groupby-sum + one left join; norms are scalar aggregates.  Oracle:
+    the identical unrolled update in SQL."""
+    from zonal_stats_toolkit_ray.stages.joins import hash_join
+    from zonal_stats_toolkit_ray.stages.pagerank import hits
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    edges = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", how="inner"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": pc.cast(t["o_custkey"], pa.int64()),
+                "dst": pc.add(
+                    pc.cast(t["l_suppkey"], pa.int64()), pa.scalar(1_000_000, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        hits(edges, iterations=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    out["node"] = out["node"].astype("int64")
+    out["hub"] = out["hub"].round(6)
+    out["authority"] = out["authority"].round(6)
+    return out
+
+
 _PCA_ORACLE_DIR = "/tmp/graft_pca_oracle"
 
 
@@ -5241,6 +5282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_stats": q_rolling_stats,
         "ewma": q_ewma,
         "pagerank": q_pagerank,
+        "hits": q_hits,
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
@@ -7909,6 +7951,79 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_scaled
             FROM r3 ORDER BY node
+        """,
+        "hits": """
+            WITH e AS (
+                SELECT o.o_custkey AS src,
+                       1000000 + l.l_suppkey AS dst
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ),
+            nodes AS (
+                SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+            ),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            h0 AS (
+                SELECT node, 1.0 / sqrt((SELECT n FROM nn)) AS h FROM nodes
+            ),
+            a1r AS (
+                SELECT e.dst AS node, sum(h0.h) AS a
+                FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst
+            ),
+            a1z AS (
+                SELECT CASE WHEN sqrt(sum(a * a)) > 0
+                            THEN sqrt(sum(a * a)) ELSE 1.0 END AS z
+                FROM a1r
+            ),
+            a1 AS (
+                SELECT nodes.node,
+                       coalesce(a1r.a, 0.0) / (SELECT z FROM a1z) AS a
+                FROM nodes LEFT JOIN a1r ON nodes.node = a1r.node
+            ),
+            h1r AS (
+                SELECT e.src AS node, sum(a1.a) AS h
+                FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+            ),
+            h1z AS (
+                SELECT CASE WHEN sqrt(sum(h * h)) > 0
+                            THEN sqrt(sum(h * h)) ELSE 1.0 END AS z
+                FROM h1r
+            ),
+            h1 AS (
+                SELECT nodes.node,
+                       coalesce(h1r.h, 0.0) / (SELECT z FROM h1z) AS h
+                FROM nodes LEFT JOIN h1r ON nodes.node = h1r.node
+            ),
+            a2r AS (
+                SELECT e.dst AS node, sum(h1.h) AS a
+                FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+            ),
+            a2z AS (
+                SELECT CASE WHEN sqrt(sum(a * a)) > 0
+                            THEN sqrt(sum(a * a)) ELSE 1.0 END AS z
+                FROM a2r
+            ),
+            a2 AS (
+                SELECT nodes.node,
+                       coalesce(a2r.a, 0.0) / (SELECT z FROM a2z) AS a
+                FROM nodes LEFT JOIN a2r ON nodes.node = a2r.node
+            ),
+            h2r AS (
+                SELECT e.src AS node, sum(a2.a) AS h
+                FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+            ),
+            h2z AS (
+                SELECT CASE WHEN sqrt(sum(h * h)) > 0
+                            THEN sqrt(sum(h * h)) ELSE 1.0 END AS z
+                FROM h2r
+            ),
+            h2 AS (
+                SELECT nodes.node,
+                       coalesce(h2r.h, 0.0) / (SELECT z FROM h2z) AS h
+                FROM nodes LEFT JOIN h2r ON nodes.node = h2r.node
+            )
+            SELECT h2.node, round(h2.h, 6) AS hub, round(a2.a, 6) AS authority
+            FROM h2 JOIN a2 ON h2.node = a2.node
+            ORDER BY h2.node
         """,
         "ewma": """
             WITH t AS (

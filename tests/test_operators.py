@@ -516,6 +516,44 @@ class TestDedupScale:
     """Round-2 hardening: the verify path must fetch candidate rows only,
     never the corpus (VERDICT next-round item 1)."""
 
+    def test_pairs_sink_consistent_across_regimes(self, ray_session, tmp_path):
+        """Round 5: pairs_sink must export the SAME verified pair set from
+        the driver and the distributed regimes, and the exported pairs
+        must regenerate the clustering (the oracle's recursive-CC
+        contract)."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        pages = synth_pages_table(400, seed=9, dup_fraction=0.15).to_pandas()
+        pages["doc_id"] = np.arange(len(pages))
+        ds = rd.from_pandas(pages[["doc_id", "text"]]).repartition(4)
+        sinks = [str(tmp_path / "p_driver"), str(tmp_path / "p_dist")]
+        comp_a = D.minhash_dedup(ds, threshold=0.8, pairs_sink=sinks[0]).to_pandas()
+        comp_b = D.minhash_dedup(
+            ds, threshold=0.8, driver_threshold=0, pair_driver_threshold=0,
+            pairs_sink=sinks[1],
+        ).to_pandas()
+
+        def load_pairs(p):
+            import glob
+
+            t = pd.concat(
+                [pq.read_table(f).to_pandas() for f in glob.glob(f"{p}/*.parquet")],
+                ignore_index=True,
+            )
+            ab = np.sort(t[["a", "b"]].to_numpy(np.int64), axis=1)
+            return set(map(tuple, ab))
+
+        pa_, pb_ = load_pairs(sinks[0]), load_pairs(sinks[1])
+        assert pa_ == pb_ and len(pa_) > 0
+        # exported pairs regenerate the clustering exactly
+        cc = D.connected_components(
+            pd.DataFrame(sorted(pa_), columns=["a", "b"])
+        ).set_index("doc_id")["cluster_id"]
+        got = comp_a.set_index("doc_id")["cluster_id"]
+        for doc, cl in cc.items():
+            assert got[doc] == cl
+
     def test_minhash_distributed_path_fetches_candidates_only(self, ray_session):
         import ray.data as rd
 

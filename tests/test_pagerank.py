@@ -71,6 +71,36 @@ class TestPageRank:
         assert abs(got["rank_scaled"].sum() - len(got)) < 1e-9
 
 
+class TestHits:
+    def test_matches_numpy_reference(self, ray_session):
+        from zonal_stats_toolkit_ray.stages.pagerank import hits
+
+        rng = np.random.default_rng(23)
+        edges = pd.DataFrame(
+            {"src": rng.integers(0, 40, 200), "dst": rng.integers(0, 50, 200)}
+        )
+        got = (
+            hits(rd.from_pandas(edges).repartition(5), iterations=2)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        nodes = np.unique(np.concatenate([edges["src"], edges["dst"]]))
+        idx = {n: i for i, n in enumerate(nodes)}
+        A = np.zeros((len(nodes), len(nodes)))
+        for _, r in edges.iterrows():
+            A[idx[r["src"]], idx[r["dst"]]] += 1
+        h = np.full(len(nodes), 1 / np.sqrt(len(nodes)))
+        for _ in range(2):
+            a = A.T @ h
+            a /= np.linalg.norm(a) or 1.0
+            h = A @ a
+            h /= np.linalg.norm(h) or 1.0
+        assert got["node"].tolist() == [int(n) for n in nodes]
+        assert np.allclose(got["hub"], h, rtol=1e-9, atol=1e-12)
+        assert np.allclose(got["authority"], a, rtol=1e-9, atol=1e-12)
+
+
 def _numpy_pr_parallel(d=0.85):
     # nodes 1,2,3; deg(1)=3 (parallel edges count); r0 = 1/3 each
     N, r0 = 3, 1 / 3
