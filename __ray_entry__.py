@@ -1198,12 +1198,18 @@ def q_rolling_stats(sf_dir: str):
 
 
 def q_ewma(sf_dir: str):
-    """Per-user EWMA (pandas adjust=False recurrence, α=0.3) over the
+    """Per-user EWMA (pandas adjust=False recurrence, α=1/3) over the
     events stream (round-5 operator, stages/rolling.py:ewma_by_key):
     distributed EXACT affine scan — range sort, O(blocks) head/tail run
     summaries, driver carry chain, one vectorized zero-carry rescan per
     block.  Oracle: the closed form ``y_i = q^{i−1}x_1 + Σ α q^{i−j}x_j``
-    as a per-key self-join power sum (different summation order, 6 dp)."""
+    as a per-key self-join power sum (different summation order, 6 dp).
+
+    α = 1/3 deliberately: a TERMINATING-decimal α (0.3) makes low-rn
+    rows' exact values land on the 6-dp .5 rounding boundary, where
+    numpy's half-even and DuckDB's half-away conventions disagree;
+    1/3's non-terminating expansion keeps every value off the boundary
+    (engine↔SQL fp divergence is ~1e-13 vs the 5e-7 boundary gap)."""
     from zonal_stats_toolkit_ray.stages.rolling import ewma_by_key
     import ray.data as rd
 
@@ -1212,7 +1218,7 @@ def q_ewma(sf_dir: str):
         columns=["event_id", "user_id", "ts", "value"],
     )
     out = (
-        ewma_by_key(ds, alpha=0.3)
+        ewma_by_key(ds, alpha=1.0 / 3.0)
         .to_pandas()
         .sort_values("event_id")
         .reset_index(drop=True)
@@ -8036,8 +8042,9 @@ def oracle_sql() -> dict[str, str]:
             y AS (
                 SELECT a.event_id, a.user_id,
                        sum(CASE WHEN b.rn = 1
-                                THEN power(0.7, a.rn - 1) * b.value
-                                ELSE 0.3 * power(0.7, a.rn - b.rn) * b.value
+                                THEN power(2.0 / 3.0, a.rn - 1) * b.value
+                                ELSE (1.0 / 3.0)
+                                     * power(2.0 / 3.0, a.rn - b.rn) * b.value
                            END) AS ewma
                 FROM t a JOIN t b
                   ON a.user_id = b.user_id AND b.rn <= a.rn
