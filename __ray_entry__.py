@@ -1310,6 +1310,23 @@ def q_hits(sf_dir: str):
     return out
 
 
+def q_keyness(sf_dir: str):
+    """Per-language distinctive terms by smoothed log-odds keyness
+    (stages/text.py:keyness_terms — Monroe et al. "fightin' words" with a
+    rest-of-corpus reference): (group, token) occurrence partials → one
+    vocab×groups aggregate → token-total hash join → vectorized scoring →
+    tree-combined grouped top-5.  Oracle: the identical formula in SQL,
+    ranked on the 6-dp-rounded score (lesson 38: log-of-rational scores
+    never sit on a decimal rounding boundary)."""
+    from zonal_stats_toolkit_ray.stages.text import keyness_terms
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+    return keyness_terms(ds, group_col="lang", top_n=5)
+
+
 _PCA_ORACLE_DIR = "/tmp/graft_pca_oracle"
 
 
@@ -5289,6 +5306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma": q_ewma,
         "pagerank": q_pagerank,
         "hits": q_hits,
+        "keyness": q_keyness,
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
@@ -7957,6 +7975,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_scaled
             FROM r3 ORDER BY node
+        """,
+        "keyness": r"""
+            WITH toks AS (
+                SELECT lang, t.tok AS token
+                FROM documents,
+                     unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+                WHERE t.tok <> ''
+            ),
+            gt AS (
+                SELECT lang, token, CAST(count(*) AS DOUBLE) AS c
+                FROM toks GROUP BY lang, token
+            ),
+            tt AS (SELECT token, sum(c) AS ct FROM gt GROUP BY token),
+            gg AS (SELECT lang, sum(c) AS cg FROM gt GROUP BY lang),
+            tot AS (SELECT sum(c) AS call FROM gt),
+            s AS (
+                SELECT gt.lang, gt.token,
+                       round(
+                           ln((gt.c + 1.0) / (gg.cg - gt.c + 1.0))
+                           - ln((tt.ct - gt.c + 1.0)
+                                / ((SELECT call FROM tot) - gg.cg
+                                   - (tt.ct - gt.c) + 1.0)),
+                           6
+                       ) AS score
+                FROM gt JOIN tt USING (token) JOIN gg USING (lang)
+            ),
+            r AS (
+                SELECT lang, token, score,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY score DESC, token ASC
+                       ) AS rank
+                FROM s
+            )
+            SELECT lang, CAST(rank AS BIGINT) AS rank, token, score
+            FROM r WHERE rank <= 5 ORDER BY lang, rank
         """,
         "hits": """
             WITH e AS (

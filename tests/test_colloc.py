@@ -60,3 +60,59 @@ class TestBigramPmi:
         ds = rd.from_pandas(pd.DataFrame({"text": ["", None]}))
         out = bigram_pmi(ds, min_count=1, top_n=5)
         assert len(out) == 0
+
+
+class TestKeyness:
+    def test_matches_bruteforce_logodds(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from zonal_stats_toolkit_ray.stages.text import keyness_terms
+
+        rng = np.random.default_rng(31)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = []
+        for g, bias in (("a", 0), ("b", 10), ("c", 20)):
+            for _ in range(40):
+                idx = (rng.integers(0, 12, 8) + bias) % 30
+                rows.append({"lang": g, "text": " ".join(vocab[i] for i in idx)})
+        df = pd.DataFrame(rows)
+        for parts in (1, 5):
+            got = keyness_terms(
+                rd.from_pandas(df).repartition(parts),
+                group_col="lang",
+                top_n=3,
+                driver_threshold=5,  # force at least one tree level
+                fan_in=2,
+            )
+            # brute force
+            toks = (
+                df.assign(tok=df["text"].str.lower().str.split())
+                .explode("tok")
+            )
+            gt = toks.groupby(["lang", "tok"]).size().rename("c").reset_index()
+            tt = gt.groupby("tok")["c"].sum()
+            gg = gt.groupby("lang")["c"].sum()
+            call = float(gt["c"].sum())
+            sc = []
+            for _, r in gt.iterrows():
+                c, cg, ct = float(r["c"]), float(gg[r["lang"]]), float(tt[r["tok"]])
+                s = np.log((c + 1) / (cg - c + 1)) - np.log(
+                    (ct - c + 1) / (call - cg - (ct - c) + 1)
+                )
+                sc.append(round(s, 6))
+            gt["score"] = sc
+            want = (
+                gt.sort_values(
+                    ["lang", "score", "tok"], ascending=[True, False, True]
+                )
+                .groupby("lang")
+                .head(3)
+                .reset_index(drop=True)
+            )
+            m = got.merge(
+                want, left_on=["lang", "token"], right_on=["lang", "tok"]
+            )
+            assert len(m) == len(got) == 9
+            assert np.allclose(m["score_x"], m["score_y"])

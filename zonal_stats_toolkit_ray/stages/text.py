@@ -1638,3 +1638,187 @@ def readability_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
             "flesch": pa.array(np.round(flesch, 6), pa.float64()),
         }
     )
+
+
+def keyness_token_counts_batch(
+    batch: pa.Table, *, group_col: str, text_col: str = "text"
+) -> pa.Table:
+    """map_batches stage: documents → (group, token, c) token-OCCURRENCE
+    count partials — the corpus-keyness combiner.  Entirely Arrow-kernel
+    (lower → regex split → flatten with repeated group labels →
+    ``group_by`` count); partials sum associatively downstream.  Null text
+    contributes no tokens (matching unnest-of-NULL in SQL)."""
+    t = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+    toks = pc.split_pattern_regex(t, r"\s+")
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    gcol = batch[group_col]
+    if isinstance(gcol, pa.ChunkedArray):
+        gcol = gcol.combine_chunks()
+    idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "")
+    flat = flat.filter(nonempty)
+    idx = idx[nonempty.to_numpy(zero_copy_only=False)]
+    pairs = pa.table(
+        {group_col: gcol.take(pa.array(idx)), "token": flat}
+    )
+    g = pairs.group_by([group_col, "token"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            group_col: g[group_col],
+            "token": g["token"],
+            "c": pc.cast(g["count_all"], pa.int64()),
+        }
+    )
+
+
+def keyness_terms(
+    ds,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    top_n: int = 5,
+    num_partitions: int = 4,
+    driver_threshold: int = 1_000_000,
+    fan_in: int = 8,
+) -> "pd.DataFrame":
+    """Per-group DISTINCTIVE terms by smoothed log-odds ratio (the corpus
+    "keyness" analysis — which tokens characterize each language/host/
+    source against the rest of the corpus) → DataFrame(group, rank,
+    token, score 6dp), rank 1-based by (score desc, token asc).
+
+    ``score(t, g) = ln((c_tg+1)/(C_g−c_tg+1))
+                  − ln((c_tḡ+1)/(C_ḡ−c_tḡ+1))``
+    with add-1 smoothing — the Monroe/Colaresi/Quinn "fightin' words"
+    log-odds form with the rest-of-corpus as reference.
+
+    Scale shape: in-batch (group, token) occurrence partials → ONE
+    vocab×groups hash aggregate (Dataset, never collected) → token totals
+    via a second aggregate over that same dataset → a distributed
+    ``hash_join`` on token attaches totals (vocabulary never broadcasts)
+    → per-row vectorized scoring with the #groups-sized totals dict
+    broadcast once (documented bounded-groups regime: languages/sources/
+    hosts — for 10⁸ groups swap the broadcast for a second join) → local
+    top-n per block, tree-combined (the mode_per_group fan-in shape) so
+    the driver frame is ≤ max(driver_threshold, groups × top_n).
+
+    Ranking uses the 6-dp-ROUNDED score (score is a difference of logs of
+    rationals — irrational, so no value can sit exactly on a decimal
+    rounding boundary; 1-ulp libm differences vs DuckDB's ln cannot flip
+    the rounded rank — sandbox lesson 38)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .joins import hash_join
+
+    partials = ds.map_batches(
+        keyness_token_counts_batch,
+        batch_format="pyarrow",
+        fn_kwargs={"group_col": group_col, "text_col": text_col},
+    )
+    gt = (
+        partials.repartition(num_partitions)
+        .groupby([group_col, "token"])
+        .aggregate(Sum("c", alias_name="c"))
+        .materialize()
+    )
+    tt = (
+        gt.groupby("token")
+        .aggregate(Sum("c", alias_name="ct"))
+    )
+    # group totals: #groups-sized driver frame (bounded-groups regime)
+    gg = (
+        gt.map_batches(
+            lambda t: pa.table({group_col: t[group_col], "c": t["c"]})
+            if group_col in t.column_names
+            else pa.table(
+                {group_col: pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(group_col)
+        .aggregate(Sum("c", alias_name="cg"))
+        .to_pandas()
+    )
+    c_all = float(gg["cg"].sum())
+    gkeys = pa.array(gg[group_col].astype(str), pa.string())
+    gvals = gg["cg"].to_numpy(dtype=np.float64)
+    ref = ray.put((gkeys, gvals, c_all))
+
+    joined = hash_join(gt, tt, on="token", num_partitions=num_partitions)
+
+    def score(b: pa.Table, *, _ref=ref) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                (group_col, pa.string()),
+                ("token", pa.string()),
+                ("score", pa.float64()),
+            ]
+        )
+        if "token" not in b.column_names:
+            return out_schema.empty_table()
+        ks, vs, call = ray.get(_ref)
+        gidx = pc.index_in(
+            pc.cast(b[group_col], pa.string()), value_set=ks
+        ).to_numpy(zero_copy_only=False)
+        cg = vs[gidx]
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ct = b["ct"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # EXACT float-op order of the SQL twin (integer-valued doubles in,
+        # one ln per side)
+        s = np.log((c + 1.0) / (cg - c + 1.0)) - np.log(
+            (ct - c + 1.0) / (call - cg - (ct - c) + 1.0)
+        )
+        return pa.table(
+            {
+                group_col: pc.cast(b[group_col], pa.string()),
+                "token": pc.cast(b["token"], pa.string()),
+                "score": pa.array(np.round(s, 6), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def local_topk(b: pa.Table) -> pa.Table:
+        if len(b) == 0 or "token" not in b.column_names:
+            return pa.schema(
+                [
+                    (group_col, pa.string()),
+                    ("token", pa.string()),
+                    ("score", pa.float64()),
+                ]
+            ).empty_table()
+        g = b[group_col].to_numpy(zero_copy_only=False).astype("U")
+        tok = b["token"].to_numpy(zero_copy_only=False).astype("U")
+        sc = b["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tok, -sc, g))
+        sg = g[order]
+        starts = np.flatnonzero(np.concatenate([[True], sg[1:] != sg[:-1]]))
+        run_of = np.searchsorted(starts, np.arange(sg.size), side="right") - 1
+        rank = np.arange(sg.size) - starts[run_of]
+        keep = order[rank < top_n]
+        return b.take(pa.array(np.sort(keep)))
+
+    local = scored.map_batches(local_topk, batch_format="pyarrow").materialize()
+    levels = 0
+    while local.count() > driver_threshold:
+        nblocks = local.num_blocks()
+        if nblocks <= 1:
+            break
+        local = (
+            local.repartition(max(1, nblocks // fan_in))
+            .map_batches(local_topk, batch_format="pyarrow")
+            .materialize()
+        )
+        levels += 1
+    frame = local.to_pandas()
+    if len(frame) == 0:
+        return pd.DataFrame(columns=[group_col, "rank", "token", "score"])
+    top = local_topk(pa.Table.from_pandas(frame, preserve_index=False)).to_pandas()
+    top = top.sort_values(
+        [group_col, "score", "token"], ascending=[True, False, True], kind="stable"
+    ).reset_index(drop=True)
+    top["rank"] = (top.groupby(group_col).cumcount() + 1).astype(np.int64)
+    return top[[group_col, "rank", "token", "score"]]
