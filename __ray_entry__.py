@@ -525,6 +525,67 @@ def q_asof_join(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_next_click(sf_dir: str):
+    """FORWARD as-of (next-click attribution): attach the NEXT 'click'
+    value (smallest click ts ≥ event ts, same user; ties at the same ts
+    → max value, the engine's deterministic rule) to every event — by
+    TIME REFLECTION ts' = T0 − ts over the chunked backward as-of join
+    (sandbox lesson 37: a forward frame is a trailing frame on reflected
+    time; no new shuffle shape).  Same grouped rollup as q_asof_join.
+    Oracle: min-following-click window + max-value-at-ts join in SQL."""
+    import ray.data as rd
+    from zonal_stats_toolkit_ray.stages.joins import asof_join_self
+
+    T0 = pd.Timestamp("2030-01-01").value // 1000  # epoch µs, past all data
+
+    def reflect(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": pc.cast(
+                    pc.subtract(pa.scalar(T0, pa.int64()), us), pa.timestamp("us")
+                ),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    ).map_batches(reflect, batch_format="pyarrow")
+    joined = asof_join_self(ds)  # backward on reflected = forward on real
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.assign(has_click=b["last_click_value"].notna())
+            .groupby("event_type", sort=False)
+            .agg(
+                n_events=("event_type", "size"),
+                n_with_click=("has_click", "sum"),
+                sum_next_value=("last_click_value", "sum"),
+            )
+            .reset_index()
+        )
+
+    p = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = (
+        p.groupby("event_type", sort=False)
+        .agg(
+            n_events=("n_events", "sum"),
+            n_with_click=("n_with_click", "sum"),
+            sum_next_value=("sum_next_value", "sum"),
+        )
+        .reset_index()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["n_with_click"] = out["n_with_click"].astype("int64")
+    out["sum_next_value"] = out["sum_next_value"].round(6)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_range_join(sf_dir: str):
     """Broadcast point-in-interval range join (round-3 operator): every
     'click' event joined to the 1-hour windows opened by the same user's
@@ -5307,6 +5368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q_pagerank,
         "hits": q_hits,
         "keyness": q_keyness,
+        "next_click": q_next_click,
         "interval_coverage": q_interval_coverage,
         "event_gaps": q_event_gaps,
         "char_entropy": q_char_entropy,
@@ -7975,6 +8037,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, round(r * (SELECT n FROM nn), 6) AS rank_scaled
             FROM r3 ORDER BY node
+        """,
+        "next_click": """
+            WITH x AS (
+                SELECT event_id, event_type, user_id, ts,
+                       CASE WHEN event_type = 'click' THEN ts END AS cts
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, event_type, user_id,
+                       min(cts) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS nts
+                FROM x
+            ),
+            cmax AS (
+                SELECT user_id, ts, max(value) AS mv FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts
+            ),
+            v AS (
+                SELECT w.event_id, w.event_type, cmax.mv
+                FROM w LEFT JOIN cmax
+                  ON cmax.user_id = w.user_id AND cmax.ts = w.nts
+            )
+            SELECT event_type, count(*) AS n_events,
+                   CAST(count(mv) AS BIGINT) AS n_with_click,
+                   round(coalesce(sum(mv), 0.0), 6) AS sum_next_value
+            FROM v GROUP BY event_type ORDER BY event_type
         """,
         "keyness": r"""
             WITH toks AS (
